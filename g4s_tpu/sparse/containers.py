@@ -1,0 +1,211 @@
+"""Sparse matrix containers as JAX pytrees.
+
+TPU-first design notes
+----------------------
+The reference (mm/inc/CSR.h, CSC.h, Triple.h) keeps classic pointer-based
+CSR/CSC containers built once on the host and then iterated by OpenMP loops.
+On TPU every kernel sees *static shapes*, so the containers here are frozen
+dataclasses whose array leaves may live on host (numpy) or device (jax.Array)
+and whose shape/width metadata is static — they trace cleanly through jit.
+
+Layouts:
+  COO  — triple list, the construction/interchange format (mm/inc/Triple.h).
+  CSR  — row-compressed, the mxv/mxm workhorse (mm/inc/CSR.h:22-100).
+  CSC  — column-compressed mirror (mm/inc/CSC.h:22-92).
+  ELL  — fixed-width padded rows: the TPU execution layout. Gather/segment
+         ops over a dense (n_rows, width) index grid map onto the VPU's
+         (8,128) lanes; padding slots carry index 0 and value 0 so no masking
+         is needed in the accumulate.
+  SELL — sliced-ELL: rows grouped into slices binned by degree so padding
+         stays bounded (the TPU analog of the reference's FLOP-balanced
+         binning in mm/inc/BIN.h:100-122).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+from functools import partial
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = Any  # numpy or jax array
+
+
+def _static():
+    return field(metadata=dict(static=True))
+
+
+@partial(jax.tree_util.register_dataclass)
+@dataclasses.dataclass(frozen=True)
+class COO:
+    """Coordinate-format sparse matrix (row, col, val triples)."""
+
+    row: Array
+    col: Array
+    val: Array
+    shape: Tuple[int, int] = _static()
+
+    @property
+    def nnz(self) -> int:
+        return int(self.row.shape[0])
+
+    @property
+    def dtype(self):
+        return self.val.dtype
+
+    def to_device(self) -> "COO":
+        return COO(jnp.asarray(self.row), jnp.asarray(self.col),
+                   jnp.asarray(self.val), self.shape)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        return sp.coo_matrix(
+            (np.asarray(self.val), (np.asarray(self.row), np.asarray(self.col))),
+            shape=self.shape)
+
+
+@partial(jax.tree_util.register_dataclass)
+@dataclasses.dataclass(frozen=True)
+class CSR:
+    """Compressed sparse row matrix (reference: mm/inc/CSR.h:22-100)."""
+
+    indptr: Array   # (n_rows + 1,)
+    indices: Array  # (nnz,) column ids
+    data: Array     # (nnz,)
+    shape: Tuple[int, int] = _static()
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def row_degrees(self) -> Array:
+        return self.indptr[1:] - self.indptr[:-1]
+
+    def to_device(self) -> "CSR":
+        return CSR(jnp.asarray(self.indptr), jnp.asarray(self.indices),
+                   jnp.asarray(self.data), self.shape)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        return sp.csr_matrix(
+            (np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)),
+            shape=self.shape)
+
+    @staticmethod
+    def from_scipy(m) -> "CSR":
+        m = m.tocsr()
+        return CSR(np.asarray(m.indptr), np.asarray(m.indices),
+                   np.asarray(m.data), tuple(m.shape))
+
+
+@partial(jax.tree_util.register_dataclass)
+@dataclasses.dataclass(frozen=True)
+class CSC:
+    """Compressed sparse column matrix (reference: mm/inc/CSC.h:22-92)."""
+
+    indptr: Array   # (n_cols + 1,)
+    indices: Array  # (nnz,) row ids
+    data: Array     # (nnz,)
+    shape: Tuple[int, int] = _static()
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def to_device(self) -> "CSC":
+        return CSC(jnp.asarray(self.indptr), jnp.asarray(self.indices),
+                   jnp.asarray(self.data), self.shape)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        return sp.csc_matrix(
+            (np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)),
+            shape=self.shape)
+
+
+@partial(jax.tree_util.register_dataclass)
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    """Fixed-width padded-row layout — the TPU-native SpMV layout.
+
+    cols[i, k] is the column of the k-th stored entry of row i; vals[i, k] its
+    value. Rows shorter than `width` are padded with (col=0, val=0): the
+    padded products contribute exactly zero, so kernels need no masks.
+    """
+
+    cols: Array  # (n_rows, width) int32
+    vals: Array  # (n_rows, width)
+    shape: Tuple[int, int] = _static()
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def width(self) -> int:
+        return int(self.cols.shape[1])
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def to_device(self) -> "ELL":
+        return ELL(jnp.asarray(self.cols), jnp.asarray(self.vals), self.shape)
+
+
+@partial(jax.tree_util.register_dataclass)
+@dataclasses.dataclass(frozen=True)
+class SELL:
+    """Sliced-ELL: rows permuted into degree-sorted slices, each slice padded
+    to its own width. `perm` maps slice-local row order back to original rows.
+
+    This is the TPU replacement for the reference's FLOP-balanced binning
+    (mm/inc/BIN.h:100-122 `set_rows_offset`): instead of assigning rows to
+    threads by flop prefix sums at runtime, we bin rows by degree on the host
+    once and pad per-bin, bounding wasted lanes.
+    """
+
+    slices: Tuple[ELL, ...]          # per-slice padded blocks
+    perm: Array                      # (n_rows,) original row index per packed row
+    slice_rows: Tuple[int, ...] = _static()  # rows per slice
+    shape: Tuple[int, int] = _static()
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    def to_device(self) -> "SELL":
+        return SELL(tuple(s.to_device() for s in self.slices),
+                    jnp.asarray(self.perm), self.slice_rows, self.shape)
