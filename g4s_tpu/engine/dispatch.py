@@ -1,0 +1,132 @@
+"""The graph engine: mxv/mxm dispatch over layout variants.
+
+This layer replaces the reference's "graph engine that automatically explores
+the optimal execution strategy" (README.md:2; the linked spmm_dense library of
+citcoms/bin/Citcom.c:45-48 and inlined GraphProcess engines). On TPU the
+strategy space is not OpenMP schedules but *layouts and kernels*, and the
+exploration happens statically at graph-build time from row statistics — the
+same quantities the reference's BIN balancer derives (mm/inc/BIN.h:77-122):
+degree histogram, padding waste, skew.
+
+  Graph.build(csr)  -> picks ELL (uniform degrees), SELL (skewed), or CSR
+                       (extreme skew) and precomputes gather indices.
+  mxv(g, x)         -> one fused gather/multiply/reduce on the chosen layout.
+  mxm(a, b)         -> two-phase SpGEMM (see ops/spgemm.py).
+
+Semiring-generic: padded slots are neutralized with the semiring's additive
+identity, so min-plus/or-and algebras run through the same kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from g4s_tpu.engine.semiring import PLUS_TIMES, Semiring
+from g4s_tpu.ops.segment import segment_reduce
+from g4s_tpu.ops.spgemm import SpGEMMPlan, spgemm_plan
+from g4s_tpu.sparse.containers import CSR, ELL
+from g4s_tpu.sparse.convert import csr_to_ell
+
+_ADD_OPS = {"plus_times": "add", "min_plus": "min", "max_plus": "max",
+            "max_times": "max", "or_and": "add"}
+
+
+def _static():
+    return field(metadata=dict(static=True))
+
+
+@partial(jax.tree_util.register_dataclass)
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """A sparse operator staged for the engine.
+
+    Holds the layout the dispatcher chose plus enough metadata to run any
+    semiring. `deg` (per-row degree) doubles as the padding mask source.
+    """
+
+    ell: Optional[ELL]            # padded layout (ELL/SELL variants)
+    csr: Optional[CSR]            # nnz layout (segment-sum variant)
+    row_ids: Optional[jax.Array]  # (nnz,) row of each stored entry (CSR path)
+    deg: jax.Array                # (n_rows,) true row degrees
+    variant: str = _static()      # 'ell' | 'csr'
+    shape: Tuple[int, int] = _static()
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+
+def build_graph(a: CSR, *, variant: str | None = None,
+                max_padding_waste: float = 1.5, pad_to: int = 8) -> Graph:
+    """Static strategy exploration: choose the execution layout from row
+    statistics (host-side, once — like the reference engine's per-matrix
+    strategy search, but resolved at trace time)."""
+    deg = np.diff(np.asarray(a.indptr)).astype(np.int32)
+    nnz = max(int(deg.sum()), 1)
+    width = int(deg.max()) if deg.size else 0
+    waste = (width * a.shape[0] - nnz) / nnz if nnz else 0.0
+    if variant is None:
+        variant = "ell" if waste <= max_padding_waste else "csr"
+    if variant == "ell":
+        ell = csr_to_ell(a, pad_to=pad_to).to_device()
+        return Graph(ell, None, None, jnp.asarray(deg), "ell", a.shape)
+    row_ids = np.repeat(np.arange(a.shape[0], dtype=np.int32), deg)
+    d = a.to_device()
+    return Graph(None, d, jnp.asarray(row_ids), jnp.asarray(deg), "csr", a.shape)
+
+
+def mxv(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
+    """y = A (+.x) v over the chosen layout.
+
+    GraphBLAS mxv; subsumes the reference's vertex-program gather loop
+    (deepmd/source/op/graph.h:21-31: for each vertex, combine over neighbors,
+    then apply).
+    """
+    if g.variant == "ell":
+        ell = g.ell
+        gathered = jnp.take(x, ell.cols, axis=0)
+        prod = semiring.mul(ell.vals, gathered)
+        if semiring is not PLUS_TIMES:
+            w = ell.cols.shape[1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (g.shape[0], w), 1)
+            valid = lane < g.deg[:, None]
+            prod = jnp.where(valid, prod, jnp.asarray(semiring.zero, prod.dtype))
+        y = semiring.reduce(prod, axis=1)
+    else:
+        csr = g.csr
+        prod = semiring.mul(csr.data, jnp.take(x, csr.indices, axis=0))
+        y = segment_reduce(prod, g.row_ids, g.shape[0],
+                           op=_ADD_OPS[semiring.name], indices_are_sorted=True)
+    if mask is not None:
+        y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
+    return y
+
+
+def mxm(a: CSR, b: CSR, *, semiring: Semiring = PLUS_TIMES,
+        plan: SpGEMMPlan | None = None) -> CSR:
+    """C = A (+.x) B through the two-phase symbolic/numeric engine."""
+    if plan is None:
+        plan = spgemm_plan(a, b)
+    p = plan.to_device()
+    prod = semiring.mul(jnp.take(jnp.asarray(a.data), p.src_a),
+                        jnp.take(jnp.asarray(b.data), p.src_b))
+    c_data = segment_reduce(prod, p.slot, plan.nnz,
+                            op=_ADD_OPS[semiring.name], indices_are_sorted=True)
+    return CSR(plan.c_indptr, plan.c_indices, c_data, plan.shape)
+
+
+def reduce_vector(g: Graph, *, semiring: Semiring = PLUS_TIMES):
+    """Reduce all stored values of the operator (GraphBLAS reduce)."""
+    vals = g.ell.vals if g.variant == "ell" else g.csr.data
+    return semiring.reduce(vals)

@@ -1,0 +1,79 @@
+"""Sparse matrix-vector products on TPU.
+
+The reference's SpMV is the GAS engine's `gather` loop over a vertex's
+neighbors (deepmd/source/op/graph.h:21-31; citcoms spmm_dense contract,
+citcoms/bin/Citcom.c:45-48) parallelized with OpenMP row striding. The
+TPU-native formulation replaces the scalar neighbor loop with:
+
+  ELL  — `vals * x[cols]` over a fixed-width padded (rows, width) grid, then
+         a row reduction. One XLA gather + one VPU reduction; padding slots
+         hold (col=0, val=0) so no masking is needed. Best when row degrees
+         are uniform (FE meshes, neighbor lists).
+  SELL — the ELL kernel per degree-binned slice (bounded padding on skewed
+         degree distributions; TPU analog of BIN.h load balancing).
+  CSR  — gather by nnz + sorted-segment-sum over row ids. No padding at all;
+         best for extreme skew.
+
+All variants are pure jnp → they fuse under jit and differentiate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from g4s_tpu.ops.segment import sorted_segment_sum
+from g4s_tpu.sparse.containers import CSR, ELL, SELL
+
+
+def spmv_ell(ell: ELL, x, *, accum_dtype=None):
+    """y[i] = sum_k vals[i,k] * x[cols[i,k]]."""
+    gathered = jnp.take(x, ell.cols, axis=0)
+    prod = ell.vals * gathered
+    if accum_dtype is not None:
+        prod = prod.astype(accum_dtype)
+    return jnp.sum(prod, axis=1)
+
+
+def spmv_sell(sell: SELL, x):
+    """SELL spmv: per-slice ELL kernels, scattered back by the row perm."""
+    parts = [spmv_ell(s, x) for s in sell.slices]
+    packed = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    out = jnp.zeros((sell.shape[0],), dtype=packed.dtype)
+    return out.at[sell.perm].set(packed)
+
+
+def spmv_csr(csr: CSR, x, *, row_ids=None):
+    """Sorted-segment-sum SpMV over CSR.
+
+    `row_ids` (the per-nnz row index) is shape-static; pass it precomputed
+    to avoid rebuilding the repeat under jit.
+    """
+    if row_ids is None:
+        deg = csr.indptr[1:] - csr.indptr[:-1]
+        row_ids = jnp.repeat(
+            jnp.arange(csr.shape[0], dtype=jnp.int32), deg,
+            total_repeat_length=csr.indices.shape[0])
+    prod = csr.data * jnp.take(x, csr.indices, axis=0)
+    return sorted_segment_sum(prod, row_ids, csr.shape[0])
+
+
+def spmv_dense_rows(edge_weight, x_gathered):
+    """The reference graph engine's degree-regular dense case: every vertex
+    has exactly `degree` neighbors with a dense weight block
+    (spmm_dense contract, citcoms/lib/global_defs.h:854-857).
+
+    edge_weight: (n_vertices, degree); x_gathered: (n_vertices, degree).
+    """
+    return jnp.sum(edge_weight * x_gathered, axis=1)
+
+
+def spmv(a, x):
+    """Layout-dispatching spmv."""
+    if isinstance(a, ELL):
+        return spmv_ell(a, x)
+    if isinstance(a, SELL):
+        return spmv_sell(a, x)
+    if isinstance(a, CSR):
+        return spmv_csr(a, x)
+    return jnp.dot(a, x, preferred_element_type=jnp.result_type(a, x))

@@ -1,0 +1,187 @@
+"""SpMV / SpGEMM / BLAS2 kernels vs scipy + numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from g4s_tpu.ops import (
+    gemv, symv, trmv, spmv_packed, pack_symmetric,
+    spmv_ell, spmv_sell, spmv_csr, spgemm, spgemm_plan, spgemm_flops,
+)
+from g4s_tpu.ops.spgemm import spgemm_numeric
+from g4s_tpu.sparse import CSR, csr_to_ell, csr_to_sell, csr_allclose, dense_to_csr
+from g4s_tpu.sparse.convert import coo_to_csr
+from g4s_tpu.sparse.containers import COO
+
+
+def random_csr(seed, n_rows=80, n_cols=64, density=0.08) -> CSR:
+    m = sp.random(n_rows, n_cols, density=density,
+                  random_state=np.random.RandomState(seed), format="csr")
+    m.data = np.random.default_rng(seed).normal(size=m.data.shape)
+    return CSR.from_scipy(m)
+
+
+class TestBlas2:
+    def setup_method(self, _):
+        rng = np.random.default_rng(5)
+        self.a = rng.normal(size=(48, 48))
+        self.x = rng.normal(size=48)
+
+    def test_gemv(self):
+        np.testing.assert_allclose(gemv(self.a, self.x), self.a @ self.x, rtol=1e-12)
+
+    def test_symv(self):
+        s = np.triu(self.a) + np.triu(self.a, 1).T
+        np.testing.assert_allclose(symv(self.a, self.x), s @ self.x, rtol=1e-12)
+
+    def test_trmv(self):
+        np.testing.assert_allclose(
+            trmv(self.a, self.x), np.triu(self.a) @ self.x, rtol=1e-12)
+        np.testing.assert_allclose(
+            trmv(self.a, self.x, uplo="L"), np.tril(self.a) @ self.x, rtol=1e-12)
+
+    def test_spmv_packed(self):
+        s = np.triu(self.a) + np.triu(self.a, 1).T
+        ap = pack_symmetric(s)
+        assert ap.size == 48 * 49 // 2
+        np.testing.assert_allclose(spmv_packed(ap, self.x), s @ self.x, rtol=1e-12)
+
+
+class TestSpMV:
+    def setup_method(self, _):
+        self.A = random_csr(0)
+        self.x = np.random.default_rng(1).normal(size=self.A.shape[1])
+        self.ref = self.A.to_scipy() @ self.x
+
+    def test_ell(self):
+        y = spmv_ell(csr_to_ell(self.A).to_device(), jnp.asarray(self.x))
+        np.testing.assert_allclose(np.asarray(y), self.ref, rtol=1e-12)
+
+    def test_sell(self):
+        y = spmv_sell(csr_to_sell(self.A, slice_height=16).to_device(),
+                      jnp.asarray(self.x))
+        np.testing.assert_allclose(np.asarray(y), self.ref, rtol=1e-12)
+
+    def test_csr(self):
+        y = spmv_csr(self.A.to_device(), jnp.asarray(self.x))
+        np.testing.assert_allclose(np.asarray(y), self.ref, rtol=1e-12)
+
+    def test_jit_and_grad(self):
+        ell = csr_to_ell(self.A).to_device()
+        f = jax.jit(lambda v: spmv_ell(ell, v).sum())
+        g = jax.grad(f)(jnp.asarray(self.x))
+        # d/dx sum(Ax) = column sums of A
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(self.A.to_scipy().sum(axis=0)).ravel(),
+            rtol=1e-10)
+
+    def test_empty_rows(self):
+        coo = COO(np.array([2]), np.array([1]), np.array([3.0]), (4, 3))
+        A = coo_to_csr(coo)
+        x = np.array([1.0, 2.0, 3.0])
+        for y in (spmv_csr(A.to_device(), jnp.asarray(x)),
+                  spmv_ell(csr_to_ell(A).to_device(), jnp.asarray(x))):
+            np.testing.assert_allclose(np.asarray(y), [0, 0, 6.0, 0])
+
+
+class TestSpGEMM:
+    def test_square(self):
+        A = random_csr(2, 60, 60, 0.1)
+        C = spgemm(A, A)
+        ref = (A.to_scipy() @ A.to_scipy()).toarray()
+        np.testing.assert_allclose(
+            np.asarray(C.to_scipy().toarray()), ref, rtol=1e-10, atol=1e-12)
+
+    def test_rect(self):
+        A = random_csr(3, 40, 70, 0.1)
+        B = random_csr(4, 70, 30, 0.1)
+        C = spgemm(A, B)
+        ref = (A.to_scipy() @ B.to_scipy()).toarray()
+        np.testing.assert_allclose(C.to_scipy().toarray(), ref, rtol=1e-10, atol=1e-12)
+
+    def test_structure_exact(self):
+        A = random_csr(5, 50, 50, 0.06)
+        plan = spgemm_plan(A, A)
+        ref = A.to_scipy() @ A.to_scipy()
+        ref.sum_duplicates()
+        ref.sort_indices()
+        # scipy may keep explicit zeros; compare nnz of our exact structure
+        assert plan.nnz == ref.nnz
+        np.testing.assert_array_equal(np.asarray(plan.c_indptr), ref.indptr)
+        np.testing.assert_array_equal(np.asarray(plan.c_indices), ref.indices)
+
+    def test_plan_reuse_new_values(self):
+        A = random_csr(6, 30, 30, 0.1)
+        plan = spgemm_plan(A, A)
+        rng = np.random.default_rng(9)
+        new_vals = rng.normal(size=A.nnz)
+        A2 = CSR(A.indptr, A.indices, new_vals, A.shape)
+        c_data = spgemm_numeric(jnp.asarray(new_vals), jnp.asarray(new_vals),
+                                plan.to_device())
+        C = CSR(plan.c_indptr, plan.c_indices, np.asarray(c_data), plan.shape)
+        ref = (A2.to_scipy() @ A2.to_scipy()).toarray()
+        np.testing.assert_allclose(C.to_scipy().toarray(), ref, rtol=1e-10, atol=1e-12)
+
+    def test_flops(self):
+        A = random_csr(7, 20, 20, 0.2)
+        dense = (A.to_scipy() != 0).astype(np.int64)
+        ref_products = int((np.asarray(dense.toarray()) @ dense.toarray().T != -1).sum() * 0)
+        # direct count: for each a_ik, deg_B(k)
+        degB = np.diff(A.to_scipy().indptr)
+        expected = 2 * int(degB[A.to_scipy().indices].sum())
+        assert spgemm_flops(A, A) == expected
+
+    def test_dim_mismatch_raises(self):
+        import pytest
+        A = random_csr(8, 10, 20)
+        B = random_csr(9, 30, 10)
+        with pytest.raises(ValueError):
+            spgemm_plan(A, B)
+
+
+class TestEngine:
+    def test_mxv_variants_agree(self):
+        from g4s_tpu.engine import build_graph, mxv
+        A = random_csr(10, 100, 100, 0.05)
+        x = np.random.default_rng(2).normal(size=100)
+        ref = A.to_scipy() @ x
+        for variant in ("ell", "csr"):
+            g = build_graph(A, variant=variant)
+            y = mxv(g, jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-11)
+
+    def test_mxv_min_plus(self):
+        from g4s_tpu.engine import build_graph, mxv, MIN_PLUS
+        # min-plus mxv over A^T = one relaxation step of shortest paths:
+        # y[i] = min_j (A^T[i,j] + x[j]) = min over incoming edges j->i.
+        # Graph: 0 -3-> 1 -1-> 2 with self loops of weight 0; store A^T.
+        coo = COO(np.array([0, 1, 1, 2, 2]), np.array([0, 0, 1, 1, 2]),
+                  np.array([0.0, 3.0, 0.0, 1.0, 0.0]), (3, 3))
+        A = coo_to_csr(coo)
+        x = np.array([0.0, np.inf, np.inf])
+        for variant in ("ell", "csr"):
+            g = build_graph(A, variant=variant)
+            y = np.asarray(mxv(g, jnp.asarray(x), semiring=MIN_PLUS))
+            np.testing.assert_allclose(y, [0.0, 3.0, np.inf])
+            # second relaxation reaches vertex 2
+            y2 = np.asarray(mxv(g, jnp.asarray(y), semiring=MIN_PLUS))
+            np.testing.assert_allclose(y2, [0.0, 3.0, 4.0])
+
+    def test_gather_apply_matches_spmv(self):
+        from g4s_tpu.engine import build_graph, gather_apply
+        A = random_csr(11, 50, 50, 0.1)
+        x = np.random.default_rng(3).normal(size=50)
+        g = build_graph(A)
+        y = gather_apply(g, jnp.asarray(x),
+                         gather=lambda w, s: w * s,
+                         apply=lambda acc: 2.0 * acc)
+        np.testing.assert_allclose(np.asarray(y), 2 * (A.to_scipy() @ x), rtol=1e-11)
+
+    def test_spmm_dense_abi(self):
+        from g4s_tpu.engine import spmm_dense
+        rng = np.random.default_rng(4)
+        w = rng.normal(size=(10, 6))
+        s = rng.normal(size=(10, 6))
+        y = spmm_dense(jnp.asarray(w), jnp.asarray(s), gather=lambda a, b: a * b)
+        np.testing.assert_allclose(np.asarray(y), (w * s).sum(axis=1), rtol=1e-12)
