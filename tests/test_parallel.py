@@ -1,0 +1,119 @@
+"""Halo exchange + collectives on a virtual 8-device CPU mesh.
+
+Oracle: assemble the same overlapping-block decomposition in numpy and
+compare against the single-array ground truth.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from g4s_tpu.parallel import (
+    halo_exchange_add, halo_copy_ghost, make_mesh, pdot, pnorm2, pmax,
+    device_mesh_shape,
+)
+
+
+def split_overlapping(u, n_parts, axis=0):
+    """Split a global array into n overlapping blocks sharing boundary
+    planes (the reference's node-sharing decomposition)."""
+    n = u.shape[axis]
+    assert (n - 1) % n_parts == 0
+    step = (n - 1) // n_parts
+    return [np.take(u, range(i * step, (i + 1) * step + 1), axis=axis)
+            for i in range(n_parts)]
+
+
+def test_device_mesh_shape():
+    assert device_mesh_shape(8, 3) == (2, 2, 2)
+    assert device_mesh_shape(8, 1) == (8,)
+    assert np.prod(device_mesh_shape(6, 2)) == 6
+
+
+def test_halo_add_1d():
+    mesh = make_mesh(("x",), (8,))
+    rng = np.random.default_rng(0)
+    n_global = 8 * 4 + 1  # 33 nodes, 8 blocks of 5 sharing boundaries
+    partials = rng.normal(size=(8, 5, 3))  # per-device partial sums, 3 dof
+
+    # ground truth: adjacent blocks share a node; total = sum of both copies
+    truth = partials.copy()
+    for i in range(7):
+        s = partials[i, -1] + partials[i + 1, 0]
+        truth[i, -1] = s
+        truth[i + 1, 0] = s
+
+    f = shard_map(lambda u: halo_exchange_add(u, [("x", 0)]),
+                  mesh=mesh, in_specs=P("x"), out_specs=P("x"))
+    out = np.asarray(f(jnp.asarray(partials.reshape(8 * 5, 3))))
+    np.testing.assert_allclose(out.reshape(8, 5, 3), truth, rtol=1e-13)
+
+
+def test_halo_add_2d_corners():
+    mesh = make_mesh(("x", "y"), (4, 2))
+    rng = np.random.default_rng(1)
+    bx, by = 3, 4
+    partials = rng.normal(size=(4, 2, bx, by))
+
+    # numpy oracle: scatter-add every block into the global grid, read back
+    gx, gy = 4 * (bx - 1) + 1, 2 * (by - 1) + 1
+    glob = np.zeros((gx, gy))
+    for i in range(4):
+        for j in range(2):
+            glob[i * (bx - 1): i * (bx - 1) + bx,
+                 j * (by - 1): j * (by - 1) + by] += partials[i, j]
+    truth = np.empty_like(partials)
+    for i in range(4):
+        for j in range(2):
+            truth[i, j] = glob[i * (bx - 1): i * (bx - 1) + bx,
+                               j * (by - 1): j * (by - 1) + by]
+
+    f = shard_map(lambda u: halo_exchange_add(u, [("x", 0), ("y", 1)]),
+                  mesh=mesh, in_specs=P("x", "y"), out_specs=P("x", "y"))
+    out = np.asarray(f(jnp.asarray(partials.transpose(0, 2, 1, 3)
+                                   .reshape(4 * bx, 2 * by))))
+    out_blocks = out.reshape(4, bx, 2, by).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(out_blocks, truth, rtol=1e-12)
+
+
+def test_halo_replace_ghost():
+    mesh = make_mesh(("x",), (8,))
+    blocks = np.zeros((8, 3))
+    blocks[:, :] = np.arange(8)[:, None]  # device id everywhere
+    f = shard_map(lambda u: halo_copy_ghost(u, [("x", 0)]),
+                  mesh=mesh, in_specs=P("x"), out_specs=P("x"))
+    out = np.asarray(f(jnp.asarray(blocks.reshape(-1)))).reshape(8, 3)
+    # each device's low plane now equals left neighbor's id; device 0 unchanged
+    np.testing.assert_allclose(out[0], [0, 0, 0])
+    for i in range(1, 8):
+        np.testing.assert_allclose(out[i], [i - 1, i, i])
+
+
+def test_pdot_with_ownership_weights():
+    mesh = make_mesh(("x",), (8,))
+    rng = np.random.default_rng(2)
+    # global vector of 8*4+1 nodes decomposed with shared boundaries
+    g = rng.normal(size=8 * 4 + 1)
+    blocks = np.stack(split_overlapping(g, 8))  # (8, 5)
+    # ownership: every device owns its nodes except the low shared plane
+    # (owned by the left neighbor); device 0 owns everything.
+    w = np.ones_like(blocks)
+    w[1:, 0] = 0.0
+
+    def body(u, wt):
+        return jnp.full_like(u, pdot(u, u, "x", weight=wt))
+
+    f = shard_map(body, mesh=mesh, in_specs=(P("x"), P("x")), out_specs=P("x"))
+    out = np.asarray(f(jnp.asarray(blocks.reshape(-1)), jnp.asarray(w.reshape(-1))))
+    np.testing.assert_allclose(out[0], g @ g, rtol=1e-12)
+
+
+def test_pmax():
+    mesh = make_mesh(("x",), (8,))
+    x = np.arange(32, dtype=np.float64)
+    f = shard_map(lambda u: jnp.full_like(u, pmax(u, "x")),
+                  mesh=mesh, in_specs=P("x"), out_specs=P("x"))
+    np.testing.assert_allclose(np.asarray(f(jnp.asarray(x)))[0], 31.0)
