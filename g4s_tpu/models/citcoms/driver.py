@@ -1,0 +1,205 @@
+"""CitcomS-equivalent regional convection driver.
+
+Orchestrates the per-step pipeline of the reference's main loop
+(citcoms/bin/Citcom.c:199-281):
+  PG_timestep (energy advection)  ->  general_stokes_solver (momentum)
+with the buoyancy construction of get_buoyancy
+(Pan_problem_misc_functions.c:151-235: buoy = Ra * T, horizontal layer
+average removed via surface-integral means, return_horiz_ave_f
+Global_operations.c) and the solver selection of Drive_solvers.c:64.
+
+The whole timestep is one jitted function over a State pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from g4s_tpu.models.citcoms import advection as adv_mod
+from g4s_tpu.models.citcoms import assembly as asm
+from g4s_tpu.models.citcoms import solvers as sol
+from g4s_tpu.models.citcoms.config import CitcomConfig
+from g4s_tpu.models.citcoms.mesh import (RegionalMesh, build_regional_mesh,
+                                         initial_temperature)
+from g4s_tpu.models.citcoms.shapes import FEMGeometry, build_geometry
+from g4s_tpu.models.citcoms.viscosity import (element_materials,
+                                              viscosity_at_vpts)
+
+
+def _static():
+    return field(metadata=dict(static=True))
+
+
+@partial(jax.tree_util.register_dataclass)
+@dataclasses.dataclass(frozen=True)
+class State:
+    T: jax.Array       # (nno,)
+    Tdot: jax.Array    # (nno,)
+    V: jax.Array       # (nno, 3) spherical components (theta, fi, r)
+    P: jax.Array       # (nel,)
+    time: jax.Array    # scalar
+    dt: jax.Array      # scalar (last timestep)
+    step: jax.Array    # int
+
+
+class StepDiagnostics(NamedTuple):
+    dt: jax.Array
+    v_norm: jax.Array
+    p_norm: jax.Array
+    incompressibility: jax.Array
+    uzawa_iterations: jax.Array
+    inner_iterations: jax.Array
+
+
+class CitcomModel:
+    """Holds static (trace-time) mesh/geometry and the jitted step."""
+
+    def __init__(self, cfg: CitcomConfig, *, dtype=jnp.float64):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.mesh: RegionalMesh = build_regional_mesh(cfg)
+        self.geo: FEMGeometry = build_geometry(self.mesh)
+        m, g = self.mesh, self.geo
+
+        to = lambda x: jnp.asarray(x, dtype)
+        self.ien = jnp.asarray(m.ien)
+        self.plan = asm.ScatterPlan.build(m.ien, m.nno)
+        self.N = to(g.N)
+        self.gda = to(g.gda)
+        self.gweight = to(g.gweight)
+        self.cc = to(g.cc)
+        self.B = to(g.B)
+        self.G = to(g.G)
+        self.vbc_mask = jnp.asarray(m.vbc_mask)
+        self.vbc_val = to(m.vbc_val)
+        self.tbc_mask = jnp.asarray(m.tbc_mask)
+        self.tbc_val = to(m.tbc_val)
+        self.e_area = to(g.volume)
+        self.total_volume = float(g.volume.sum())
+        self.mat = jnp.asarray(element_materials(cfg, m.e_center[:, 2],
+                                                 cfg.radius_outer))
+        # lumped nodal mass / volume weights (mass_matrix)
+        self.tmass = asm.build_tmass(self.plan, self.N, self.gda, self.gweight)
+        self.nmass = 1.0 / self.tmass
+        self.adv_geo = adv_mod.build_advection_geometry(g, m, self.tmass)
+        # per-layer surface-area weights for horizontal averaging
+        self._layer_weights = to(self._build_layer_weights())
+        self.uzawa_params = sol.UzawaParams(
+            cfg.accuracy, cfg.inner_accuracy_scale, cfg.piterations,
+            cfg.vlowstep, cfg.check_pressure_convergence)
+        self._step_fn = jax.jit(self._timestep)
+        self._stokes_fn = jax.jit(self._stokes)
+
+    # ---------- initialization ----------
+
+    def init_state(self) -> State:
+        T = jnp.asarray(initial_temperature(self.mesh), self.dtype)
+        V = asm.apply_vbc(jnp.zeros((self.mesh.nno, 3), self.dtype),
+                          self.vbc_mask, self.vbc_val)
+        return State(T, jnp.zeros_like(T), V,
+                     jnp.zeros((self.mesh.nel,), self.dtype),
+                     jnp.asarray(0.0, self.dtype), jnp.asarray(0.0, self.dtype),
+                     jnp.asarray(0, jnp.int32))
+
+    def _build_layer_weights(self) -> np.ndarray:
+        """(nno,) per-node surface-area lumping within its own z-layer
+        (return_horiz_ave_f semantics: layer average = surface integral /
+        surface area)."""
+        m = self.mesh
+        nox, noy, noz = m.cfg.nodex, m.cfg.nodey, m.cfg.nodez
+        w = np.zeros((noy, nox, noz))
+        th, r = m.theta, m.r
+        dphi = m.fi[1] - m.fi[0] if noy > 1 else 1.0
+        for j in range(nox - 1):
+            band = (np.cos(th[j]) - np.cos(th[j + 1]))  # theta band area factor
+            for k in range(noz):
+                cell = 0.25 * band * dphi * r[k] ** 2
+                w[:-1, j, k] += cell
+                w[1:, j, k] += cell
+                w[:-1, j + 1, k] += cell
+                w[1:, j + 1, k] += cell
+        return w.reshape(-1)
+
+    # ---------- physics pieces ----------
+
+    def buoyancy(self, T):
+        """Ra * T with per-layer horizontal average removed."""
+        cfg = self.cfg
+        buoy = cfg.rayleigh * T
+        noz = cfg.nodez
+        layer = jnp.arange(self.mesh.nno, dtype=jnp.int32) % noz
+        wsum = jax.ops.segment_sum(self._layer_weights, layer, noz)
+        bsum = jax.ops.segment_sum(buoy * self._layer_weights, layer, noz)
+        have = bsum / wsum
+        return buoy - jnp.take(have, layer)
+
+    def _build_ops(self, T) -> asm.StokesOperators:
+        evisc = viscosity_at_vpts(self.cfg, self.mat, T, self.ien, self.N)
+        elt_k = asm.build_elt_k(self.B, self.gda, self.gweight, evisc)
+        BI = asm.build_diag_K(elt_k, self.plan)
+        BPI = asm.build_bpi(self.G, BI, self.ien, self.vbc_mask)
+        return asm.StokesOperators(self.ien, elt_k, self.G, self.vbc_mask,
+                                   self.vbc_val, BI, BPI, self.plan)
+
+    def _stokes(self, T, V, P):
+        """general_stokes_solver: viscosity -> stiffness -> forces -> Uzawa."""
+        ops = self._build_ops(T)
+        buoy = self.buoyancy(T)
+        F = asm.assemble_forces(ops, self.N, self.gda, self.gweight,
+                                self.cc, buoy)
+        fdotf = jnp.sqrt(jnp.vdot(F, F))
+        V = asm.apply_vbc(V, self.vbc_mask, self.vbc_val)
+        V, P, mon = sol.uzawa_cg(ops, V, P, F, fdotf, self.uzawa_params,
+                                 self.nmass, self.e_area, self.total_volume)
+        return V, P, mon
+
+    def _timestep(self, s: State):
+        cfg = self.cfg
+        dt = adv_mod.cfl_timestep(self.adv_geo, self.ien, s.V,
+                                  finetunedt=cfg.finetunedt,
+                                  fixed_timestep=cfg.fixed_timestep)
+        T, Tdot = adv_mod.pg_timestep(
+            self.adv_geo, self.ien, self.plan, s.T, s.Tdot, s.V, dt,
+            diff=cfg.inputdiffusivity, Q0=cfg.Q0, gamma=cfg.adv_gamma,
+            sub_iterations=cfg.adv_sub_iterations,
+            tbc_mask=self.tbc_mask, tbc_val=self.tbc_val)
+        V, P, mon = self._stokes(T, s.V, s.P)
+        diag = StepDiagnostics(dt, mon.v_norm, mon.p_norm,
+                               mon.incompressibility, mon.outer_iterations,
+                               mon.inner_iterations)
+        return State(T, Tdot, V, P, s.time + dt, dt, s.step + 1), diag
+
+    # ---------- public API ----------
+
+    def initial_solve(self, s: State):
+        """The pre-loop Stokes solve (Citcom.c:160-172 initial_conditions)."""
+        V, P, mon = self._stokes_fn(s.T, s.V, s.P)
+        return dataclasses.replace(s, V=V, P=P), mon
+
+    def step(self, s: State):
+        return self._step_fn(s)
+
+    def run(self, n_steps: Optional[int] = None, *, verbose: bool = False):
+        cfg = self.cfg
+        n = cfg.maxstep if n_steps is None else n_steps
+        s = self.init_state()
+        s, mon = self.initial_solve(s)
+        history = []
+        for i in range(n):
+            s, diag = self.step(s)
+            history.append(diag)
+            if verbose:
+                print(f"step {i+1}: t={float(s.time):.5e} "
+                      f"dt={float(diag.dt):.4e} v={float(diag.v_norm):.6e} "
+                      f"p={float(diag.p_norm):.6e} "
+                      f"div/v={float(diag.incompressibility):.3e} "
+                      f"uzawa={int(diag.uzawa_iterations)} "
+                      f"cg={int(diag.inner_iterations)}")
+        return s, history

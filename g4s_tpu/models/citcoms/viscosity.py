@@ -1,0 +1,74 @@
+"""Viscosity laws at element quadrature points.
+
+Reference: citcoms/lib/Viscosity_structures.c — visc_from_mat (:415-430),
+visc_from_T rheol cases (:440-640; default rheol=3: eta = N0 *
+exp(E/(T+T0) - E/(1+T0)) with nodal T clipped to [0,1], :554-586),
+strain-rate weakening visc_from_S (:660-700: eta *= (eta/e_II)^((n-1)/n)),
+min/max clipping, and material-layer assignment (Construct_arrays.c
+construct_mat_group + the depth-based `layers()` with default boundaries
+z_lith=0.0157 / z_410=0.0643 / z_lmantle=0.1036, Instructions.c:422-425).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from g4s_tpu.models.citcoms.config import CitcomConfig
+
+
+def element_materials(cfg: CitcomConfig, e_center_r: np.ndarray,
+                      radius_outer: float) -> np.ndarray:
+    """0-based material index per element from depth layers."""
+    depth = radius_outer - np.asarray(e_center_r)
+    bounds = np.array([0.0156961230576048, 0.0643541045361796,
+                       0.103594412180191])
+    mat = np.searchsorted(bounds, depth)          # 0..3
+    return np.minimum(mat, max(cfg.num_mat, 1) - 1).astype(np.int32)
+
+
+def viscosity_at_vpts(cfg: CitcomConfig, mat, T_nodes, ien, N,
+                      strain_rate_II=None):
+    """eta at (nel, 8 gauss points).
+
+    mat: (nel,) int32; T_nodes: (nno,); N: (8a, 8g).
+    """
+    n0 = jnp.asarray(cfg.visc0)[mat]                       # (nel,)
+    if not cfg.TDEPV:
+        eta = jnp.broadcast_to(n0[:, None], (mat.shape[0], N.shape[1]))
+    else:
+        T_el = jnp.clip(jnp.take(T_nodes, ien, axis=0), 0.0, 1.0)  # (nel, 8a)
+        T_g = jnp.einsum("ea,ag->eg", T_el, N)             # (nel, 8g)
+        eE = jnp.asarray(cfg.viscE)[mat][:, None]
+        tT = jnp.asarray(cfg.viscT)[mat][:, None]
+        zZ = jnp.asarray(cfg.viscZ)[mat][:, None]
+        if cfg.rheol == 0:
+            # eta = N0 exp(E*(1-T))  (case 0, :443-470 variant)
+            eta = n0[:, None] * jnp.exp(eE * (1.0 - T_g))
+        elif cfg.rheol == 1:
+            # eta = N0 exp(E/(T+T0))  (case 1)
+            eta = n0[:, None] * jnp.exp(
+                jnp.where(eE == 0.0, 0.0, eE / (T_g + tT)))
+        elif cfg.rheol == 2:
+            # eta = N0 exp(-T/T0)  (case 2 shape: N0 exp(A - T*E))
+            eta = n0[:, None] * jnp.exp(-T_g * eE)
+        elif cfg.rheol == 4:
+            # eta = N0 exp((E + (1-z) Z0)/(T+T0) - (E+Z0)/(1+T0))
+            # needs depth at gauss points; approximated at element level
+            eta = n0[:, None] * jnp.exp(
+                jnp.where(eE + zZ == 0.0, 0.0,
+                          (eE + zZ) / (T_g + tT) - (eE + zZ) / (1.0 + tT)))
+        else:
+            # rheol 3 (default): eta = N0 exp(E/(T+T0) - E/(1+T0))
+            eta = n0[:, None] * jnp.exp(
+                jnp.where(eE == 0.0, 0.0,
+                          eE / (T_g + tT) - eE / (1.0 + tT)))
+    if cfg.SDEPV and strain_rate_II is not None:
+        n = jnp.asarray(cfg.sdepv_expt)[mat][:, None]
+        eta = eta * jnp.power(eta / jnp.maximum(strain_rate_II, 1e-32),
+                              (n - 1.0) / n)
+    if cfg.VMIN:
+        eta = jnp.maximum(eta, cfg.visc_min)
+    if cfg.VMAX:
+        eta = jnp.minimum(eta, cfg.visc_max)
+    return eta

@@ -1,0 +1,220 @@
+"""CitcomS workload: config, mesh/geometry, Stokes solver vs direct oracle,
+energy advection, end-to-end Cookbook2-style stepping (tiny meshes)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from g4s_tpu.models.citcoms import (
+    CitcomConfig, CitcomModel, config_from_table, parse_flat_config,
+    build_regional_mesh, initial_temperature,
+)
+
+COOKBOOK2_SNIPPET = """
+# CitcomS
+minstep=10 maxstep=10
+rayleigh=100000
+nodex=33 nodey=33 nodez=9
+theta_max=1.5708 theta_min=0.7854
+fi_max=0.7854 fi_min=0.0
+radius_inner=0.55 radius_outer=1.0
+topvbc=1
+topvbxval=100
+topvbyval=0
+num_perturbations=1
+perturbl=1 perturblayer=5 perturbm=1 perturbmag=0.0
+num_mat=4
+"""
+
+
+def small_cfg(**kw):
+    base = dict(nodex=5, nodey=5, nodez=4, theta_min=0.7854, theta_max=1.5708,
+                fi_min=0.0, fi_max=0.7854, radius_inner=0.55,
+                radius_outer=1.0, num_mat=4)
+    base.update(kw)
+    return CitcomConfig(**base)
+
+
+class TestConfig:
+    def test_parse_cookbook2(self):
+        cfg = config_from_table(parse_flat_config(COOKBOOK2_SNIPPET))
+        assert cfg.nodex == cfg.nodey == 33 and cfg.nodez == 9
+        assert cfg.rayleigh == 1e5
+        assert cfg.topvbc == 1 and cfg.topvbxval == 100.0
+        assert cfg.maxstep == 10
+        assert cfg.num_mat == 4
+        assert cfg.visc0 == [1.0] * 4          # default N0=1 per material
+        assert cfg.perturbmag == [0.0]
+        assert cfg.accuracy == 1.0e-4          # defaults survive
+
+    def test_comments_and_duplicates(self):
+        t = parse_flat_config("a=1  ; trailing\nb=2 # c=9\nb=3\n")
+        assert t == {"a": "1", "b": "3"}
+
+    def test_dump_roundtrip(self):
+        cfg = config_from_table(parse_flat_config(COOKBOOK2_SNIPPET))
+        cfg2 = config_from_table(parse_flat_config(cfg.dump()))
+        assert cfg2 == cfg
+
+
+class TestMesh:
+    def test_volume(self):
+        cfg = small_cfg()
+        model = CitcomModel(cfg)
+        analytic = ((cfg.fi_max - cfg.fi_min)
+                    * (np.cos(cfg.theta_min) - np.cos(cfg.theta_max))
+                    * (cfg.radius_outer ** 3 - cfg.radius_inner ** 3) / 3)
+        assert abs(model.total_volume - analytic) / analytic < 1e-6
+
+    def test_bc_flags_lid(self):
+        cfg = small_cfg(topvbc=1, topvbxval=100.0)
+        m = build_regional_mesh(cfg)
+        nox, noy, noz = cfg.nodex, cfg.nodey, cfg.nodez
+        grid_mask = m.vbc_mask.reshape(noy, nox, noz, 3)
+        grid_val = m.vbc_val.reshape(noy, nox, noz, 3)
+        # interior top nodes: all fixed, u_theta = 100
+        assert grid_mask[2, 2, -1].all()
+        assert grid_val[2, 2, -1, 0] == 100.0
+        # top edge on theta wall: u_theta forced to 0 (wall wins)
+        assert grid_val[2, 0, -1, 0] == 0.0 and grid_mask[2, 0, -1, 0]
+        # theta-wall interior: only u_theta fixed
+        assert grid_mask[2, 0, 1, 0] and not grid_mask[2, 0, 1, 1]
+        assert not grid_mask[2, 0, 1, 2]
+        # bottom free-slip: only radial fixed in the interior
+        assert not grid_mask[2, 2, 0, 0] and grid_mask[2, 2, 0, 2]
+
+    def test_initial_temperature_linear(self):
+        cfg = small_cfg()
+        m = build_regional_mesh(cfg)
+        T = initial_temperature(m)
+        r = m.sx[:, 2]
+        expected = 1.0 - (r - 0.55) / 0.45
+        np.testing.assert_allclose(T, expected, atol=1e-12)
+
+    def test_elt_k_symmetric_psd(self):
+        model = CitcomModel(small_cfg())
+        s = model.init_state()
+        ops = model._build_ops(s.T)
+        K = np.asarray(ops.elt_k)
+        assert np.abs(K - K.transpose(0, 2, 1)).max() < 1e-12 * np.abs(K).max()
+        w = np.linalg.eigvalsh(K[0])
+        assert w.min() > -1e-10 * w.max()
+
+
+class TestStokes:
+    def test_uzawa_matches_direct(self):
+        """Uzawa CG vs scipy direct solve of the identical saddle system."""
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        cfg = small_cfg(rayleigh=1e4, topvbc=1, topvbxval=10.0,
+                        accuracy=1e-6)
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        # seed a temperature field with lateral variation for buoyancy
+        rng = np.random.default_rng(0)
+        T = np.asarray(s.T) + 0.05 * rng.random(model.mesh.nno)
+        T = jnp.asarray(np.clip(T, 0, 1))
+
+        ops = model._build_ops(T)
+        nno, nel = model.mesh.nno, model.mesh.nel
+        ien = np.asarray(model.mesh.ien)
+        K_el = np.asarray(ops.elt_k)
+        G_el = np.asarray(ops.G).reshape(nel, 24)
+        dof = (ien[:, :, None] * 3 + np.arange(3)[None, None, :]).reshape(nel, 24)
+        rows = np.repeat(dof, 24, axis=1).ravel()
+        cols = np.tile(dof, (1, 24)).ravel()
+        K = sp.coo_matrix((K_el.ravel(), (rows, cols)),
+                          shape=(3 * nno, 3 * nno)).tocsr()
+        G = sp.coo_matrix((G_el.ravel(), (dof.ravel(),
+                                          np.repeat(np.arange(nel), 24))),
+                          shape=(3 * nno, nel)).tocsr()
+        mask = np.asarray(model.vbc_mask).ravel()
+        val = np.asarray(model.vbc_val).ravel()
+        free = ~mask
+        # forces from the same assembly
+        from g4s_tpu.models.citcoms import assembly as asm
+        buoy = model.buoyancy(T)
+        F = np.asarray(asm.assemble_forces(ops, model.N, model.gda,
+                                           model.gweight, model.cc, buoy)).ravel()
+        u_fix = np.where(mask, val, 0.0)
+        rhs_u = (F - K @ u_fix)[free]
+        rhs_p = -(G.T @ u_fix)
+        A = sp.bmat([[K[free][:, free], G[free]],
+                     [G[free].T, sp.csr_matrix((nel, nel))]]).tocsc()
+        sol = spla.spsolve(A, np.concatenate([rhs_u, rhs_p]))
+        u_direct = u_fix.copy()
+        u_direct[free] = sol[: free.sum()]
+
+        V, P, mon = model._stokes(T, s.V, s.P)
+        V = np.asarray(V).ravel()
+        rel = np.abs(V - u_direct).max() / np.abs(u_direct).max()
+        assert rel < 5e-3, rel
+        assert float(mon.incompressibility) < 1e-3
+
+    def test_rigid_rotation_nullspace(self):
+        """K applied to a rigid rotation about the polar axis ~ 0
+        (checks the cc/ccx spherical tensor machinery)."""
+        from g4s_tpu.models.citcoms import assembly as asm
+        model = CitcomModel(small_cfg(nodex=9, nodey=9, nodez=6))
+        s = model.init_state()
+        ops = model._build_ops(s.T)
+        m = model.mesh
+        # u = omega x r about z axis: u_fi = r sin(theta), u_theta = u_r = 0
+        V = np.zeros((m.nno, 3))
+        V[:, 1] = m.sx[:, 2] * np.sin(m.sx[:, 0])
+        Au = np.asarray(asm.assemble_del2_u(ops, jnp.asarray(V), strip=False))
+        # compare with K applied to a straining field of the same magnitude
+        V2 = np.zeros((m.nno, 3))
+        V2[:, 1] = m.sx[:, 2] ** 2
+        Au2 = np.asarray(asm.assemble_del2_u(ops, jnp.asarray(V2), strip=False))
+        assert np.abs(Au).max() < 2e-2 * np.abs(Au2).max()
+
+
+class TestEnergy:
+    def test_pure_diffusion_steady_state(self):
+        """With V=0 the SUPG residual of the conductive profile ~ 0 in a
+        cartesian-like thin shell; check residual decays the profile to
+        steady state."""
+        cfg = small_cfg(rayleigh=0.0)
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        from g4s_tpu.models.citcoms import advection as adv
+        V0 = jnp.zeros((model.mesh.nno, 3))
+        # advance diffusion many steps; T must stay bounded in [0,1] and
+        # approach the spherical conductive profile (monotone in r)
+        T, Tdot = s.T, s.Tdot
+        for _ in range(20):
+            T, Tdot = adv.pg_timestep(
+                model.adv_geo, model.ien, model.plan, T, Tdot, V0,
+                jnp.asarray(1e-3), diff=1.0, Q0=0.0, gamma=0.5,
+                sub_iterations=2, tbc_mask=model.tbc_mask,
+                tbc_val=model.tbc_val)
+        T = np.asarray(T)
+        assert T.min() > -1e-6 and T.max() < 1 + 1e-6
+        grid = T.reshape(cfg.nodey, cfg.nodex, cfg.nodez)
+        assert (np.diff(grid[2, 2]) < 0).all()   # monotone decreasing in r
+
+    def test_cfl_timestep_positive(self):
+        cfg = small_cfg()
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        from g4s_tpu.models.citcoms import advection as adv
+        V = jnp.ones((model.mesh.nno, 3)) * 10.0
+        dt = adv.cfl_timestep(model.adv_geo, model.ien, V, finetunedt=0.9)
+        assert 0 < float(dt) < 1.0
+
+
+class TestEndToEnd:
+    def test_three_steps_stable(self):
+        cfg = small_cfg(rayleigh=1e5, topvbc=1, topvbxval=100.0, maxstep=3)
+        model = CitcomModel(cfg)
+        s, hist = model.run(3)
+        assert len(hist) == 3
+        T = np.asarray(s.T)
+        assert np.isfinite(T).all() and T.min() >= -1e-9 and T.max() <= 1 + 1e-9
+        assert np.isfinite(np.asarray(s.V)).all()
+        assert float(hist[-1].incompressibility) < 1e-2
+        assert float(s.time) > 0
