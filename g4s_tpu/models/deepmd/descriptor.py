@@ -1,0 +1,132 @@
+"""se_e2_a environment-matrix descriptor, TPU-native.
+
+Rebuilds the semantics of the reference's native pipeline
+(deepmd/source/lib/src/{neighbor_list,fmt_nlist,env_mat}.cc driven by the
+ProdEnvMatA op, deepmd/source/op/prod_env_mat_multi_device.cc:9):
+
+  - neighbor list: all-pairs minimum-image distances (for the O(100)-atom
+    training systems a dense (N, N) distance matrix is MXU/VPU-friendly and
+    beats cell lists; cell lists only pay off at much larger N),
+  - per-type sorted truncation to sel[t] slots (fmt_nlist.cc: neighbors
+    sorted by (type, distance), padded),
+  - smoothed env matrix rows s(r) * (1, x/r, y/r, z/r) with the quintic
+    switch between rcut_smth and rcut (env_mat.cc:7-80, switcher spline5).
+
+Derivatives (prod_force/prod_virial, hand-written adjoints in the
+reference) come free via jax.grad through this whole function.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DescriptorSpec(NamedTuple):
+    rcut: float
+    rcut_smth: float
+    sel: Tuple[int, ...]      # neighbors kept per type
+    ntypes: int
+
+    @property
+    def nnei(self) -> int:
+        return int(sum(self.sel))
+
+
+def min_image_displacements(coords, box):
+    """Pairwise displacement r_j - r_i with periodic minimum image.
+
+    coords: (N, 3); box: (3, 3) row-vector cell. Returns (N, N, 3).
+    Exact for orthorhombic cells and cells with small skew (one-image
+    wrap), matching the training-system regime of the reference's
+    region.cc diffNearestNeighbor.
+    """
+    disp = coords[None, :, :] - coords[:, None, :]
+    inv = jnp.linalg.inv(box)
+    frac = disp @ inv
+    frac = frac - jnp.round(frac)
+    return frac @ box
+
+
+def switch_fn(r, rmin, rmax):
+    """DeePMD quintic switching: 1 for r<rmin, ->0 at rmax
+    (source/lib/include/switcher.h spline5_switch)."""
+    u = (r - rmin) / (rmax - rmin)
+    sw = 1.0 + u * u * u * (-10.0 + u * (15.0 - 6.0 * u))
+    return jnp.where(r < rmin, 1.0, jnp.where(r > rmax, 0.0, sw))
+
+
+def env_mat(coords, box, types, spec: DescriptorSpec):
+    """Environment matrix for one frame.
+
+    coords: (N, 3) Angstrom; types: (N,) int; box: (3, 3).
+    Returns R: (N, nnei, 4) and nlist: (N, nnei) neighbor indices (-1 pad).
+    Slots are laid out per type section (sel[0] slots of type 0, ...),
+    each section sorted by distance — exactly fmt_nlist's layout.
+    """
+    n = coords.shape[0]
+    disp = min_image_displacements(coords, box)          # (N, N, 3)
+    r2 = jnp.sum(disp * disp, axis=-1)
+    big = jnp.asarray(1e10, r2.dtype)
+    r2 = r2 + big * jnp.eye(n, dtype=r2.dtype)           # exclude self
+
+    R_secs, nl_secs = [], []
+    for t in range(spec.ntypes):
+        k = spec.sel[t]
+        r2_t = jnp.where(types[None, :] == t, r2, big)
+        neg, idx = jax.lax.top_k(-r2_t, k)               # (N, k) ascending r2
+        d2 = -neg
+        valid = d2 < spec.rcut ** 2
+        d = jnp.sqrt(jnp.where(valid, d2, 1.0))
+        vec = jnp.take_along_axis(disp, idx[:, :, None], axis=1)  # (N, k, 3)
+        sw = switch_fn(d, spec.rcut_smth, spec.rcut)
+        s = jnp.where(valid, sw / d, 0.0)
+        row0 = s
+        rows = s[:, :, None] * vec / jnp.where(valid, d, 1.0)[:, :, None]
+        R_secs.append(jnp.concatenate([row0[:, :, None], rows], axis=-1)
+                      * valid[:, :, None])
+        nl_secs.append(jnp.where(valid, idx, -1))
+    R = jnp.concatenate(R_secs, axis=1)                  # (N, nnei, 4)
+    nlist = jnp.concatenate(nl_secs, axis=1)
+    return R, nlist
+
+
+def normalize_env_mat(R, types, davg, dstd):
+    """Per-center-type standardization (the trained davg/dstd constants of
+    DescrptSeA, se_a.py:227-253)."""
+    avg = jnp.take(davg, types, axis=0)                  # (N, nnei, 4)
+    std = jnp.take(dstd, types, axis=0)
+    return (R - avg) / std
+
+
+def compute_stats(frames_R: Sequence[np.ndarray], frames_types,
+                  ntypes: int, nnei: int) -> Tuple[np.ndarray, np.ndarray]:
+    """compute_input_stats (se_a.py:304-420): davg=(r̄,0,0,0), dstd from
+    radial/angular second moments, broadcast over neighbor slots."""
+    sumr = np.zeros(ntypes); sumr2 = np.zeros(ntypes)
+    suma = np.zeros(ntypes); suma2 = np.zeros(ntypes)
+    sumn = np.zeros(ntypes)
+    for R, types in zip(frames_R, frames_types):
+        R = np.asarray(R); types = np.asarray(types)
+        for t in range(ntypes):
+            sub = R[types == t]                           # (nt, nnei, 4)
+            sumr[t] += sub[..., 0].sum()
+            sumr2[t] += (sub[..., 0] ** 2).sum()
+            suma[t] += sub[..., 1:].sum()
+            suma2[t] += (sub[..., 1:] ** 2).sum()
+            sumn[t] += sub.shape[0] * sub.shape[1]
+    davg = np.zeros((ntypes, nnei, 4))
+    dstd = np.ones((ntypes, nnei, 4))
+    for t in range(ntypes):
+        if sumn[t] == 0:
+            continue
+        r_avg = sumr[t] / sumn[t]
+        std_r = np.sqrt(max(sumr2[t] / sumn[t] - r_avg ** 2, 0.0))
+        std_a = np.sqrt(max(suma2[t] / (3 * sumn[t]), 0.0))
+        davg[t, :, 0] = r_avg
+        dstd[t, :, 0] = max(std_r, 1e-2)
+        dstd[t, :, 1:] = max(std_a, 1e-2)
+    return davg, dstd

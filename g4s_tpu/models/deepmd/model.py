@@ -1,0 +1,127 @@
+"""se_e2_a energy model: descriptor -> embeddings -> fitting -> E, F, virial.
+
+Assembles the forward graph that the reference builds in TF
+(deepmd/deepmd/model/ener.py + descriptor/se_a.py DescrptSeA.build:501):
+
+  R (N, nnei, 4)  normalized per center type
+  per (center type tc, neighbor type tn): G = embed_{tc,tn}(s(r))
+  T  = sum_sections R̃_sec^T G_sec / nnei          (se_a.py:1056-1095)
+  D  = T^T T[:, :axis_neuron]  flattened           (se_a.py:1099-1105)
+  E_i = fit_{tc}(D_i) + bias_{tc}
+  E  = sum_i E_i;  F = -dE/dx (jax.grad replaces the hand-written
+  prod_force_se_a adjoint, source/op/prod_force_multi_device.cc);
+  virial = dE/d(strain) likewise replaces prod_virial.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from g4s_tpu.models.deepmd.descriptor import (DescriptorSpec, env_mat,
+                                              normalize_env_mat)
+from g4s_tpu.models.deepmd.network import (embedding_net_apply,
+                                           fitting_net_apply,
+                                           init_embedding_net,
+                                           init_fitting_net)
+
+
+class ModelSpec(NamedTuple):
+    descriptor: DescriptorSpec
+    embed_neurons: Tuple[int, ...]      # e.g. (25, 50, 100)
+    axis_neuron: int                    # M2, e.g. 16
+    fit_neurons: Tuple[int, ...]        # e.g. (240, 240, 240)
+    embed_resnet_dt: bool = False
+    fit_resnet_dt: bool = True
+
+    @property
+    def m1(self) -> int:
+        return self.embed_neurons[-1]
+
+    @property
+    def descriptor_dim(self) -> int:
+        return self.m1 * self.axis_neuron
+
+
+def init_params(key, spec: ModelSpec, *, bias_atom_e=None, dtype=jnp.float64):
+    """Parameter pytree: embed[tc][tn] nets + fit[tc] nets + stats."""
+    nt = spec.descriptor.ntypes
+    if bias_atom_e is None:
+        bias_atom_e = np.zeros(nt)
+    embed = []
+    for tc in range(nt):
+        row = []
+        for tn in range(nt):
+            key, sub = jax.random.split(key)
+            row.append(init_embedding_net(sub, spec.embed_neurons,
+                                          resnet_dt=spec.embed_resnet_dt,
+                                          dtype=dtype))
+        embed.append(row)
+    fit = []
+    for tc in range(nt):
+        key, sub = jax.random.split(key)
+        fit.append(init_fitting_net(sub, spec.descriptor_dim,
+                                    spec.fit_neurons,
+                                    resnet_dt=spec.fit_resnet_dt,
+                                    bias_out=float(bias_atom_e[tc]),
+                                    dtype=dtype))
+    nnei = spec.descriptor.nnei
+    stats = {"davg": jnp.zeros((nt, nnei, 4), dtype),
+             "dstd": jnp.ones((nt, nnei, 4), dtype)}
+    return {"embed": embed, "fit": fit, "stats": stats}
+
+
+def atomic_descriptor(params, spec: ModelSpec, R, types):
+    """R: (N, nnei, 4) raw env mat -> D: (N, M1*M2)."""
+    nt = spec.descriptor.ntypes
+    sel = spec.descriptor.sel
+    nnei = spec.descriptor.nnei
+    Rn = normalize_env_mat(R, types, params["stats"]["davg"],
+                           params["stats"]["dstd"])
+    sec = np.concatenate([[0], np.cumsum(sel)])
+
+    # per center type, accumulate T = sum over neighbor sections R̃^T G
+    D_by_tc = []
+    for tc in range(nt):
+        T = jnp.zeros((R.shape[0], 4, spec.m1), Rn.dtype)
+        for tn in range(nt):
+            sec_R = Rn[:, sec[tn]: sec[tn + 1], :]         # (N, sel_tn, 4)
+            s_in = sec_R[:, :, 0:1]                        # radial channel
+            G = embedding_net_apply(params["embed"][tc][tn], s_in)
+            T = T + jnp.einsum("nsc,nsm->ncm", sec_R, G)
+        T = T / nnei
+        T2 = T[:, :, : spec.axis_neuron]
+        D = jnp.einsum("ncm,nck->nmk", T, T2).reshape(R.shape[0], -1)
+        D_by_tc.append(D)
+    # select per-atom according to its type
+    D_all = jnp.stack(D_by_tc, axis=0)                     # (nt, N, M1*M2)
+    return jnp.take_along_axis(
+        D_all, types[None, :, None].astype(jnp.int32), axis=0)[0]
+
+
+def atomic_energy(params, spec: ModelSpec, D, types):
+    e_by_tc = jnp.stack([fitting_net_apply(params["fit"][tc], D)
+                         for tc in range(spec.descriptor.ntypes)], axis=0)
+    return jnp.take_along_axis(e_by_tc, types[None, :].astype(jnp.int32),
+                               axis=0)[0]
+
+
+def total_energy(params, spec: ModelSpec, coords, box, types):
+    R, _ = env_mat(coords, box, types, spec.descriptor)
+    D = atomic_descriptor(params, spec, R, types)
+    return jnp.sum(atomic_energy(params, spec, D, types))
+
+
+def energy_force_virial(params, spec: ModelSpec, coords, box, types):
+    """E, F = -dE/dx, virial W = -dE/de (strain derivative) for one frame."""
+    def e_of(x, strain):
+        xs = x @ (jnp.eye(3, dtype=x.dtype) + strain)
+        bs = box @ (jnp.eye(3, dtype=x.dtype) + strain)
+        return total_energy(params, spec, xs, bs, types)
+
+    zero_strain = jnp.zeros((3, 3), coords.dtype)
+    e, (g_x, g_s) = jax.value_and_grad(e_of, argnums=(0, 1))(coords, zero_strain)
+    return e, -g_x, -g_s

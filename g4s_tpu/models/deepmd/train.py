@@ -1,0 +1,164 @@
+"""Training loop: weighted energy/force/virial loss, exp-decay LR, Adam,
+lcurve output, data-parallel scaling.
+
+Reference semantics:
+  - loss (deepmd/deepmd/loss/ener.py:100-215): per-step prefactors
+    pref(t) = limit + (start - limit) * lr(t)/start_lr; loss =
+    pref_e * mean(dE^2)/natoms + pref_f * mean(dF^2) (+ virial term).
+  - LR (deepmd/deepmd/utils/learning_rate.py): exponential decay with
+    decay_rate derived from stop_lr at numb_steps.
+  - trainer loop (deepmd/deepmd/train/trainer.py:816-1120): periodic
+    lcurve.out lines with rmse_e/_f per disp_freq, checkpointing.
+  - data parallelism: the reference wraps the optimizer in Horovod
+    (trainer.py:685); here the batch axis is sharded over the mesh and
+    gradients combine via psum — pure-jax DP on ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from g4s_tpu.models.deepmd.model import ModelSpec, energy_force_virial
+
+
+class LossConfig(NamedTuple):
+    start_pref_e: float = 0.02
+    limit_pref_e: float = 1.0
+    start_pref_f: float = 1000.0
+    limit_pref_f: float = 1.0
+    start_pref_v: float = 0.0
+    limit_pref_v: float = 0.0
+
+
+class LRConfig(NamedTuple):
+    start_lr: float = 1e-3
+    stop_lr: float = 3.51e-8
+    decay_steps: int = 5000
+    numb_steps: int = 1000000
+
+    def decay_rate(self) -> float:
+        return (self.stop_lr / self.start_lr) ** (
+            self.decay_steps / max(self.numb_steps, 1))
+
+    def lr_at(self, step):
+        return self.start_lr * self.decay_rate() ** (step / self.decay_steps)
+
+
+def batched_efv(params, spec: ModelSpec, coord, box, types):
+    """vmapped energy/force/virial over the frame axis."""
+    return jax.vmap(lambda c, b: energy_force_virial(params, spec, c, b,
+                                                     types))(coord, box)
+
+
+def make_loss_fn(spec: ModelSpec, loss_cfg: LossConfig, lr_cfg: LRConfig):
+    def loss_fn(params, batch, step):
+        coord, box = batch["coord"], batch["box"]
+        types = batch["types"]
+        natoms = coord.shape[1]
+        e, f, v = batched_efv(params, spec, coord, box, types)
+        lr = lr_cfg.lr_at(step)
+        frac = lr / lr_cfg.start_lr
+        pref_e = loss_cfg.limit_pref_e + (loss_cfg.start_pref_e
+                                          - loss_cfg.limit_pref_e) * frac
+        pref_f = loss_cfg.limit_pref_f + (loss_cfg.start_pref_f
+                                          - loss_cfg.limit_pref_f) * frac
+        de2 = jnp.mean((e - batch["energy"]) ** 2)
+        df2 = jnp.mean((f - batch["force"]) ** 2)
+        loss = pref_e * de2 / natoms + pref_f * df2
+        if loss_cfg.start_pref_v or loss_cfg.limit_pref_v:
+            pref_v = loss_cfg.limit_pref_v + (loss_cfg.start_pref_v
+                                              - loss_cfg.limit_pref_v) * frac
+            dv2 = jnp.mean((v - batch["virial"]) ** 2)
+            loss = loss + pref_v * dv2 / natoms
+        aux = {"rmse_e": jnp.sqrt(de2) / natoms, "rmse_f": jnp.sqrt(df2),
+               "lr": lr}
+        return loss, aux
+    return loss_fn
+
+
+@dataclasses.dataclass
+class Trainer:
+    """DPTrainer equivalent: owns optimizer state + jitted update."""
+
+    spec: ModelSpec
+    loss_cfg: LossConfig = LossConfig()
+    lr_cfg: LRConfig = LRConfig()
+
+    def __post_init__(self):
+        self.loss_fn = make_loss_fn(self.spec, self.loss_cfg, self.lr_cfg)
+        sched = lambda step: self.lr_cfg.lr_at(step)
+        self.opt = optax.adam(learning_rate=sched)
+
+        def update(params, opt_state, batch, step):
+            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, batch, step)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        self._update = jax.jit(update)
+
+    def init(self, params):
+        return self.opt.init(params)
+
+    def train(self, params, data, numb_steps: int, *, disp_freq: int = 100,
+              lcurve_path: Optional[str] = None, callback=None):
+        opt_state = self.init(params)
+        lcurve = open(lcurve_path, "w") if lcurve_path else None
+        if lcurve:
+            lcurve.write("# step rmse_e rmse_f lr wall\n")
+        t0 = time.time()
+        for step in range(numb_steps):
+            raw = data.sample_batch()
+            batch = {k: jnp.asarray(v) for k, v in raw.items()}
+            params, opt_state, loss, aux = self._update(
+                params, opt_state, batch, jnp.asarray(step, jnp.float64))
+            if step % disp_freq == 0 or step == numb_steps - 1:
+                line = (f"{step} {float(aux['rmse_e']):.6e} "
+                        f"{float(aux['rmse_f']):.6e} {float(aux['lr']):.3e} "
+                        f"{time.time() - t0:.2f}")
+                if lcurve:
+                    lcurve.write(line + "\n")
+                    lcurve.flush()
+                if callback:
+                    callback(step, aux)
+        if lcurve:
+            lcurve.close()
+        return params
+
+
+def make_dp_train_step(spec: ModelSpec, loss_cfg: LossConfig,
+                       lr_cfg: LRConfig, opt, mesh, *, data_axis="data"):
+    """Data-parallel train step over a Mesh: batch sharded on `data_axis`,
+    params replicated, gradients psum-combined by pjit automatically."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    loss_fn = make_loss_fn(spec, loss_cfg, lr_cfg)
+
+    def step_fn(params, opt_state, batch, step):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, step)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    batch_sharding = {
+        "coord": NamedSharding(mesh, P(data_axis)),
+        "box": NamedSharding(mesh, P(data_axis)),
+        "energy": NamedSharding(mesh, P(data_axis)),
+        "force": NamedSharding(mesh, P(data_axis)),
+        "types": NamedSharding(mesh, P()),
+    }
+    replicated = NamedSharding(mesh, P())
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(replicated, replicated, batch_sharding, replicated),
+        out_shardings=(replicated, replicated, replicated, replicated))
+    return jitted, batch_sharding

@@ -1,0 +1,199 @@
+"""DeePMD workload: descriptor vs brute-force oracle, model symmetries,
+training step, freeze roundtrip, DP sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from g4s_tpu.models.deepmd import (
+    DescriptorSpec, ModelSpec, init_params, total_energy,
+    energy_force_virial, Trainer, LossConfig, LRConfig, freeze, load_frozen,
+)
+from g4s_tpu.models.deepmd.descriptor import env_mat, switch_fn, compute_stats
+
+
+def tiny_spec():
+    return ModelSpec(DescriptorSpec(rcut=3.0, rcut_smth=0.5, sel=(6, 10),
+                                    ntypes=2),
+                     embed_neurons=(4, 8, 16), axis_neuron=4,
+                     fit_neurons=(16, 16))
+
+
+def random_frame(rng, natoms=20, L=7.0):
+    types = np.sort(rng.integers(0, 2, natoms)).astype(np.int32)
+    coord = rng.uniform(0, L, (natoms, 3))
+    box = np.eye(3) * L
+    return jnp.asarray(coord), jnp.asarray(box), jnp.asarray(types)
+
+
+class TestDescriptor:
+    def test_switch_endpoints(self):
+        assert float(switch_fn(jnp.asarray(0.3), 0.5, 3.0)) == 1.0
+        assert float(switch_fn(jnp.asarray(3.5), 0.5, 3.0)) == 0.0
+        mid = float(switch_fn(jnp.asarray(1.75), 0.5, 3.0))
+        assert 0.0 < mid < 1.0
+        # C2 smooth at rmax: value ~ 0
+        assert abs(float(switch_fn(jnp.asarray(2.999), 0.5, 3.0))) < 1e-5
+
+    def test_neighbor_counts_match_bruteforce(self, rng):
+        coord, box, types = random_frame(rng)
+        spec = tiny_spec().descriptor
+        R, nlist = env_mat(coord, box, types, spec)
+        c, b = np.asarray(coord), np.asarray(box)
+        d = c[None] - c[:, None]
+        f = d @ np.linalg.inv(b)
+        f -= np.round(f)
+        d = f @ b
+        r = np.linalg.norm(d, axis=-1) + 1e10 * np.eye(c.shape[0])
+        expected = (r < spec.rcut).sum(axis=1)
+        got = (np.asarray(R)[..., 0] > 0).sum(axis=1)
+        np.testing.assert_array_equal(got, expected)
+
+    def test_env_mat_radial_row(self, rng):
+        """First component is s(r); vector part has norm s(r)."""
+        coord, box, types = random_frame(rng)
+        spec = tiny_spec().descriptor
+        R = np.asarray(env_mat(coord, box, types, spec)[0])
+        s = R[..., 0]
+        vec = np.linalg.norm(R[..., 1:], axis=-1)
+        np.testing.assert_allclose(vec, s, rtol=1e-10)
+
+    def test_stats_shapes(self, rng):
+        coord, box, types = random_frame(rng)
+        spec = tiny_spec().descriptor
+        R = env_mat(coord, box, types, spec)[0]
+        davg, dstd = compute_stats([R], [np.asarray(types)], 2, spec.nnei)
+        assert davg.shape == (2, spec.nnei, 4)
+        assert (dstd > 0).all()
+        assert np.allclose(davg[:, :, 1:], 0)
+
+
+class TestModel:
+    def test_translation_invariance(self, rng):
+        spec = tiny_spec()
+        coord, box, types = random_frame(rng)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        e1 = float(total_energy(params, spec, coord, box, types))
+        e2 = float(total_energy(params, spec, coord + 1.234, box, types))
+        assert abs(e1 - e2) < 1e-8 * max(abs(e1), 1)
+
+    def test_permutation_invariance(self, rng):
+        spec = tiny_spec()
+        coord, box, types = random_frame(rng)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        e1 = float(total_energy(params, spec, coord, box, types))
+        # permute atoms within a type group
+        perm = np.arange(coord.shape[0])
+        t = np.asarray(types)
+        idx0 = np.where(t == 0)[0]
+        perm[idx0] = idx0[::-1]
+        e2 = float(total_energy(params, spec, coord[perm], box, types[perm]))
+        assert abs(e1 - e2) < 1e-8 * max(abs(e1), 1)
+
+    def test_force_is_gradient(self, rng):
+        spec = tiny_spec()
+        coord, box, types = random_frame(rng)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        e, f, v = energy_force_virial(params, spec, coord, box, types)
+        # directional derivative vs jvp-free finite difference
+        rngd = np.random.default_rng(0)
+        direction = rngd.normal(size=coord.shape)
+        direction /= np.linalg.norm(direction)
+        eps = 1e-6
+        ep = float(total_energy(params, spec, coord + eps * direction, box, types))
+        em = float(total_energy(params, spec, coord - eps * direction, box, types))
+        fd = (ep - em) / (2 * eps)
+        analytic = -float(jnp.vdot(f, jnp.asarray(direction)))
+        assert abs(fd - analytic) < 1e-5 * max(abs(fd), 1e-3)
+
+    def test_forces_sum_to_zero(self, rng):
+        """Translation invariance => zero net force."""
+        spec = tiny_spec()
+        coord, box, types = random_frame(rng)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        _, f, _ = energy_force_virial(params, spec, coord, box, types)
+        np.testing.assert_allclose(np.asarray(f).sum(axis=0), 0, atol=1e-8)
+
+
+class TestTraining:
+    def _fake_data(self, rng):
+        class FakeData:
+            def __init__(self):
+                self.calls = 0
+
+            def sample_batch(inner):
+                coord = rng.uniform(0, 7.0, (2, 20, 3))
+                types = np.sort(rng.integers(0, 2, 20)).astype(np.int32)
+                return dict(types=types, coord=coord,
+                            box=np.tile(np.eye(3) * 7.0, (2, 1, 1)),
+                            energy=rng.normal(size=2),
+                            force=rng.normal(size=(2, 20, 3)))
+        return FakeData()
+
+    def test_loss_decreases_on_fixed_batch(self, rng):
+        spec = tiny_spec()
+        params = init_params(jax.random.PRNGKey(0), spec)
+        tr = Trainer(spec, LossConfig(start_pref_f=1.0, limit_pref_f=1.0,
+                                      start_pref_e=1.0, limit_pref_e=1.0),
+                     LRConfig(start_lr=1e-3, stop_lr=1e-3, numb_steps=100))
+        batch = self._fake_data(rng).sample_batch()
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        opt_state = tr.init(params)
+        losses = []
+        for i in range(15):
+            params, opt_state, loss, aux = tr._update(
+                params, opt_state, batch, jnp.asarray(float(i)))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_lr_schedule(self):
+        lr = LRConfig(start_lr=1e-3, stop_lr=1e-5, decay_steps=10,
+                      numb_steps=100)
+        assert abs(lr.lr_at(0) - 1e-3) < 1e-12
+        assert abs(lr.lr_at(100) - 1e-5) < 1e-8
+
+
+class TestFreeze:
+    def test_freeze_roundtrip(self, tmp_path, rng):
+        spec = tiny_spec()
+        coord, box, types = random_frame(rng)
+        params = init_params(jax.random.PRNGKey(3), spec)
+        p = tmp_path / "frozen.npz"
+        freeze(params, spec, p)
+        params2, spec2 = load_frozen(p)
+        assert spec2 == spec
+        e1 = float(total_energy(params, spec, coord, box, types))
+        e2 = float(total_energy(params2, spec2, coord, box, types))
+        assert abs(e1 - e2) < 1e-12 * max(abs(e1), 1)
+
+
+class TestDataParallel:
+    def test_dp_train_step_8dev(self, rng):
+        import optax
+        from jax.sharding import Mesh
+        from g4s_tpu.models.deepmd.train import make_dp_train_step
+        spec = tiny_spec()
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        params = init_params(jax.random.PRNGKey(0), spec)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        lr = LRConfig(numb_steps=10, decay_steps=5)
+        step_fn, shardings = make_dp_train_step(spec, LossConfig(), lr, opt,
+                                                mesh)
+        types = np.sort(rng.integers(0, 2, 20)).astype(np.int32)
+        batch = dict(
+            coord=jnp.asarray(rng.uniform(0, 7, (8, 20, 3))),
+            box=jnp.asarray(np.tile(np.eye(3) * 7.0, (8, 1, 1))),
+            energy=jnp.asarray(rng.normal(size=8)),
+            force=jnp.asarray(rng.normal(size=(8, 20, 3))),
+            types=jnp.asarray(types))
+        batch = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+        params2, opt_state, loss, aux = step_fn(params, opt_state, batch,
+                                                jnp.asarray(0.0))
+        assert np.isfinite(float(loss))
+        # parameters actually updated
+        d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                   params, params2)
+        assert max(jax.tree_util.tree_leaves(d)) > 0
