@@ -1,0 +1,12 @@
+from g4s_tpu.models.cantera.mech import Mechanism, load_mechanism, R_GAS, P_REF  # noqa: F401
+from g4s_tpu.models.cantera.kinetics import (  # noqa: F401
+    build_kinetics, net_production_rates, rates_of_progress,
+    forward_rate_constants, equilibrium_constants,
+)
+from g4s_tpu.models.cantera.thermo import (  # noqa: F401
+    GasState, cp0_R, h0_RT, s0_R, rk_mix, rk_molar_volume, rk_pressure,
+)
+from g4s_tpu.models.cantera.reactor import IdealGasConstVolumeReactor  # noqa: F401
+from g4s_tpu.models.cantera.shock_tube import (  # noqa: F401
+    ShockTubeBenchmark, ignition_delay, stoich_mixture, NTC_TEMPERATURES,
+)

@@ -1,0 +1,242 @@
+"""YAML reaction-mechanism loader.
+
+Parses Cantera-format mechanism files (the reference's AnyMap/YAML layer,
+cantera/src/base + ThermoFactory) into dense, padded, TPU-friendly arrays:
+stoichiometry as dense (nrxn, nspec) matrices (at mechanism scale —
+nDodecane_Reitz is 553x102 — the engine's optimal execution strategy for
+the stoichiometry graph is a dense MXU matmul, the same call StoichManager's
+sparse ν ops service in the reference, cantera/src/kinetics/StoichManager.h),
+Arrhenius parameter vectors, and mask-based reaction-type handling
+(elementary / three-body / falloff+Troe — the exact subset GasKinetics
+exercises for this benchmark, cantera/src/kinetics/GasKinetics.cpp:227).
+
+Units: everything is converted to mol-based SI (m, mol, J, K):
+concentrations mol/m^3, R = 8.314462618 J/mol/K. The mechanism declares
+cm/mol/cal units; A factors convert by 1e-6^(order-1), Ea by 4.184.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+R_GAS = 8.314462618       # J/mol/K
+P_REF = 101325.0          # Pa, thermo reference pressure
+CAL2J = 4.184
+
+ELEMENT_WEIGHTS = {       # kg/mol
+    "H": 1.008e-3, "C": 12.011e-3, "O": 15.999e-3, "N": 14.007e-3,
+    "AR": 39.95e-3, "HE": 4.002602e-3, "S": 32.06e-3, "SI": 28.085e-3,
+    "E": 5.48579909e-7,
+}
+
+
+@dataclasses.dataclass
+class Mechanism:
+    name: str
+    species_names: List[str]
+    compositions: List[Dict[str, float]]   # elemental composition per species
+    mol_weights: np.ndarray         # (nspec,) kg/mol
+    # NASA7 thermo: low range, high range, Tmid, Tmin, Tmax
+    nasa_low: np.ndarray            # (nspec, 7)
+    nasa_high: np.ndarray           # (nspec, 7)
+    t_mid: np.ndarray               # (nspec,)
+    # Redlich-Kwong per-species coefficients (mol-SI), zero when absent
+    rk_a: np.ndarray                # (nspec, 2)  a(T) = a0 + a1*T
+    rk_b: np.ndarray                # (nspec,)
+    # reactions
+    nu_reac: np.ndarray             # (nrxn, nspec)
+    nu_prod: np.ndarray             # (nrxn, nspec)
+    arr_A: np.ndarray               # (nrxn,) SI
+    arr_b: np.ndarray
+    arr_Ea: np.ndarray              # J/mol
+    reversible: np.ndarray          # (nrxn,) bool
+    is_three_body: np.ndarray       # (nrxn,) bool (pure three-body)
+    is_falloff: np.ndarray          # (nrxn,) bool
+    efficiencies: np.ndarray        # (nrxn, nspec) third-body efficiencies
+    low_A: np.ndarray               # (nrxn,) falloff low-pressure Arrhenius
+    low_b: np.ndarray
+    low_Ea: np.ndarray
+    troe: np.ndarray                # (nrxn, 4) A, T3, T1, T2 (T2=0 -> absent)
+    has_troe: np.ndarray            # (nrxn,) bool
+
+    @property
+    def nspec(self) -> int:
+        return len(self.species_names)
+
+    @property
+    def nrxn(self) -> int:
+        return self.nu_reac.shape[0]
+
+    def species_index(self, name: str) -> int:
+        return self.species_names.index(name)
+
+
+_COEF_SPECIES = re.compile(r"^(\d+(?:\.\d+)?)\s+(.*)$")
+
+
+def _parse_side(side: str, species_idx: Dict[str, int], nspec: int):
+    """'2 oh + c2h4 (+M)' -> (nu vector, has_tb, has_falloff_m)."""
+    nu = np.zeros(nspec)
+    has_plain_m = False
+    has_falloff_m = False
+    side = side.strip()
+    if "(+M)" in side or "(+ M)" in side:
+        has_falloff_m = True
+        side = side.replace("(+M)", "").replace("(+ M)", "")
+    for term in side.split("+"):
+        term = term.strip()
+        if not term:
+            continue
+        if term in ("M", "m"):
+            has_plain_m = True
+            continue
+        mobj = _COEF_SPECIES.match(term)
+        if mobj:
+            coef, name = float(mobj.group(1)), mobj.group(2).strip()
+        else:
+            coef, name = 1.0, term
+        if name not in species_idx:
+            raise KeyError(f"unknown species {name!r} in equation side {side!r}")
+        nu[species_idx[name]] += coef
+    return nu, has_plain_m, has_falloff_m
+
+
+def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
+    import yaml
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+
+    phases = doc.get("phases", [])
+    phase = None
+    if phase_name is None and phases:
+        phase = phases[0]
+    else:
+        for p in phases:
+            if p.get("name") == phase_name:
+                phase = p
+                break
+    if phase is None:
+        raise KeyError(f"phase {phase_name!r} not found in {path}")
+
+    species_order = phase["species"]
+    species_idx = {s: i for i, s in enumerate(species_order)}
+    nspec = len(species_order)
+
+    by_name = {s["name"]: s for s in doc["species"]}
+    compositions = [dict() for _ in range(nspec)]
+    mol_weights = np.zeros(nspec)
+    nasa_low = np.zeros((nspec, 7))
+    nasa_high = np.zeros((nspec, 7))
+    t_mid = np.zeros(nspec)
+    rk_a = np.zeros((nspec, 2))
+    rk_b = np.zeros(nspec)
+    is_rk_phase = str(phase.get("thermo", "")).lower().startswith("redlich")
+
+    for name, i in species_idx.items():
+        sp = by_name[name]
+        comp = sp["composition"]
+        compositions[i] = {el.upper(): float(n) for el, n in comp.items()}
+        mol_weights[i] = sum(ELEMENT_WEIGHTS[el.upper()] * n
+                             for el, n in comp.items())
+        th = sp["thermo"]
+        if th.get("model") != "NASA7":
+            raise NotImplementedError(f"thermo model {th.get('model')}")
+        tr = th["temperature-ranges"]
+        data = th["data"]
+        if len(data) == 1:
+            nasa_low[i] = nasa_high[i] = data[0]
+            t_mid[i] = tr[-1]
+        else:
+            nasa_low[i] = data[0]
+            nasa_high[i] = data[1]
+            t_mid[i] = tr[1]
+        eos = sp.get("equation-of-state")
+        if eos and str(eos.get("model", "")).lower().startswith("redlich"):
+            a = eos["a"]
+            a = a if isinstance(a, list) else [a, 0.0]
+            # (cm^3/mol)^2 * Pa -> (m^3/mol)^2 * Pa
+            rk_a[i] = np.asarray(a, dtype=np.float64) * 1e-12
+            rk_b[i] = float(eos["b"]) * 1e-6
+
+    # units block
+    units = doc.get("units", {})
+    len_u = units.get("length", "m")
+    qty_u = units.get("quantity", "kmol")
+    ea_u = units.get("activation-energy", "J/kmol")
+    conc_factor = {"cm": 1e-2, "m": 1.0, "mm": 1e-3}[len_u] ** 3  # m^3
+    qty_factor = {"mol": 1.0, "kmol": 1e3, "molec": 1.0 / 6.02214076e23}[qty_u]
+    # concentration unit declared by file, in mol/m^3:
+    conc_unit = qty_factor / conc_factor
+    ea_factor = {"cal/mol": CAL2J, "kcal/mol": CAL2J * 1e3, "J/mol": 1.0,
+                 "J/kmol": 1e-3, "kJ/mol": 1e3, "K": R_GAS}[ea_u]
+
+    rxns = doc.get("reactions", [])
+    n = len(rxns)
+    nu_reac = np.zeros((n, nspec))
+    nu_prod = np.zeros((n, nspec))
+    arr = np.zeros((n, 3))
+    low = np.zeros((n, 3))
+    reversible = np.zeros(n, bool)
+    is_tb = np.zeros(n, bool)
+    is_fo = np.zeros(n, bool)
+    effs = np.ones((n, nspec))
+    troe = np.zeros((n, 4))
+    has_troe = np.zeros(n, bool)
+
+    for k, rx in enumerate(rxns):
+        eq = rx["equation"]
+        if "<=>" in eq:
+            lhs, rhs = eq.split("<=>")
+            reversible[k] = True
+        elif "=>" in eq:
+            lhs, rhs = eq.split("=>")
+        else:
+            lhs, rhs = eq.split("=")
+            reversible[k] = True
+        nu_r, m_r, fo_r = _parse_side(lhs, species_idx, nspec)
+        nu_p, m_p, fo_p = _parse_side(rhs, species_idx, nspec)
+        nu_reac[k], nu_prod[k] = nu_r, nu_p
+        rtype = rx.get("type", "elementary")
+        if rtype == "three-body" or (m_r and m_p):
+            is_tb[k] = True
+        if rtype == "falloff" or (fo_r and fo_p):
+            is_fo[k] = True
+        for sp_name, e in (rx.get("efficiencies") or {}).items():
+            if sp_name in species_idx:
+                effs[k, species_idx[sp_name]] = float(e)
+
+        def _convert_arrhenius(rc, order):
+            A = float(rc["A"]) * conc_unit ** (-(order - 1.0))
+            return A, float(rc.get("b", 0.0)), float(rc.get("Ea", 0.0)) * ea_factor
+
+        order = nu_r.sum()
+        if is_tb[k]:
+            order += 1.0
+        if is_fo[k]:
+            hi = rx["high-P-rate-constant"] if "high-P-rate-constant" in rx \
+                else rx["rate-constant"]
+            lo = rx["low-P-rate-constant"]
+            arr[k] = _convert_arrhenius(hi, nu_r.sum())
+            low[k] = _convert_arrhenius(lo, nu_r.sum() + 1.0)
+            tr = rx.get("Troe")
+            if tr:
+                has_troe[k] = True
+                troe[k] = [float(tr.get("A", 0.0)), float(tr.get("T3", 1e-30)),
+                           float(tr.get("T1", 1e-30)), float(tr.get("T2", 0.0))]
+        else:
+            arr[k] = _convert_arrhenius(rx["rate-constant"], order)
+
+    return Mechanism(
+        name=phase.get("name", "gas"), species_names=list(species_order),
+        compositions=compositions, mol_weights=mol_weights, nasa_low=nasa_low, nasa_high=nasa_high,
+        t_mid=t_mid, rk_a=rk_a if is_rk_phase else np.zeros_like(rk_a),
+        rk_b=rk_b if is_rk_phase else np.zeros_like(rk_b),
+        nu_reac=nu_reac, nu_prod=nu_prod,
+        arr_A=arr[:, 0], arr_b=arr[:, 1], arr_Ea=arr[:, 2],
+        reversible=reversible, is_three_body=is_tb, is_falloff=is_fo,
+        efficiencies=effs, low_A=low[:, 0], low_b=low[:, 1], low_Ea=low[:, 2],
+        troe=troe, has_troe=has_troe)

@@ -1,0 +1,108 @@
+"""Zero-D reactors and the reactor network driver.
+
+Reference: cantera/src/zeroD — Reactor::eval (Reactor.cpp:203: mass/energy/
+species ODE RHS calling getNetProductionRates at :222) integrated by
+ReactorNet/CVodesIntegrator (ReactorNet.cpp:210 step -> CVode). Here the
+reactor is a constant-volume adiabatic vessel (what `ct.Reactor` +
+`ReactorNet.step()` does in the NonIdealShockTube driver) whose RHS is pure
+jnp and whose integrator is the JAX BDF (g4s_tpu.ops.odeint).
+
+State vector: y = [T, c_1 .. c_K] with c in mol/m^3 (constant volume, so
+concentrations are the natural species variables). The energy equation is
+derived by autodiff of the volumetric internal energy U(T, c):
+  dU/dt = 0  =>  dT/dt = -(dU/dc . cdot) / (dU/dT)
+which handles ideal and Redlich-Kwong phases identically — the real-gas
+departure (RedlichKwongMFTP) simply changes U.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from g4s_tpu.models.cantera.kinetics import (KineticsArrays, build_kinetics,
+                                             net_production_rates)
+from g4s_tpu.models.cantera.mech import Mechanism, R_GAS
+from g4s_tpu.models.cantera.thermo import (GasState, rk_departures,
+                                           rk_molar_volume, u0_RT)
+from g4s_tpu.ops.odeint import bdf_solve
+
+
+class IdealGasConstVolumeReactor:
+    """Constant-volume adiabatic reactor; works for RK phases too
+    (real_gas=True) via the departure-function energy."""
+
+    def __init__(self, mech: Mechanism, *, real_gas: bool = False):
+        self.mech = mech
+        self.kin = build_kinetics(mech)
+        self.gas = GasState(mech, real_gas=real_gas)
+        self.real_gas = self.gas.real_gas
+
+    # -- state setup ------------------------------------------------------
+    def initial_state(self, T, P, X):
+        """y0 from temperature, pressure, mole fractions (TPX).
+
+        For the RK phase the molar volume solves the cubic EoS — the
+        real-gas density difference that drives the benchmark's RK vs
+        ideal ignition-delay gap.
+        """
+        X = np.asarray(X, np.float64)
+        X = X / X.sum()
+        if self.real_gas:
+            v = float(rk_molar_volume(self.mech, jnp.asarray(float(T)),
+                                      jnp.asarray(float(P)), jnp.asarray(X)))
+        else:
+            v = R_GAS * float(T) / float(P)
+        conc = X / v
+        return jnp.concatenate([jnp.asarray([float(T)]), jnp.asarray(conc)])
+
+    # -- energy -----------------------------------------------------------
+    def _U_vol(self, T, conc):
+        """Internal energy per unit volume (J/m^3)."""
+        u_ig = u0_RT(self.mech, T) * R_GAS * T
+        U = jnp.sum(conc * u_ig)
+        if self.real_gas:
+            ntot = jnp.sum(conc)
+            x = conc / ntot
+            u_dep, _ = rk_departures(self.mech, T, 1.0 / ntot, x)
+            U = U + ntot * u_dep
+        return U
+
+    # -- RHS --------------------------------------------------------------
+    def rhs(self, t, y):
+        T = y[0]
+        conc = jnp.maximum(y[1:], 0.0)
+        cdot = net_production_rates(self.kin, self.mech, T, conc)
+        dU_dT = jax.grad(self._U_vol, argnums=0)(T, conc)
+        dU_dc = jax.grad(self._U_vol, argnums=1)(T, conc)
+        dT = -jnp.dot(dU_dc, cdot) / dU_dT
+        return jnp.concatenate([dT[None], cdot])
+
+    # -- integration ------------------------------------------------------
+    def advance(self, y0, t_end, *, rtol=1e-9, atol=1e-15, record_species=None,
+                record_size=20000, max_steps=200000):
+        """Integrate to t_end; optionally record (T, c_species) history at
+        every accepted internal step (the ReactorNet.step() protocol)."""
+        rec = None
+        if record_species is not None:
+            k = self.mech.species_index(record_species)
+            rec = lambda y: jnp.stack([y[0], y[1 + k]])
+        return bdf_solve(self.rhs, y0, 0.0, t_end, rtol=rtol, atol=atol,
+                         max_steps=max_steps, record_fn=rec,
+                         record_size=record_size)
+
+    # -- observables ------------------------------------------------------
+    def pressure(self, y):
+        return self.gas.pressure(y[0], jnp.maximum(y[1:], 0.0))
+
+    def temperature(self, y):
+        return y[0]
+
+    def mass_fractions(self, y):
+        conc = jnp.maximum(y[1:], 0.0)
+        rho = jnp.sum(conc * self.gas.W)
+        return conc * self.gas.W / rho

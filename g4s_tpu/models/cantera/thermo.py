@@ -1,0 +1,173 @@
+"""Gas thermodynamics: NASA7 ideal-gas properties + Redlich-Kwong real gas.
+
+Reference capability: cantera/src/thermo — IdealGasPhase + the NASA7
+species polynomials (NasaPoly2), and RedlichKwongMFTP (cubic EoS with
+quadratic mixing rules; the G4S-modified hot loop GraphProcess1/2 at
+RedlichKwongMFTP.cpp:917-1034 computes a_mix = sum_ij x_i x_j sqrt(a_i a_j);
+updateMixingExpressions:985).
+
+All functions are pure jnp over (T, concentrations) and differentiate,
+which is what the implicit reactor integrator needs for its Jacobians.
+
+Units: mol-SI (mol, m^3, J, K); R = 8.314462618.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from g4s_tpu.models.cantera.mech import Mechanism, P_REF, R_GAS
+
+
+def _nasa_select(mech: Mechanism, T):
+    """Per-species NASA7 coefficients for temperature T (piecewise Tmid)."""
+    lowT = T < jnp.asarray(mech.t_mid)
+    return jnp.where(lowT[:, None], jnp.asarray(mech.nasa_low),
+                     jnp.asarray(mech.nasa_high))
+
+
+def cp0_R(mech: Mechanism, T):
+    a = _nasa_select(mech, T)
+    return a[:, 0] + T * (a[:, 1] + T * (a[:, 2] + T * (a[:, 3] + T * a[:, 4])))
+
+
+def h0_RT(mech: Mechanism, T):
+    a = _nasa_select(mech, T)
+    return (a[:, 0] + T * (a[:, 1] / 2 + T * (a[:, 2] / 3
+            + T * (a[:, 3] / 4 + T * a[:, 4] / 5))) + a[:, 5] / T)
+
+
+def s0_R(mech: Mechanism, T):
+    a = _nasa_select(mech, T)
+    return (a[:, 0] * jnp.log(T) + T * (a[:, 1] + T * (a[:, 2] / 2
+            + T * (a[:, 3] / 3 + T * a[:, 4] / 4))) + a[:, 6])
+
+
+def u0_RT(mech: Mechanism, T):
+    return h0_RT(mech, T) - 1.0
+
+
+# ---------------- Redlich-Kwong real gas ----------------
+#
+# P = R T / (v - b) - a(T) / (sqrt(T) v (v + b))
+# a_mix = sum_ij x_i x_j sqrt(a_i(T) a_j(T)),  b_mix = sum_i x_i b_i
+# (RedlichKwongMFTP::updateMixingExpressions; the ij double sum is the
+#  engine reduction GraphProcess1 parallelizes in the reference)
+
+
+def rk_a_species(mech: Mechanism, T):
+    a = jnp.asarray(mech.rk_a)
+    return jnp.maximum(a[:, 0] + a[:, 1] * T, 0.0)
+
+
+def rk_mix(mech: Mechanism, T, x):
+    """a_mix(T), b_mix for mole fractions x. The quadratic mixing rule is
+    evaluated as (sum_i x_i sqrt(a_i))^2 — exactly sum_ij x_i x_j
+    sqrt(a_i a_j) for the geometric-mean combining rule the reference uses,
+    with O(K) work instead of the O(K^2) vertex loop."""
+    sa = jnp.sqrt(rk_a_species(mech, T))
+    a_mix = jnp.square(jnp.sum(x * sa))
+    b_mix = jnp.sum(x * jnp.asarray(mech.rk_b))
+    return a_mix, b_mix
+
+
+def rk_pressure(mech: Mechanism, T, molar_volume, x):
+    a, b = rk_mix(mech, T, x)
+    v = molar_volume
+    return R_GAS * T / (v - b) - a / (jnp.sqrt(T) * v * (v + b))
+
+
+def rk_molar_volume(mech: Mechanism, T, P, x, *, iters: int = 60):
+    """Solve the cubic for the gas-phase molar volume (largest real root)
+    by safeguarded Newton from the ideal-gas start."""
+    a, b = rk_mix(mech, T, x)
+
+    def f(v):
+        return R_GAS * T / (v - b) - a / (jnp.sqrt(T) * v * (v + b)) - P
+
+    v0 = R_GAS * T / P
+
+    def body(i, v):
+        fv = f(v)
+        dfv = jax.grad(f)(v)
+        step = fv / dfv
+        v_new = v - step
+        return jnp.where(v_new > b, v_new, 0.5 * (v + b))
+
+    return jax.lax.fori_loop(0, iters, body, v0)
+
+
+def rk_departures(mech: Mechanism, T, molar_volume, x):
+    """(u - u_ig, cv - cv_ig) per mole of mixture for the RK EoS.
+
+    For P = RT/(v-b) - a(T)/(sqrt(T) v (v+b)):
+      u_dep = -(1/b) * (a/sqrt(T) - T d(a/sqrt(T))/dT) * ln((v+b)/v)
+            = -(3 a0 / (2 sqrt(T)) + ... ) handled by autodiff below.
+    We form alpha(T) = a(T)/sqrt(T) and use
+      u_dep = (T alpha'(T) - alpha(T)) / b * ln(v/(v+b)) ... sign folded in,
+      cv_dep = T alpha''(T) / b * ln(v/(v+b))
+    with alpha' / alpha'' from jax.grad — no hand-derived formulas needed.
+    """
+    v = molar_volume
+
+    def alpha(t):
+        am, _ = rk_mix(mech, t, x)
+        return am / jnp.sqrt(t)
+
+    b = jnp.sum(x * jnp.asarray(mech.rk_b))
+    dalpha = jax.grad(alpha)(T)
+    d2alpha = jax.grad(jax.grad(alpha))(T)
+    log_term = jnp.log(v / (v + b)) / b
+    u_dep = (alpha(T) - T * dalpha) * log_term
+    cv_dep = -T * d2alpha * log_term
+    return u_dep, cv_dep
+
+
+class GasState:
+    """Convenience wrapper: mixture properties from (T, concentrations).
+
+    conc: (nspec,) mol/m^3. All methods are jit/differentiation safe.
+    """
+
+    def __init__(self, mech: Mechanism, real_gas: bool = False):
+        self.mech = mech
+        self.real_gas = real_gas and bool((mech.rk_b != 0).any())
+        self.W = jnp.asarray(mech.mol_weights)
+
+    def density(self, conc):
+        return jnp.sum(conc * self.W)
+
+    def mole_fractions(self, conc):
+        return conc / jnp.sum(conc)
+
+    def pressure(self, T, conc):
+        ctot = jnp.sum(conc)
+        if not self.real_gas:
+            return ctot * R_GAS * T
+        return rk_pressure(self.mech, T, 1.0 / ctot,
+                           self.mole_fractions(conc))
+
+    def cv_mole(self, T, conc):
+        """Mixture molar cv (J/mol/K)."""
+        x = self.mole_fractions(conc)
+        cv_ig = jnp.sum(x * (cp0_R(self.mech, T) - 1.0)) * R_GAS
+        if not self.real_gas:
+            return cv_ig
+        _, cv_dep = rk_departures(self.mech, T, 1.0 / jnp.sum(conc), x)
+        return cv_ig + cv_dep
+
+    def partial_molar_int_energy(self, T, conc):
+        """u_k (J/mol). Real-gas: ideal per-species + mixture departure
+        attributed via d(n u_dep)/dn_k at constant T, V (autodiff)."""
+        u_ig = u0_RT(self.mech, T) * R_GAS * T
+        if not self.real_gas:
+            return u_ig
+
+        def U_dep_total(c):
+            ntot = jnp.sum(c)
+            x = c / ntot
+            u_dep, _ = rk_departures(self.mech, T, 1.0 / ntot, x)
+            return ntot * u_dep   # per unit volume
+
+        return u_ig + jax.grad(U_dep_total)(conc)

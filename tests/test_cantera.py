@@ -1,0 +1,186 @@
+"""Cantera workload: mechanism parsing, NASA thermo, kinetics consistency,
+RK EoS, BDF integrator, and an H2/O2 ignition smoke test."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from g4s_tpu.models.cantera import (
+    load_mechanism, build_kinetics, net_production_rates,
+    forward_rate_constants, equilibrium_constants, cp0_R, h0_RT, s0_R,
+    rk_molar_volume, rk_pressure, IdealGasConstVolumeReactor,
+    stoich_mixture, R_GAS,
+)
+from g4s_tpu.models.cantera.kinetics import rates_of_progress
+from g4s_tpu.ops.odeint import bdf_solve
+
+H2O2 = "/root/reference/cantera/data/h2o2.yaml"
+DODECANE = "/root/reference/cantera/data/nDodecane_Reitz.yaml"
+
+
+@pytest.fixture(scope="module")
+def h2o2():
+    return load_mechanism(H2O2)
+
+
+@pytest.fixture(scope="module")
+def dodecane_rk():
+    return load_mechanism(DODECANE, "nDodecane_RK")
+
+
+class TestMechanism:
+    def test_h2o2_loads(self, h2o2):
+        assert h2o2.nspec == len(h2o2.species_names)
+        assert h2o2.nrxn == 29
+        assert "H2" in h2o2.species_names or "h2" in h2o2.species_names
+
+    def test_dodecane_counts(self, dodecane_rk):
+        m = dodecane_rk
+        assert m.nspec == 100
+        assert m.nrxn == 553
+        assert m.is_falloff.sum() == 15
+        assert m.is_three_body.sum() == 19
+        assert m.rk_b[m.species_index("c12h26")] > 0
+
+    def test_mass_conservation_in_reactions(self, dodecane_rk):
+        """Every reaction conserves mass: nu_net @ W = 0."""
+        m = dodecane_rk
+        imbalance = (m.nu_prod - m.nu_reac) @ m.mol_weights
+        assert np.abs(imbalance).max() < 1e-10
+
+    def test_rk_coefficients_match_critical_constants(self, dodecane_rk):
+        """a, b consistent with RK critical relations for n-dodecane."""
+        m = dodecane_rk
+        i = m.species_index("c12h26")
+        a0, b = m.rk_a[i, 0], m.rk_b[i]
+        # invert: Tc = (0.42748 R^2 / (a...)) — check ratio a/b^2-ish sane
+        Tc = (a0 * 0.08664 / (0.42748 * R_GAS * b)) ** (2.0 / 3.0)
+        assert 600 < Tc < 700   # n-dodecane Tc = 658 K
+
+
+class TestThermo:
+    def test_nasa_cp_n2(self, dodecane_rk):
+        i = dodecane_rk.species_index("n2")
+        cp = float(cp0_R(dodecane_rk, jnp.asarray(300.0))[i]) * R_GAS
+        assert abs(cp - 29.1) < 0.2
+
+    def test_h_s_consistency(self, h2o2):
+        """dh/dT = cp and T ds/dT = cp (Maxwell) for NASA7 polys."""
+        T = 800.0
+        eps = 1e-3
+        h = lambda t: h0_RT(h2o2, jnp.asarray(t)) * R_GAS * t
+        s = lambda t: s0_R(h2o2, jnp.asarray(t)) * R_GAS
+        cp = cp0_R(h2o2, jnp.asarray(T)) * R_GAS
+        dh = (h(T + eps) - h(T - eps)) / (2 * eps)
+        ds = (s(T + eps) - s(T - eps)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(cp), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ds) * T, np.asarray(cp), rtol=1e-5)
+
+    def test_rk_reduces_to_ideal_at_low_pressure(self, dodecane_rk):
+        X = stoich_mixture(dodecane_rk)
+        T, P = 1500.0, 1e4   # hot, near-vacuum
+        v = float(rk_molar_volume(dodecane_rk, jnp.asarray(T), jnp.asarray(P),
+                                  jnp.asarray(X)))
+        assert abs(v - R_GAS * T / P) / (R_GAS * T / P) < 1e-3
+
+    def test_rk_pressure_roundtrip(self, dodecane_rk):
+        X = stoich_mixture(dodecane_rk)
+        T, P = 1000.0, 40 * 101325.0
+        v = rk_molar_volume(dodecane_rk, jnp.asarray(T), jnp.asarray(P),
+                            jnp.asarray(X))
+        P2 = float(rk_pressure(dodecane_rk, jnp.asarray(T), v, jnp.asarray(X)))
+        assert abs(P2 - P) / P < 1e-10
+
+
+class TestKinetics:
+    def test_detailed_balance(self, h2o2):
+        """At kf/kr = Kc the net rate of a reversible reaction vanishes:
+        verify rop_f/rop_r == Kc-consistency by construction at a random
+        state: kr = kf/Kc exactly."""
+        kin = build_kinetics(h2o2)
+        T = jnp.asarray(1200.0)
+        conc = jnp.asarray(np.abs(np.random.default_rng(0).normal(
+            5, 1, h2o2.nspec)))
+        kf = forward_rate_constants(kin, h2o2, T, conc)
+        Kc = equilibrium_constants(kin, h2o2, T)
+        rf, rr = rates_of_progress(kin, h2o2, T, conc)
+        logc = jnp.log(conc)
+        qf = jnp.exp(kin.nu_reac @ logc)
+        qr = jnp.exp(kin.nu_prod @ logc)
+        rev = np.asarray(kin.reversible)
+        np.testing.assert_allclose(np.asarray(rr)[rev],
+                                   np.asarray(kf / Kc * qr)[rev], rtol=1e-10)
+        assert (np.asarray(rr)[~rev] == 0).all()
+
+    def test_element_conservation_of_wdot(self, dodecane_rk):
+        """Net production rates conserve every element."""
+        m = dodecane_rk
+        kin = build_kinetics(m)
+        rng = np.random.default_rng(1)
+        conc = jnp.asarray(np.abs(rng.normal(5, 2, m.nspec)))
+        wdot = np.asarray(net_production_rates(kin, m, jnp.asarray(1400.0),
+                                               conc))
+        for el in ("C", "H", "O", "N"):
+            n_el = np.array([c.get(el, 0.0) for c in m.compositions])
+            assert abs(wdot @ n_el) < 1e-8 * np.abs(wdot).max()
+
+
+class TestBDF:
+    def test_linear_decay_exact(self):
+        res = bdf_solve(lambda t, y: -y, jnp.asarray([1.0]), 0.0, 2.0,
+                        rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(float(res.y[0]), np.exp(-2.0), rtol=1e-7)
+
+    def test_robertson_vs_scipy(self):
+        from scipy.integrate import solve_ivp
+
+        def rober(t, y):
+            return jnp.stack([-0.04 * y[0] + 1e4 * y[1] * y[2],
+                              0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+                              3e7 * y[1] ** 2])
+        res = bdf_solve(rober, jnp.asarray([1.0, 0.0, 0.0]), 0.0, 1e4,
+                        rtol=1e-8, atol=1e-12)
+        ref = solve_ivp(lambda t, y: np.asarray(rober(t, jnp.asarray(y))),
+                        (0, 1e4), [1, 0, 0], method="BDF", rtol=1e-10,
+                        atol=1e-14)
+        assert bool(res.success)
+        np.testing.assert_allclose(np.asarray(res.y), ref.y[:, -1], rtol=1e-5)
+
+    def test_recording(self):
+        res = bdf_solve(lambda t, y: -y, jnp.asarray([1.0]), 0.0, 1.0,
+                        rtol=1e-8, atol=1e-10, record_fn=lambda y: y[0],
+                        record_size=256)
+        # recorded trajectory matches exp(-t) on written slots
+        t = np.asarray(res.record_t)
+        v = np.asarray(res.record)[:, 0]
+        written = v > 0
+        assert written.sum() > 5
+        np.testing.assert_allclose(v[written], np.exp(-t[written]), rtol=1e-5)
+
+
+class TestReactor:
+    def test_h2_ignition(self, h2o2):
+        """Stoichiometric H2/O2 at 1100 K, 5 atm ignites with T rise and
+        conserves atoms + energy."""
+        r = IdealGasConstVolumeReactor(h2o2)
+        names = [s.lower() for s in h2o2.species_names]
+        X = np.zeros(h2o2.nspec)
+        X[names.index("h2")] = 2.0
+        X[names.index("o2")] = 1.0
+        y0 = r.initial_state(1100.0, 5 * 101325.0, X)
+        res = r.advance(y0, 1e-3, rtol=1e-9, atol=1e-14)
+        assert bool(res.success)
+        Tf = float(res.y[0])
+        assert Tf > 2500.0          # ignited
+        # element conservation
+        for el in ("H", "O"):
+            n_el = np.array([c.get(el, 0.0) for c in h2o2.compositions])
+            before = float(jnp.sum(y0[1:] * jnp.asarray(n_el)))
+            after = float(jnp.sum(res.y[1:] * jnp.asarray(n_el)))
+            assert abs(after - before) < 1e-8 * before
+        # energy conservation (constant U,V)
+        U0 = float(r._U_vol(y0[0], y0[1:]))
+        U1 = float(r._U_vol(res.y[0], jnp.maximum(res.y[1:], 0.0)))
+        assert abs(U1 - U0) < 1e-6 * abs(U0)
