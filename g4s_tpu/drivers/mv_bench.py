@@ -1,0 +1,62 @@
+"""Dense matrix-vector benchmark driver (the reference's mv/ suite).
+
+Protocol of mv/mv.c:29-97: read a Matrix-Market file to fix the problem
+dimension, fill a dense dim x dim matrix with uniform random values
+(mv.c:59-63 uses rand()), then time symv / trmv / packed-symmetric spmv /
+gemv — here each is one MXU matmul variant (g4s_tpu.ops.blas2).
+
+Usage: python -m g4s_tpu.drivers.mv_bench <matrix.mtx | dim> [reps]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from g4s_tpu.ops.blas2 import gemv, pack_symmetric, spmv_packed, symv, trmv
+from g4s_tpu.sparse import read_mtx
+
+
+def run(dim_or_path, reps: int = 10, dtype=jnp.float32, verbose=True):
+    try:
+        dim = int(dim_or_path)
+    except (TypeError, ValueError):
+        dim = read_mtx(dim_or_path).shape[0]
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.random((dim, dim)), dtype)
+    x = jnp.asarray(rng.random(dim), dtype)
+    sym = np.triu(np.asarray(a)) + np.triu(np.asarray(a), 1).T
+    ap = jnp.asarray(pack_symmetric(sym), dtype)
+
+    results = {}
+    for name, fn, args in [
+        ("dsymv", jax.jit(symv), (a, x)),
+        ("dtrmv", jax.jit(trmv), (a, x)),
+        ("dspmv", jax.jit(spmv_packed), (ap, x)),
+        ("dgemv", jax.jit(gemv), (a, x)),
+    ]:
+        fn(*args).block_until_ready()      # compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = fn(*args)
+        y.block_until_ready()
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        results[name] = ms
+        if verbose:
+            print(f"{name}: dim={dim} {ms:.4f} ms "
+                  f"({2 * dim * dim / ms / 1e6:.1f} GFLOP/s)")
+    return results
+
+
+def main():
+    arg = sys.argv[1] if len(sys.argv) > 1 else "1024"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    run(arg, reps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+from g4s_tpu.obs.timings import Timings  # noqa: F401

@@ -127,3 +127,61 @@ def spgemm(a: CSR, b: CSR, *, plan: SpGEMMPlan | None = None) -> CSR:
     c_data = spgemm_numeric(jnp.asarray(a.data), jnp.asarray(b.data),
                             plan.to_device())
     return CSR(plan.c_indptr, plan.c_indices, c_data, plan.shape)
+
+
+def spgemm_expand_map(a: CSR, b: CSR):
+    """Light symbolic phase: ONLY the product expansion map (no host sort /
+    dedupe). O(F) prefix-sum work, the flop-counting part of BIN
+    (mm/inc/BIN.h:77-95) plus the expansion offsets."""
+    a_indptr = np.asarray(a.indptr).astype(np.int64)
+    a_indices = np.asarray(a.indices).astype(np.int64)
+    b_indptr = np.asarray(b.indptr).astype(np.int64)
+    m = a.shape[0]
+    deg_a = np.diff(a_indptr)
+    a_rows = np.repeat(np.arange(m, dtype=np.int64), deg_a)
+    counts = b_indptr[a_indices + 1] - b_indptr[a_indices]
+    F = int(counts.sum())
+    offsets = np.zeros(a_indices.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    src_a = np.repeat(np.arange(a_indices.size, dtype=np.int64), counts)
+    src_b = (np.arange(F, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+             + np.repeat(b_indptr[a_indices], counts))
+    rows = a_rows[src_a]
+    return src_a, src_b, rows, F
+
+
+@partial(jax.jit, static_argnames=("F",))
+def _device_merge_core(src_a, src_b, row_key, b_indices, a_data, b_data, F):
+    cols = jnp.take(b_indices, src_b)
+    key = row_key + cols
+    val = jnp.take(a_data, src_a) * jnp.take(b_data, src_b)
+    key_s, val_s = jax.lax.sort((key, val), num_keys=1)
+    head = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    seg = (jnp.cumsum(head) - 1).astype(jnp.int32)
+    merged = sorted_segment_sum(val_s, seg, F)
+    nnz = seg[-1] + 1
+    out_keys = jnp.full((F,), -1, key_s.dtype)
+    out_keys = out_keys.at[seg].set(key_s)   # same-key writes agree
+    return out_keys, merged, nnz
+
+
+def spgemm_device_merge(a: CSR, b: CSR):
+    """Expand/sort/merge SpGEMM with structure discovery ON DEVICE — the
+    TPU analog of the reference's outer-product algorithm
+    (mm/inc/outer_mult.h:271-535: expand elementary products to triples,
+    radix-sort, merge duplicates). The host contributes only the O(F)
+    expansion map; the sort (lax.sort -> TPU sort), duplicate merge
+    (segment ops) and exact nnz all happen on device, in ONE jitted
+    computation. Right choice when the sparsity pattern is not reused.
+
+    Returns (keys, values, nnz): `keys` (F,) = row * n_cols + col sorted
+    ascending with inactive slots = -1 beyond `nnz`; `values` (F,) merged.
+    """
+    src_a, src_b, rows, F = spgemm_expand_map(a, b)
+    m, n = a.shape[0], b.shape[1]
+    kt = np.int32 if m * n < 2**31 else np.int64
+    return _device_merge_core(
+        jnp.asarray(src_a.astype(kt)), jnp.asarray(src_b.astype(kt)),
+        jnp.asarray((rows * n).astype(kt)),
+        jnp.asarray(np.asarray(b.indices).astype(kt)),
+        jnp.asarray(a.data), jnp.asarray(b.data), F)
