@@ -98,6 +98,8 @@ def bench_pair(A: CSR, B: CSR, *, reps: int = 10, verbose=True):
 
 
 def main():
+    from g4s_tpu.utils.platform import honor_env_platforms
+    honor_env_platforms()
     ap = argparse.ArgumentParser()
     ap.add_argument("a", nargs="?")
     ap.add_argument("b", nargs="?")

@@ -17,11 +17,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from g4s_tpu.utils.platform import honor_env_platforms
+
 from g4s_tpu.ops.blas2 import gemv, pack_symmetric, spmv_packed, symv, trmv
 from g4s_tpu.sparse import read_mtx
 
 
 def run(dim_or_path, reps: int = 10, dtype=jnp.float32, verbose=True):
+    honor_env_platforms()
     try:
         dim = int(dim_or_path)
     except (TypeError, ValueError):
@@ -32,17 +35,25 @@ def run(dim_or_path, reps: int = 10, dtype=jnp.float32, verbose=True):
     sym = np.triu(np.asarray(a)) + np.triu(np.asarray(a), 1).T
     ap = jnp.asarray(pack_symmetric(sym), dtype)
 
+    def repeat(kernel):
+        # chain reps matvecs inside ONE jitted computation so per-dispatch
+        # tunnel latency does not pollute the per-call time
+        def fn(mat, vec):
+            def body(i, v):
+                return kernel(mat, v) * (1.0 / jnp.maximum(1e-30, jnp.max(jnp.abs(v))))
+            return jax.lax.fori_loop(0, reps, body, vec)
+        return jax.jit(fn)
+
     results = {}
     for name, fn, args in [
-        ("dsymv", jax.jit(symv), (a, x)),
-        ("dtrmv", jax.jit(trmv), (a, x)),
-        ("dspmv", jax.jit(spmv_packed), (ap, x)),
-        ("dgemv", jax.jit(gemv), (a, x)),
+        ("dsymv", repeat(symv), (a, x)),
+        ("dtrmv", repeat(trmv), (a, x)),
+        ("dspmv", repeat(spmv_packed), (ap, x)),
+        ("dgemv", repeat(gemv), (a, x)),
     ]:
         fn(*args).block_until_ready()      # compile
         t0 = time.perf_counter()
-        for _ in range(reps):
-            y = fn(*args)
+        y = fn(*args)
         y.block_until_ready()
         ms = (time.perf_counter() - t0) / reps * 1e3
         results[name] = ms

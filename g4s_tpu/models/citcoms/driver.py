@@ -186,17 +186,40 @@ class CitcomModel:
     def step(self, s: State):
         return self._step_fn(s)
 
-    def run(self, n_steps: Optional[int] = None, *, verbose: bool = False):
+    def run(self, n_steps: Optional[int] = None, *, verbose: bool = False,
+            write_output: bool = False, checkpoint: bool = False,
+            restart_from: Optional[str] = None):
+        """Main loop (bin/Citcom.c:199-281): initial solve, then per step
+        advection + Stokes, with output every storage_spacing steps and
+        checkpoints every checkpoint_frequency steps."""
         cfg = self.cfg
         n = cfg.maxstep if n_steps is None else n_steps
-        s = self.init_state()
-        s, mon = self.initial_solve(s)
+        if restart_from:
+            from g4s_tpu import ckpt
+            s, _ = ckpt.load_citcoms(restart_from, self)
+        else:
+            s = self.init_state()
+            s, mon = self.initial_solve(s)
+        if write_output:
+            from g4s_tpu.models.citcoms import output as out_mod
+            out_mod.output(self, s, int(s.step))
         history = []
         for i in range(n):
             s, diag = self.step(s)
             history.append(diag)
+            step_no = int(s.step)
+            if write_output and step_no % cfg.storage_spacing == 0:
+                from g4s_tpu.models.citcoms import output as out_mod
+                out_mod.output(self, s, step_no)
+            if checkpoint and step_no % cfg.checkpoint_frequency == 0:
+                from g4s_tpu import ckpt
+                import os
+                os.makedirs(cfg.datadir, exist_ok=True)
+                ckpt.save_citcoms(
+                    os.path.join(cfg.datadir,
+                                 f"{cfg.datafile}.chkpt.0.{step_no}"), s, cfg)
             if verbose:
-                print(f"step {i+1}: t={float(s.time):.5e} "
+                print(f"step {step_no}: t={float(s.time):.5e} "
                       f"dt={float(diag.dt):.4e} v={float(diag.v_norm):.6e} "
                       f"p={float(diag.p_norm):.6e} "
                       f"div/v={float(diag.incompressibility):.3e} "

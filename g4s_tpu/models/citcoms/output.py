@@ -1,0 +1,71 @@
+"""Field output writers (the reference's Output.c capability).
+
+CitcomS writes per-processor ASCII snapshots every storage_spacing steps:
+coordinates (output_coord), velocity+temperature (output_velo), viscosity
+(output_visc), surface observables (output_surf_botm) — citcoms/lib/
+Output.c:41-50 dispatch. Rebuild: the same field files, single-rank layout
+(<datafile>.<field>.<rank>.<step> naming), plus an optional compact npz
+snapshot which is the practical artifact for postprocessing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _path(cfg, field: str, step: int, rank: int = 0) -> str:
+    os.makedirs(cfg.datadir, exist_ok=True)
+    return os.path.join(cfg.datadir, f"{cfg.datafile}.{field}.{rank}.{step}")
+
+
+def output_coord(model, rank: int = 0) -> str:
+    """coordinates: node count then (theta, fi, r) rows (output_coord)."""
+    p = _path(model.cfg, "coord", 0, rank)
+    sx = model.mesh.sx
+    with open(p, "w") as f:
+        f.write(f"{sx.shape[0]}\n")
+        np.savetxt(f, sx, fmt="%.6e")
+    return p
+
+
+def output_velo(model, state, step: int, rank: int = 0) -> str:
+    """velocity + temperature rows (output_velo layout: Vt Vf Vr T)."""
+    p = _path(model.cfg, "velo", step, rank)
+    V = np.asarray(state.V)
+    T = np.asarray(state.T)
+    with open(p, "w") as f:
+        f.write(f"{float(state.time):.6e} {V.shape[0]}\n")
+        np.savetxt(f, np.column_stack([V, T]), fmt="%.6e")
+    return p
+
+
+def output_visc(model, state, step: int, rank: int = 0) -> str:
+    """element-averaged viscosity per node layer (output_visc role)."""
+    from g4s_tpu.models.citcoms.viscosity import viscosity_at_vpts
+    p = _path(model.cfg, "visc", step, rank)
+    evisc = np.asarray(viscosity_at_vpts(model.cfg, model.mat, state.T,
+                                         model.ien, model.N)).mean(axis=1)
+    with open(p, "w") as f:
+        f.write(f"{evisc.shape[0]}\n")
+        np.savetxt(f, evisc[:, None], fmt="%.6e")
+    return p
+
+
+def output_snapshot_npz(model, state, step: int) -> str:
+    """One-file snapshot (the practical analog of the HDF5 writer,
+    Output_h5.c): coords + all fields."""
+    p = _path(model.cfg, "snap", step) + ".npz"
+    np.savez(p, sx=model.mesh.sx, T=np.asarray(state.T),
+             V=np.asarray(state.V), P=np.asarray(state.P),
+             time=float(state.time), step=int(state.step))
+    return p
+
+
+def output(model, state, step: int) -> list:
+    """Per-step output dispatch (Output.c output())."""
+    files = [output_velo(model, state, step), output_visc(model, state, step)]
+    if step == 0:
+        files.insert(0, output_coord(model))
+    return files

@@ -1,0 +1,20 @@
+"""Platform selection helpers.
+
+The TPU environment's sitecustomize force-appends its own platform to
+jax_platforms, overriding the JAX_PLATFORMS environment variable. Every
+CLI entry point calls `honor_env_platforms()` so `JAX_PLATFORMS=cpu
+python -m g4s_tpu...` behaves as documented.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def honor_env_platforms() -> None:
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    import jax
+    if jax.config.jax_platforms != env:
+        jax.config.update("jax_platforms", env)
