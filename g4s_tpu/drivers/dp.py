@@ -1,0 +1,180 @@
+"""`dp`-style CLI: train / freeze / compress / test / md.
+
+Mirrors the reference's entry point surface
+(deepmd/deepmd/entrypoints/main.py:68-595: subcommands train, freeze,
+compress, test) plus an `md` subcommand that replaces the LAMMPS driver
+step of the benchmark (examples/water/lmp/in.lammps).
+
+Usage:
+  python -m g4s_tpu.drivers.dp train input.json [--steps N]
+  python -m g4s_tpu.drivers.dp freeze -c checkpoint.npz -o frozen.npz
+  python -m g4s_tpu.drivers.dp compress -i frozen.npz -o compressed.npz
+  python -m g4s_tpu.drivers.dp test -m frozen.npz -s system_dir
+  python -m g4s_tpu.drivers.dp md -m frozen.npz [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load_input(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from g4s_tpu.models.deepmd import (DataSystem, LossConfig, LRConfig,
+                                       ModelSpec, Trainer, init_params)
+    from g4s_tpu.models.deepmd.descriptor import (DescriptorSpec,
+                                                  compute_stats, env_mat)
+    from g4s_tpu import ckpt
+
+    jdata = _load_input(args.input)
+    desc = jdata["model"]["descriptor"]
+    fit = jdata["model"]["fitting_net"]
+    spec = ModelSpec(
+        DescriptorSpec(desc["rcut"], desc["rcut_smth"], tuple(desc["sel"]),
+                       len(jdata["model"]["type_map"])),
+        tuple(desc["neuron"]), desc.get("axis_neuron", 16),
+        tuple(fit["neuron"]), desc.get("resnet_dt", False),
+        fit.get("resnet_dt", True))
+    tr_d = jdata["training"]["training_data"]
+    base = os.path.dirname(os.path.abspath(args.input))
+    systems = [os.path.join(base, s) for s in tr_d["systems"]]
+    data = DataSystem(systems, batch_size=tr_d.get("batch_size", "auto"),
+                      seed=jdata["training"].get("seed", 10))
+    lr_j = jdata.get("learning_rate", {})
+    numb_steps = args.steps or jdata["training"]["numb_steps"]
+    lr = LRConfig(lr_j.get("start_lr", 1e-3), lr_j.get("stop_lr", 3.51e-8),
+                  lr_j.get("decay_steps", 5000), numb_steps)
+    lo = jdata.get("loss", {})
+    loss = LossConfig(lo.get("start_pref_e", 0.02), lo.get("limit_pref_e", 1),
+                      lo.get("start_pref_f", 1000), lo.get("limit_pref_f", 1),
+                      lo.get("start_pref_v", 0), lo.get("limit_pref_v", 0))
+
+    # stats + bias from data
+    ntypes = spec.descriptor.ntypes
+    sys0 = data.systems[0]
+    types = jnp.asarray(sys0.types)
+    n_stat = min(10, sys0.nframes)
+    Rs = [env_mat(jnp.asarray(sys0.coord[i]), jnp.asarray(sys0.box[i]),
+                  types, spec.descriptor)[0] for i in range(n_stat)]
+    davg, dstd = compute_stats(Rs, [sys0.types] * n_stat, ntypes,
+                               spec.descriptor.nnei)
+    params = init_params(jax.random.PRNGKey(jdata["training"].get("seed", 10)),
+                         spec, bias_atom_e=data.energy_bias(ntypes))
+    params["stats"]["davg"] = jnp.asarray(davg)
+    params["stats"]["dstd"] = jnp.asarray(dstd)
+
+    trainer = Trainer(spec, loss, lr)
+    disp = jdata["training"].get("disp_freq", 100)
+    lcurve = jdata["training"].get("disp_file", "lcurve.out")
+    print(f"# training {numb_steps} steps, batch {data.batch_size}, "
+          f"lcurve -> {lcurve}")
+    params = trainer.train(params, data, numb_steps, disp_freq=disp,
+                           lcurve_path=lcurve,
+                           callback=lambda s, a: print(
+                               f"step {s}: rmse_e/atom={float(a['rmse_e']):.4e} "
+                               f"rmse_f={float(a['rmse_f']):.4e} "
+                               f"lr={float(a['lr']):.2e}"))
+    ckpt.save_deepmd(args.checkpoint, params, step=numb_steps)
+    # stash the spec for freeze
+    from g4s_tpu.models.deepmd.freeze import freeze as freeze_fn
+    freeze_fn(params, spec, args.checkpoint + ".model.npz")
+    print(f"# saved checkpoint to {args.checkpoint}")
+
+
+def cmd_freeze(args):
+    import shutil
+    src = args.checkpoint + ".model.npz" if os.path.exists(
+        args.checkpoint + ".model.npz") else args.checkpoint
+    shutil.copyfile(src, args.output)
+    print(f"# frozen model -> {args.output}")
+
+
+def cmd_compress(args):
+    import numpy as np
+    from g4s_tpu.models.deepmd.freeze import load_frozen
+    from g4s_tpu.models.deepmd.compress import compress_model
+    import pickle
+    params, spec = load_frozen(args.input)
+    cm = compress_model(params, spec, stride=args.stride)
+    with open(args.output, "wb") as f:
+        pickle.dump({"tables": cm.tables, "params": params, "spec": spec}, f)
+    print(f"# compressed model -> {args.output}")
+
+
+def cmd_test(args):
+    import jax.numpy as jnp
+    import numpy as np
+    from g4s_tpu.models.deepmd.freeze import load_frozen
+    from g4s_tpu.models.deepmd.data import load_system
+    from g4s_tpu.models.deepmd.train import batched_efv
+    params, spec = load_frozen(args.model)
+    sysd = load_system(args.system)
+    n = min(args.numb_test, sysd.nframes)
+    e, f, v = batched_efv(params, spec, jnp.asarray(sysd.coord[:n]),
+                          jnp.asarray(sysd.box[:n]), jnp.asarray(sysd.types))
+    rmse_e = float(np.sqrt(np.mean((np.asarray(e) - sysd.energy[:n]) ** 2))) \
+        / sysd.natoms
+    rmse_f = float(np.sqrt(np.mean((np.asarray(f) - sysd.force[:n]) ** 2)))
+    print(f"# {n} frames: rmse_e/atom = {rmse_e:.6e}  rmse_f = {rmse_f:.6e}")
+
+
+def cmd_md(args):
+    from g4s_tpu.models.deepmd.freeze import load_frozen
+    from g4s_tpu.models.deepmd.md import water_md
+    params, spec = load_frozen(args.model)
+    state, log = water_md(params, spec, n_steps=args.steps,
+                          data_file=args.data, verbose=True)
+    print(f"# MD done: {args.steps} steps, final T = {log[-1][1]:.1f} K")
+
+
+def main():
+    from g4s_tpu.utils.platform import honor_env_platforms
+    honor_env_platforms()
+    ap = argparse.ArgumentParser(prog="dp")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train")
+    p.add_argument("input")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--checkpoint", default="model.ckpt.npz")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("freeze")
+    p.add_argument("-c", "--checkpoint", default="model.ckpt.npz")
+    p.add_argument("-o", "--output", default="frozen_model.npz")
+    p.set_defaults(fn=cmd_freeze)
+
+    p = sub.add_parser("compress")
+    p.add_argument("-i", "--input", default="frozen_model.npz")
+    p.add_argument("-o", "--output", default="compressed_model.pkl")
+    p.add_argument("--stride", type=float, default=0.01)
+    p.set_defaults(fn=cmd_compress)
+
+    p = sub.add_parser("test")
+    p.add_argument("-m", "--model", default="frozen_model.npz")
+    p.add_argument("-s", "--system", required=True)
+    p.add_argument("-n", "--numb-test", type=int, default=10)
+    p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("md")
+    p.add_argument("-m", "--model", default="frozen_model.npz")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--data", default=None)
+    p.set_defaults(fn=cmd_md)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

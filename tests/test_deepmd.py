@@ -197,3 +197,63 @@ class TestDataParallel:
         d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
                                    params, params2)
         assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+class TestCompress:
+    def test_compressed_equivalence(self, rng):
+        """Compressed (tabulated) model matches the exact MLP — the
+        model-compression equivalence test of the reference
+        (source/tests/test_model_compression_se_a.py)."""
+        from g4s_tpu.models.deepmd.compress import (
+            compress_model, energy_force_compressed, total_energy_compressed)
+        spec = tiny_spec()
+        coord, box, types = random_frame(rng)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        cm = compress_model(params, spec, stride=0.005)
+        e0 = float(total_energy(params, spec, coord, box, types))
+        e1 = float(total_energy_compressed(cm, coord, box, types))
+        assert abs(e1 - e0) < 1e-8 * abs(e0)
+        _, f0, _ = energy_force_virial(params, spec, coord, box, types)
+        _, f1 = energy_force_compressed(cm, coord, box, types)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-7)
+
+
+class TestMD:
+    def test_lammps_data_reader(self):
+        from g4s_tpu.models.deepmd.md import read_lammps_data
+        c, t, b = read_lammps_data(
+            "/root/reference/deepmd/examples/water/lmp/water.lmp")
+        assert c.shape == (192, 3)
+        assert (np.bincount(t) == [64, 128]).all()
+        np.testing.assert_allclose(np.diag(b), 12.4447)
+
+    def test_nvt_conserves_temperature(self, rng):
+        """NVT on a harmonic-ish potential stays near the target T."""
+        from g4s_tpu.models.deepmd.md import NVTIntegrator, init_velocities
+        n = 32
+        masses = np.full(n, 16.0)
+        box = np.eye(3) * 10.0
+        x0 = rng.uniform(0, 10, (n, 3))
+        anchors = jnp.asarray(x0)
+
+        def force(x):
+            d = x - anchors               # harmonic wells, min-image
+            d = d - 10.0 * jnp.round(d / 10.0)
+            return -0.5 * d
+
+        integ = NVTIntegrator(force, masses, box, T0=300.0, tdamp=0.1,
+                              dt=0.002)
+        v0 = init_velocities(rng, masses, 300.0)
+        assert abs(float(integ.temperature(jnp.asarray(v0))) - 300.0) < 1e-6
+        state, f = None, None
+        from g4s_tpu.models.deepmd.md import MDState
+        st = MDState(jnp.asarray(x0), jnp.asarray(v0), jnp.zeros(3),
+                     jnp.asarray(0, jnp.int32))
+        fc = force(st.x)
+        Ts = []
+        for i in range(800):
+            st, fc = integ._step(st, fc)
+            if i % 50 == 49:
+                Ts.append(float(integ.temperature(st.v)))
+        # long-run mean near target (small systems oscillate)
+        assert 150.0 < np.mean(Ts[4:]) < 600.0
