@@ -217,7 +217,7 @@ class TestPallasSpMV:
         import g4s_tpu.ops.pallas_spmv as ps
         from g4s_tpu.sparse.convert import coo_to_csr
         from g4s_tpu.sparse.containers import COO
-        n = 256
+        n = 512
         # rows hitting both column 0 and column n-1 -> span ~ n
         rows = np.arange(n, dtype=np.int32)
         coo = COO(np.r_[rows, rows], np.r_[np.zeros(n, np.int32),
