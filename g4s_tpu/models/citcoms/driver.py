@@ -156,8 +156,9 @@ class CitcomModel:
                                 self.cc, buoy)
         fdotf = jnp.sqrt(jnp.vdot(F, F))
         V = asm.apply_vbc(V, self.vbc_mask, self.vbc_val)
-        V, P, mon = sol.uzawa_cg(ops, V, P, F, fdotf, self.uzawa_params,
-                                 self.nmass, self.e_area, self.total_volume)
+        prob = sol.local_problem(ops, self.nmass, self.e_area,
+                                 self.total_volume)
+        V, P, mon = sol.uzawa_cg(prob, V, P, F, fdotf, self.uzawa_params)
         return V, P, mon
 
     def _timestep(self, s: State):
