@@ -70,11 +70,29 @@ def spgemm_flops(a: CSR, b: CSR) -> int:
     return int(2 * deg_b[np.asarray(a.indices)].sum())
 
 
-def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
-    """Symbolic phase (host): exact structure of C and the product->slot map."""
+def spgemm_plan(a: CSR, b: CSR, *, use_native: bool = True) -> SpGEMMPlan:
+    """Symbolic phase (host): exact structure of C and the product->slot map.
+
+    Uses the native C++ graph-builder (runtime/native) when available — the
+    same role hash_mult.h's symbolic pass plays in the reference — with a
+    vectorized numpy fallback.
+    """
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
     m, n = a.shape[0], b.shape[1]
+    if use_native:
+        from g4s_tpu.runtime.native_lib import spgemm_symbolic_native
+        out = spgemm_symbolic_native(a.indptr, a.indices, b.indptr, b.indices,
+                                     m, n)
+        if out is not None:
+            src_a, src_b, slot, c_rows, c_cols, nnz, F = out
+            c_indptr = np.zeros(m + 1, dtype=np.int32)
+            np.add.at(c_indptr, c_rows.astype(np.int64) + 1, 1)
+            np.cumsum(c_indptr, out=c_indptr)
+            idx_t = np.int32 if max(F, a.nnz, b.nnz, 1) < 2**31 else np.int64
+            return SpGEMMPlan(src_a.astype(idx_t), src_b.astype(idx_t),
+                              slot, c_indptr, c_cols.astype(np.int32),
+                              F, nnz, (m, n))
     a_indptr = np.asarray(a.indptr).astype(np.int64)
     a_indices = np.asarray(a.indices).astype(np.int64)
     b_indptr = np.asarray(b.indptr).astype(np.int64)

@@ -1,0 +1,109 @@
+"""ctypes loader for the native host kernels (libg4s_host.so).
+
+Compiles the C++ library on first use (g++ is part of the toolchain) and
+caches the .so next to the source. Every entry point has a numpy fallback,
+so the framework works without a compiler — native just makes the host
+phases (data loading, SpGEMM symbolic, BWELL packing) fast.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "native", "host_kernels.cc")
+_SO = os.path.join(_HERE, "native", "libg4s_host.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded library, building it if needed; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
+                                       os.path.getmtime(_SRC)
+                                       > os.path.getmtime(_SO)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.g4s_parse_numbers.restype = ctypes.c_long
+        lib.g4s_parse_numbers.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long]
+        lib.g4s_spgemm_flops.restype = ctypes.c_long
+        lib.g4s_spgemm_symbolic.restype = ctypes.c_long
+        _lib = lib
+        return _lib
+
+
+def parse_numbers(body: str, ncomp: int, max_entries: int) -> np.ndarray:
+    """Parse whitespace-separated numbers to (n, ncomp); native if possible."""
+    lib = get_lib()
+    if lib is None:
+        flat = np.array(body.split(), dtype=np.float64)
+        n = min(flat.size // ncomp, max_entries)
+        return flat[: n * ncomp].reshape(n, ncomp)
+    raw = body.encode()
+    out = np.empty((max_entries, ncomp), dtype=np.float64)
+    n = lib.g4s_parse_numbers(
+        raw, len(raw), ncomp,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_entries)
+    return out[:n]
+
+
+def spgemm_symbolic_native(a_indptr, a_indices, b_indptr, b_indices,
+                           m: int, n: int):
+    """Native SpGEMM symbolic phase; returns
+    (src_a, src_b, slot, c_rows, c_cols, nnz, F) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a_indptr = np.ascontiguousarray(a_indptr, np.int64)
+    a_indices = np.ascontiguousarray(a_indices, np.int64)
+    b_indptr = np.ascontiguousarray(b_indptr, np.int64)
+    b_indices = np.ascontiguousarray(b_indices, np.int64)
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    I32 = ctypes.POINTER(ctypes.c_int32)
+    F = lib.g4s_spgemm_flops(a_indptr.ctypes.data_as(I64),
+                             a_indices.ctypes.data_as(I64),
+                             ctypes.c_long(m),
+                             b_indptr.ctypes.data_as(I64))
+    lib.g4s_spgemm_symbolic.argtypes = [I64, I64, ctypes.c_long, I64, I64,
+                                        ctypes.c_long, ctypes.c_long,
+                                        I64, I64, I32, I64, I64]
+    src_a = np.empty(F, np.int64)
+    src_b = np.empty(F, np.int64)
+    slot = np.empty(F, np.int32)
+    c_rows = np.empty(max(F, 1), np.int64)
+    c_cols = np.empty(max(F, 1), np.int64)
+    nnz = lib.g4s_spgemm_symbolic(
+        a_indptr.ctypes.data_as(I64), a_indices.ctypes.data_as(I64),
+        ctypes.c_long(m), b_indptr.ctypes.data_as(I64),
+        b_indices.ctypes.data_as(I64), ctypes.c_long(n), ctypes.c_long(F),
+        src_a.ctypes.data_as(I64), src_b.ctypes.data_as(I64),
+        slot.ctypes.data_as(I32), c_rows.ctypes.data_as(I64),
+        c_cols.ctypes.data_as(I64))
+    return src_a, src_b, slot, c_rows[:nnz], c_cols[:nnz], int(nnz), int(F)

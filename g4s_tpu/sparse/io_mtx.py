@@ -51,11 +51,11 @@ def read_mtx(path) -> COO:
         body = f.read()
 
     ncomp = {"pattern": 2, "real": 3, "integer": 3, "complex": 4}[dtype]
-    flat = np.array(body.split(), dtype=np.float64)
-    if flat.size < nnz * ncomp:
+    from g4s_tpu.runtime.native_lib import parse_numbers
+    flat = parse_numbers(body, ncomp, nnz)
+    if flat.shape[0] < nnz:
         raise ValueError(
-            f"read {flat.size // ncomp} entries, declared nnz is {nnz}")
-    flat = flat[: nnz * ncomp].reshape(nnz, ncomp)
+            f"read {flat.shape[0]} entries, declared nnz is {nnz}")
     I = flat[:, 0].astype(np.int32) - 1
     J = flat[:, 1].astype(np.int32) - 1
     if dtype == "pattern":

@@ -136,3 +136,31 @@ def test_pytree_jit(rng):
     a = random_csr(rng).to_device()
     total = jax.jit(lambda m: m.data.sum())(a)
     np.testing.assert_allclose(float(total), float(np.sum(np.asarray(a.data))))
+
+
+class TestNative:
+    def test_native_lib_builds(self):
+        from g4s_tpu.runtime.native_lib import get_lib
+        assert get_lib() is not None
+
+    def test_parse_numbers_matches_python(self):
+        from g4s_tpu.runtime.native_lib import parse_numbers
+        body = "1 2 3.5\n4 5 -6.25e-3\n7 8 9\n"
+        out = parse_numbers(body, 3, 3)
+        np.testing.assert_allclose(out, [[1, 2, 3.5], [4, 5, -6.25e-3],
+                                         [7, 8, 9]])
+
+    def test_native_spgemm_symbolic_matches_numpy(self):
+        from g4s_tpu.ops.spgemm import spgemm_plan
+        A = CSR.from_scipy(
+            sp.random(60, 60, density=0.1,
+                      random_state=np.random.RandomState(1), format="csr"))
+        p1 = spgemm_plan(A, A, use_native=True)
+        p2 = spgemm_plan(A, A, use_native=False)
+        assert p1.nnz == p2.nnz and p1.flops == p2.flops
+        np.testing.assert_array_equal(np.asarray(p1.c_indptr),
+                                      np.asarray(p2.c_indptr))
+        np.testing.assert_array_equal(np.asarray(p1.c_indices),
+                                      np.asarray(p2.c_indices))
+        np.testing.assert_array_equal(np.asarray(p1.slot), np.asarray(p2.slot))
+        np.testing.assert_array_equal(np.asarray(p1.src_a), np.asarray(p2.src_a))
