@@ -158,7 +158,11 @@ class CitcomModel:
         V = asm.apply_vbc(V, self.vbc_mask, self.vbc_val)
         prob = sol.local_problem(ops, self.nmass, self.e_area,
                                  self.total_volume)
-        V, P, mon = sol.uzawa_cg(prob, V, P, F, fdotf, self.uzawa_params)
+        if self.cfg.solver_type in ("bicg", "bicgstab"):
+            V, P, mon = sol.uzawa_bicgstab(prob, V, P, F, fdotf,
+                                           self.uzawa_params)
+        else:   # 'cgrad' (default)
+            V, P, mon = sol.uzawa_cg(prob, V, P, F, fdotf, self.uzawa_params)
         return V, P, mon
 
     def _timestep(self, s: State):

@@ -190,3 +190,68 @@ def uzawa_cg(prob: StokesProblem, V, P, F, fdotf, params: UzawaParams):
     mon = UzawaMonitor(jnp.sqrt(prob.v_norm2(V)), jnp.sqrt(prob.p_norm2(P)),
                        dv, dp, inc, count, inner_total)
     return V, P, mon
+
+
+def uzawa_bicgstab(prob: StokesProblem, V, P, F, fdotf,
+                   params: UzawaParams):
+    """BiCGstab pressure solver (the reference's compressible-capable
+    variant, solve_Ahat_p_fhat_BiCG, Stokes_flow_Incomp.c:453+).
+
+    Solves the pressure Schur system S p = div(K^-1 F) with
+    S p = div(K^-1 G p); every operator application is one inner CG
+    velocity solve. Preconditioner: BPI (same as the CG path).
+    Returns (V, P, UzawaMonitor).
+    """
+    imp = params.accuracy
+    inner_acc = imp * params.inner_accuracy_scale * fdotf
+
+    def schur(p, inner_count):
+        cg = conj_grad(prob, prob.grad_p(p), inner_acc, params.max_inner)
+        return prob.div(cg.x), cg.x, inner_count + cg.iterations
+
+    # initial velocity: K u = F - G P - K V
+    F1 = prob.strip(F - prob.grad_p(P) - prob.A(V))
+    cg0 = conj_grad(prob, F1, inner_acc, params.max_inner)
+    V = V + cg0.x
+    r0 = prob.div(V)
+
+    def cond(st):
+        (P, V, r, rhat, p_dir, v_dir, rho, alpha, omega, it, inner, done) = st
+        return jnp.logical_and(it < params.max_outer, ~done)
+
+    def body(st):
+        (P, V, r, rhat, p_dir, v_dir, rho, alpha, omega, it, inner, done) = st
+        rho_new = prob.dot_p(rhat, r)
+        beta = jnp.where(it == 0, 0.0,
+                         (rho_new / jnp.where(rho == 0, 1.0, rho))
+                         * (alpha / jnp.where(omega == 0, 1.0, omega)))
+        p_dir = r + beta * (p_dir - omega * v_dir)
+        z = prob.BPI * p_dir
+        v_new, u_v, inner = schur(z, inner)
+        alpha_new = rho_new / jnp.where(prob.dot_p(rhat, v_new) == 0, 1.0,
+                                        prob.dot_p(rhat, v_new))
+        s = r - alpha_new * v_new
+        zs = prob.BPI * s
+        t, u_t, inner = schur(zs, inner)
+        tt = prob.dot_p(t, t)
+        omega_new = jnp.where(tt == 0, 0.0, prob.dot_p(t, s) / tt)
+        P = P + alpha_new * z + omega_new * zs
+        V = V - alpha_new * u_v - omega_new * u_t
+        r_new = s - omega_new * t
+        res = jnp.sqrt(prob.div_norm2(r_new)
+                       / (1e-32 + prob.v_norm2(V)))
+        done = res < imp
+        return (P, V, r_new, rhat, p_dir, v_new, rho_new, alpha_new,
+                omega_new, it + 1, inner, done)
+
+    zero_p = jnp.zeros_like(r0)
+    st0 = (P, V, r0, r0, zero_p, zero_p, jnp.asarray(1.0, F.dtype),
+           jnp.asarray(1.0, F.dtype), jnp.asarray(1.0, F.dtype),
+           jnp.asarray(0, jnp.int32), cg0.iterations, jnp.asarray(False))
+    (P, V, r, _, _, _, _, _, _, it, inner, done) = lax.while_loop(
+        cond, body, st0)
+    div = prob.div(V)
+    inc = jnp.sqrt(prob.div_norm2(div) / (1e-32 + prob.v_norm2(V)))
+    mon = UzawaMonitor(jnp.sqrt(prob.v_norm2(V)), jnp.sqrt(prob.p_norm2(P)),
+                       inc, inc, inc, it, inner)
+    return V, P, mon

@@ -258,3 +258,53 @@ class TestDistributed:
                 b += 1
         T_single = np.asarray(ss2.T).reshape(noy, nox, noz)
         np.testing.assert_allclose(G, T_single, atol=1e-10)
+
+
+class TestAltSolvers:
+    def test_bicgstab_converges(self):
+        """BiCGstab Uzawa variant reaches a divergence-free solution close
+        to the CG path (the reference's solve_Ahat_p_fhat_BiCG role)."""
+        from g4s_tpu.models.citcoms import assembly as asm, solvers as sol
+        cfg = small_cfg(rayleigh=1e4, topvbc=1, topvbxval=10.0,
+                        accuracy=1e-4)
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        ops = model._build_ops(s.T)
+        buoy = model.buoyancy(
+            s.T + 0.01 * jnp.sin(jnp.arange(model.mesh.nno, dtype=jnp.float64)))
+        F = asm.assemble_forces(ops, model.N, model.gda, model.gweight,
+                                model.cc, buoy)
+        prob = sol.local_problem(ops, model.nmass, model.e_area,
+                                 model.total_volume)
+        fdotf = jnp.sqrt(jnp.vdot(F, F))
+        V0 = asm.apply_vbc(jnp.zeros((model.mesh.nno, 3)), model.vbc_mask,
+                           model.vbc_val)
+        P0 = jnp.zeros(model.mesh.nel)
+        V1, P1, m1 = sol.uzawa_cg(prob, V0, P0, F, fdotf, model.uzawa_params)
+        V2, P2, m2 = sol.uzawa_bicgstab(prob, V0, P0, F, fdotf,
+                                        model.uzawa_params)
+        assert float(m2.incompressibility) < 1e-2
+        rel = float(jnp.max(jnp.abs(V1 - V2)) / jnp.max(jnp.abs(V1)))
+        assert rel < 0.1
+
+    def test_multigrid_matches_cg(self):
+        from g4s_tpu.models.citcoms import assembly as asm, solvers as sol
+        from g4s_tpu.models.citcoms.multigrid import MGHierarchy
+        cfg = small_cfg(nodex=9, nodey=9, nodez=5, rayleigh=1e5,
+                        topvbc=1, topvbxval=100.0)
+        hier = MGHierarchy(cfg, levels=2)
+        assert len(hier.levels) == 2
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        ops_all = hier.build_ops(s.T)
+        buoy = model.buoyancy(
+            s.T + 0.01 * jnp.sin(jnp.arange(model.mesh.nno, dtype=jnp.float64)))
+        F = asm.assemble_forces(ops_all[0], model.N, model.gda,
+                                model.gweight, model.cc, buoy)
+        acc = 1e-6 * float(jnp.sqrt(jnp.vdot(F, F)))
+        u_mg, res, cycles = hier.solve(ops_all, F, acc=acc)
+        prob = sol.local_problem(ops_all[0], model.nmass, model.e_area,
+                                 model.total_volume)
+        cg = sol.conj_grad(prob, F, acc, 2000)
+        rel = float(jnp.max(jnp.abs(u_mg - cg.x)) / jnp.max(jnp.abs(cg.x)))
+        assert rel < 1e-4, rel
