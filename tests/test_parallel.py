@@ -117,3 +117,55 @@ def test_pmax():
     f = shard_map(lambda u: jnp.full_like(u, pmax(u, "x")),
                   mesh=mesh, in_specs=P("x"), out_specs=P("x"))
     np.testing.assert_allclose(np.asarray(f(jnp.asarray(x)))[0], 31.0)
+
+
+class TestSphereTopology:
+    """12-cap full-sphere pass tables (Full_parallel_related.c:505-715 spec)."""
+
+    def test_reciprocity_single_proc(self):
+        from g4s_tpu.parallel import sphere
+        t = sphere.build_pass_tables(1, 1, 1)
+        assert len(t) == 12
+        assert sphere.check_reciprocity(t, 1, 1, 1)
+
+    def test_reciprocity_brick(self):
+        from g4s_tpu.parallel import sphere
+        t = sphere.build_pass_tables(2, 2, 2)
+        assert len(t) == 96
+        assert sphere.check_reciprocity(t, 2, 2, 2)
+
+    def test_face_counts_and_polar_pairing(self):
+        from g4s_tpu.parallel import sphere
+        t = sphere.build_pass_tables(1, 1, 1)
+        for cap in range(12):
+            faces = [p for p in t[(cap, 0, 0, 0)] if p.kind == "face"]
+            assert len(faces) == 4
+        # polar edges pair opposite caps (cap+6)%12 for families 1 and 2
+        for cap in range(12):
+            for p in t[(cap, 0, 0, 0)]:
+                if p.kind == "edge":
+                    assert p.target[0] == (cap + 6) % 12
+
+    def test_seam_transposition_families(self):
+        """cap%3 family rules: family-0 has a transposed -x seam to cap+3
+        (Full_parallel_related.c:536-550)."""
+        from g4s_tpu.parallel import sphere
+        p = sphere.face_neighbor(0, 0, 0, 0, "-x", 1, 1, 1)
+        assert p.target[0] == 3 and p.transposed
+        p = sphere.face_neighbor(1, 0, 0, 0, "-x", 1, 1, 1)
+        assert p.target[0] == 3 and not p.transposed
+
+    def test_interior_passes_plain(self):
+        from g4s_tpu.parallel import sphere
+        t = sphere.build_pass_tables(3, 3, 1)
+        center = t[(0, 1, 1, 0)]
+        faces = [p for p in center if p.kind == "face"]
+        assert all(not p.transposed and p.target[0] == 0 for p in faces)
+
+    def test_ppermute_pairs_shape(self):
+        from g4s_tpu.parallel import sphere
+        t = sphere.build_pass_tables(1, 1, 1)
+        pairs = sphere.ppermute_pairs(t, 1, 1, 1, kind="face")
+        assert len(pairs) == 48       # 12 caps x 4 faces
+        srcs = [a for a, b in pairs]
+        assert len(set((a, b) for a, b in pairs)) == 48
