@@ -12,3 +12,4 @@ WATER_SPEC = ModelSpec(
     DescriptorSpec(rcut=6.0, rcut_smth=0.5, sel=(46, 92), ntypes=2),
     embed_neurons=(25, 50, 100), axis_neuron=16,
     fit_neurons=(240, 240, 240))
+from g4s_tpu.models.deepmd.infer import DeepPot, calc_model_devi  # noqa: F401

@@ -29,6 +29,7 @@ def freeze(params, spec: ModelSpec, path) -> None:
         fit_neurons=list(spec.fit_neurons),
         embed_resnet_dt=spec.embed_resnet_dt,
         fit_resnet_dt=spec.fit_resnet_dt,
+        descriptor_type=spec.descriptor_type,
         treedef=str(treedef))
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     np.savez(path, __meta__=json.dumps(meta), **arrays)
@@ -44,7 +45,7 @@ def load_frozen(path) -> Tuple[dict, ModelSpec]:
                        meta["ntypes"]),
         tuple(meta["embed_neurons"]), meta["axis_neuron"],
         tuple(meta["fit_neurons"]), meta["embed_resnet_dt"],
-        meta["fit_resnet_dt"])
+        meta["fit_resnet_dt"], meta.get("descriptor_type", "se_e2_a"))
     # rebuild the treedef by initializing a skeleton with the same structure
     from g4s_tpu.models.deepmd.model import init_params
     skeleton = init_params(jax.random.PRNGKey(0), spec)

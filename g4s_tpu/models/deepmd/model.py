@@ -36,6 +36,7 @@ class ModelSpec(NamedTuple):
     fit_neurons: Tuple[int, ...]        # e.g. (240, 240, 240)
     embed_resnet_dt: bool = False
     fit_resnet_dt: bool = True
+    descriptor_type: str = "se_e2_a"    # or "se_e2_r" (radial-only, se_r.py)
 
     @property
     def m1(self) -> int:
@@ -43,6 +44,8 @@ class ModelSpec(NamedTuple):
 
     @property
     def descriptor_dim(self) -> int:
+        if self.descriptor_type == "se_e2_r":
+            return self.m1
         return self.m1 * self.axis_neuron
 
 
@@ -86,6 +89,17 @@ def atomic_descriptor(params, spec: ModelSpec, R, types):
     # per center type, accumulate T = sum over neighbor sections R̃^T G
     D_by_tc = []
     for tc in range(nt):
+        if spec.descriptor_type == "se_e2_r":
+            # radial-only descriptor (DescrptSeR, deepmd/descriptor/se_r.py):
+            # D = mean over neighbors of the embedded s(r)
+            acc = jnp.zeros((R.shape[0], spec.m1), Rn.dtype)
+            for tn in range(nt):
+                sec_R = Rn[:, sec[tn]: sec[tn + 1], :]
+                G = embedding_net_apply(params["embed"][tc][tn],
+                                        sec_R[:, :, 0:1])
+                acc = acc + jnp.sum(G, axis=1)
+            D_by_tc.append(acc / nnei)
+            continue
         T = jnp.zeros((R.shape[0], 4, spec.m1), Rn.dtype)
         for tn in range(nt):
             sec_R = Rn[:, sec[tn]: sec[tn + 1], :]         # (N, sel_tn, 4)

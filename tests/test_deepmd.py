@@ -257,3 +257,44 @@ class TestMD:
                 Ts.append(float(integ.temperature(st.v)))
         # long-run mean near target (small systems oscillate)
         assert 150.0 < np.mean(Ts[4:]) < 600.0
+
+
+class TestInferAPI:
+    def test_deeppot_eval_and_model_devi(self, tmp_path, rng):
+        from g4s_tpu.models.deepmd.infer import DeepPot, calc_model_devi
+        spec = tiny_spec()
+        coord, box, types = random_frame(rng)
+        paths = []
+        for seed in (1, 2):
+            p = init_params(jax.random.PRNGKey(seed), spec)
+            path = tmp_path / f"m{seed}.npz"
+            freeze(p, spec, path)
+            paths.append(path)
+        pots = [DeepPot(p) for p in paths]
+        e, f, v = pots[0].eval(coord, box, types)
+        assert np.isfinite(float(e))
+        assert f.shape == coord.shape
+        # batch eval
+        eb, fb, vb = pots[0].eval(jnp.stack([coord, coord]),
+                                  jnp.stack([box, box]), types)
+        assert eb.shape == (2,)
+        np.testing.assert_allclose(float(eb[0]), float(e), rtol=1e-10)
+        mx, mn, avg = calc_model_devi(pots, coord, box, types)
+        assert mx[0] >= avg[0] >= mn[0] >= 0
+
+    def test_se_r_descriptor(self, rng):
+        spec = ModelSpec(DescriptorSpec(3.0, 0.5, (6, 10), 2), (4, 8, 16),
+                         4, (16, 16), descriptor_type="se_e2_r")
+        assert spec.descriptor_dim == 16
+        coord, box, types = random_frame(rng)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        e, f, v = energy_force_virial(params, spec, coord, box, types)
+        assert np.isfinite(float(e)) and np.isfinite(np.asarray(f)).all()
+        # rotation invariance of the radial descriptor (energy only)
+        th = 0.3
+        Rz = jnp.asarray([[np.cos(th), -np.sin(th), 0],
+                          [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        e2 = float(jnp.asarray(
+            __import__("g4s_tpu.models.deepmd.model", fromlist=["total_energy"])
+            .total_energy(params, spec, coord @ Rz.T, box @ Rz.T, types)))
+        assert abs(e2 - float(e)) < 1e-8 * max(abs(float(e)), 1)
