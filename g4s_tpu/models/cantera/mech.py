@@ -105,10 +105,27 @@ def _parse_side(side: str, species_idx: Dict[str, int], nspec: int):
     return nu, has_plain_m, has_falloff_m
 
 
-def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
+def _yaml_load(path):
+    """YAML load that keeps chemistry names intact: plain NO/ON/OFF/YES are
+    species names, not booleans (YAML 1.1 bool-ification breaks gri30's NO)."""
     import yaml
+
+    class MechLoader(yaml.SafeLoader):
+        pass
+
+    def _bool(loader, node):
+        v = loader.construct_scalar(node)
+        if v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        return v
+
+    MechLoader.add_constructor("tag:yaml.org,2002:bool", _bool)
     with open(path) as f:
-        doc = yaml.safe_load(f)
+        return yaml.load(f, Loader=MechLoader)
+
+
+def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
+    doc = _yaml_load(path)
 
     phases = doc.get("phases", [])
     phase = None

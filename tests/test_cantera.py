@@ -184,3 +184,27 @@ class TestReactor:
         U0 = float(r._U_vol(y0[0], y0[1:]))
         U1 = float(r._U_vol(res.y[0], jnp.maximum(res.y[1:], 0.0)))
         assert abs(U1 - U0) < 1e-6 * abs(U0)
+
+
+class TestTransport:
+    """Mixture-averaged transport vs known air properties at 300 K."""
+
+    def test_air_properties(self):
+        from g4s_tpu.models.cantera.transport import (
+            load_transport, mixture_viscosity, thermal_conductivity,
+            mixture_diffusion_coeffs)
+        mech = load_mechanism("/root/reference/cantera/data/gri30.yaml")
+        assert mech.nspec == 53              # NO must not parse as False
+        tr = load_transport("/root/reference/cantera/data/gri30.yaml", mech)
+        x = np.zeros(mech.nspec)
+        x[mech.species_index("N2")] = 0.78
+        x[mech.species_index("O2")] = 0.22
+        T = jnp.asarray(300.0)
+        mu = float(mixture_viscosity(mech, tr, T, jnp.asarray(x)))
+        assert abs(mu - 1.85e-5) < 0.2e-5    # CRC: 1.846e-5 Pa s
+        lam = float(thermal_conductivity(mech, tr, T, jnp.asarray(x),
+                                         cp0_R(mech, T)))
+        assert abs(lam - 0.026) < 0.005      # CRC: 0.0263 W/m/K
+        D = mixture_diffusion_coeffs(mech, tr, T, 101325.0, jnp.asarray(x))
+        d_o2 = float(D[mech.species_index("O2")])
+        assert 1e-5 < d_o2 < 4e-5            # O2-N2 ~ 2.1e-5 m2/s
