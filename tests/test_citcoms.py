@@ -308,3 +308,63 @@ class TestAltSolvers:
         cg = sol.conj_grad(prob, F, acc, 2000)
         rel = float(jnp.max(jnp.abs(u_mg - cg.x)) / jnp.max(jnp.abs(cg.x)))
         assert rel < 1e-4, rel
+
+
+class TestTracers:
+    def _setup(self):
+        cfg = small_cfg(nodex=9, nodey=9, nodez=5)
+        from g4s_tpu.models.citcoms.tracers import (TracerField, seed_tracers)
+        m = build_regional_mesh(cfg)
+        return cfg, m, TracerField.from_mesh(m)
+
+    def test_seed_and_locate(self):
+        from g4s_tpu.models.citcoms.tracers import seed_tracers
+        cfg, m, tf = self._setup()
+        pos, flav = seed_tracers(m, 5, seed=1)
+        assert pos.shape == (m.nel * 5, 3)
+        (jx, iy, kz), xi = tf.locate(jnp.asarray(pos))
+        assert int(jx.max()) <= cfg.nodex - 2
+        assert float(jnp.abs(xi).max()) <= 1.0 + 1e-9
+
+    def test_interp_constant_field(self):
+        from g4s_tpu.models.citcoms.tracers import interp_velocity, seed_tracers
+        cfg, m, tf = self._setup()
+        pos, _ = seed_tracers(m, 3, seed=2)
+        V = jnp.tile(jnp.asarray([[1.0, 2.0, 3.0]]), (m.nno, 1))
+        v = interp_velocity(tf, V, jnp.asarray(pos))
+        np.testing.assert_allclose(np.asarray(v),
+                                   np.tile([1.0, 2.0, 3.0], (pos.shape[0], 1)),
+                                   rtol=1e-12)
+
+    def test_advect_rotation_preserves_radius(self):
+        """Pure u_fi rotation: tracers keep (theta, r)."""
+        from g4s_tpu.models.citcoms.tracers import advect_tracers, seed_tracers
+        cfg, m, tf = self._setup()
+        pos, _ = seed_tracers(m, 2, seed=3)
+        V = np.zeros((m.nno, 3))
+        V[:, 1] = m.sx[:, 2] * np.sin(m.sx[:, 0])   # rigid rotation
+        p = jnp.asarray(pos)
+        for _ in range(10):
+            p = advect_tracers(tf, jnp.asarray(V), p, 0.01)
+        p = np.asarray(p)
+        inner = (pos[:, 1] > cfg.fi_min + 0.1) & (pos[:, 1] < cfg.fi_max - 0.1)
+        np.testing.assert_allclose(p[inner, 0], pos[inner, 0], atol=1e-6)
+        np.testing.assert_allclose(p[inner, 2], pos[inner, 2], atol=1e-6)
+        assert (p[inner, 1] > pos[inner, 1]).all()   # moved in +fi
+
+    def test_composition_ratio(self):
+        from g4s_tpu.models.citcoms.tracers import (element_composition,
+                                                    seed_tracers)
+        cfg, m, tf = self._setup()
+        pos, flav = seed_tracers(m, 20, seed=4)
+        comp, total = element_composition(tf, jnp.asarray(pos),
+                                          jnp.asarray(flav))
+        comp = np.asarray(comp)
+        assert comp.shape[0] == 2
+        np.testing.assert_allclose(comp.sum(axis=0),
+                                   np.where(np.asarray(total) > 0, 1.0, 0.0),
+                                   atol=1e-6)
+        # flavor-1 tracers live below mid-radius: bottom elements ~1
+        grid = comp[1].reshape(cfg.nodey - 1, cfg.nodex - 1, cfg.nodez - 1)
+        assert grid[:, :, 0].mean() > 0.9
+        assert grid[:, :, -1].mean() < 0.1
