@@ -167,14 +167,44 @@ class CitcomModel:
 
     def _timestep(self, s: State):
         cfg = self.cfg
-        dt = adv_mod.cfl_timestep(self.adv_geo, self.ien, s.V,
-                                  finetunedt=cfg.finetunedt,
-                                  fixed_timestep=cfg.fixed_timestep)
-        T, Tdot = adv_mod.pg_timestep(
-            self.adv_geo, self.ien, self.plan, s.T, s.Tdot, s.V, dt,
-            diff=cfg.inputdiffusivity, Q0=cfg.Q0, gamma=cfg.adv_gamma,
-            sub_iterations=cfg.adv_sub_iterations,
-            tbc_mask=self.tbc_mask, tbc_val=self.tbc_val)
+        dt0 = adv_mod.cfl_timestep(self.adv_geo, self.ien, s.V,
+                                   finetunedt=cfg.finetunedt,
+                                   fixed_timestep=cfg.fixed_timestep)
+
+        def advect(dt):
+            return adv_mod.pg_timestep(
+                self.adv_geo, self.ien, self.plan, s.T, s.Tdot, s.V, dt,
+                diff=cfg.inputdiffusivity, Q0=cfg.Q0, gamma=cfg.adv_gamma,
+                sub_iterations=cfg.adv_sub_iterations,
+                tbc_mask=self.tbc_mask, tbc_val=self.tbc_val)
+
+        if cfg.monitor_max_T:
+            # max-T guard with dt-halving subcycles (PG_timestep_solve
+            # do/while, Advection_diffusion.c:234-280; T_maxvaried=1.05,
+            # Convection.c:58; at most 5 retries)
+            from g4s_tpu.models.citcoms.observables import                 max_interior_temperature
+            T_int0 = max_interior_temperature(s.T, self.tbc_mask)
+            T1, Td1 = advect(dt0)
+
+            def cond(carry):
+                T, Td, dt, tries = carry
+                blown = max_interior_temperature(T, self.tbc_mask)                     / jnp.maximum(T_int0, 1e-30) > 1.05
+                return jnp.logical_and(blown, tries < 5)
+
+            def body(carry):
+                T, Td, dt, tries = carry
+                dt2 = dt * 0.5
+                T2, Td2 = advect(dt2)
+                return T2, Td2, dt2, tries + 1
+
+            T, Tdot, dt, _ = jax.lax.while_loop(
+                cond, body, (T1, Td1, dt0, jnp.asarray(0, jnp.int32)))
+        else:
+            dt = dt0
+            T, Tdot = advect(dt)
+        if cfg.filter_temp:
+            from g4s_tpu.models.citcoms.observables import filter_temperature
+            T = filter_temperature(T, self.tbc_mask, self.tbc_val)
         V, P, mon = self._stokes(T, s.V, s.P)
         diag = StepDiagnostics(dt, mon.v_norm, mon.p_norm,
                                mon.incompressibility, mon.outer_iterations,

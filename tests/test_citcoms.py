@@ -368,3 +368,39 @@ class TestTracers:
         grid = comp[1].reshape(cfg.nodey - 1, cfg.nodex - 1, cfg.nodez - 1)
         assert grid[:, :, 0].mean() > 0.9
         assert grid[:, :, -1].mean() < 0.1
+
+
+class TestObservables:
+    def test_conductive_nusselt_is_one(self):
+        from g4s_tpu.models.citcoms.observables import surface_heat_flux
+        cfg = small_cfg()
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        q, nu = surface_heat_flux(model, s.T)
+        # linear profile: Nu ~ 1 up to geometric discretization factors
+        assert 0.8 < float(nu) < 1.2
+        qb, nub = surface_heat_flux(model, s.T, top=False)
+        assert 0.8 < float(nub) < 1.2
+
+    def test_filter_conserves_heat(self):
+        from g4s_tpu.models.citcoms.observables import filter_temperature
+        cfg = small_cfg()
+        m = build_regional_mesh(cfg)
+        rng = np.random.default_rng(0)
+        T = jnp.asarray(np.clip(rng.normal(0.5, 0.4, m.nno), -0.2, 1.3))
+        mask = jnp.asarray(m.tbc_mask)
+        val = jnp.asarray(m.tbc_val)
+        Tf = filter_temperature(T, mask, val)
+        assert float(Tf.min()) >= -1e-12 and float(Tf.max()) <= 1 + 1e-12
+        # heat conserved over non-BC nodes (BC nodes are reset to tbc_val)
+        free = ~np.asarray(mask)
+        assert abs(float(jnp.sum(Tf[free]) - jnp.sum(T[free]))) \
+            < 1e-8 * m.nno
+
+    def test_rms_velocity_matches_monitor(self):
+        from g4s_tpu.models.citcoms.observables import rms_velocity
+        cfg = small_cfg(rayleigh=1e5, topvbc=1, topvbxval=100.0)
+        model = CitcomModel(cfg)
+        s, mon = model.initial_solve(model.init_state())
+        np.testing.assert_allclose(float(rms_velocity(model, s.V)),
+                                   float(mon.v_norm), rtol=1e-10)
