@@ -75,12 +75,13 @@ def rms_velocity(model, V):
 def filter_temperature(T, tbc_mask, tbc_val):
     """Lenardic & Kaula overshoot filter (Advection_diffusion.c:687):
     clip T to [0,1] while conserving the total heat content."""
-    total0 = jnp.sum(T)
+    free = ~tbc_mask
+    total0 = jnp.sum(jnp.where(free, T, 0.0))
     Tc = jnp.clip(T, 0.0, 1.0)
-    # redistribute the clipped energy over interior unclipped nodes
-    interior = (~tbc_mask) & (Tc > 0.0) & (Tc < 1.0)
+    # redistribute the clipped energy over interior unclipped free nodes
+    interior = free & (Tc > 0.0) & (Tc < 1.0)
     n_free = jnp.maximum(jnp.sum(interior), 1)
-    correction = (total0 - jnp.sum(Tc)) / n_free
+    correction = (total0 - jnp.sum(jnp.where(free, Tc, 0.0))) / n_free
     Tf = jnp.where(interior, Tc + correction, Tc)
     return jnp.where(tbc_mask, tbc_val, Tf)
 
