@@ -1,6 +1,8 @@
 """CLI entry point — the `CitcomSRegional <configfile>` equivalent
 (citcoms/bin/Citcom.c:50-299 main): parse the flat config, run the
 timestep loop with outputs/checkpoints, print per-step wall time.
+SIGINT/SIGTERM request a graceful stop: finish the current step, write a
+checkpoint, exit (lib/Interuption.c set_signal semantics).
 
 Usage: python -m g4s_tpu.drivers.citcoms_regional <configfile>
            [--restart ckpt] [--f32]
@@ -9,7 +11,15 @@ Usage: python -m g4s_tpu.drivers.citcoms_regional <configfile>
 from __future__ import annotations
 
 import argparse
+import signal
 import time
+
+_STOP = {"flag": False}
+
+
+def _graceful(sig, frame):
+    print(f"# caught signal {sig}: stopping after this step", flush=True)
+    _STOP["flag"] = True
 
 
 def main():
@@ -33,9 +43,12 @@ def main():
     print(f"# G4S-TPU CitcomSRegional: {cfg.nodex}x{cfg.nodey}x{cfg.nodez} "
           f"Ra={cfg.rayleigh} steps={cfg.maxstep}")
     model = CitcomModel(cfg, dtype=jnp.float32 if args.f32 else jnp.float64)
+    signal.signal(signal.SIGINT, _graceful)
+    signal.signal(signal.SIGTERM, _graceful)
     t0 = time.time()
     s, hist = model.run(args.steps, verbose=True, write_output=True,
-                        checkpoint=True, restart_from=args.restart)
+                        checkpoint=True, restart_from=args.restart,
+                        stop_flag=lambda: _STOP["flag"])
     total = time.time() - t0
     n = len(hist)
     print(f"# total time {total:.3f} s; {total / max(n,1):.4f} s/step "

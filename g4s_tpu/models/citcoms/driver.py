@@ -223,7 +223,7 @@ class CitcomModel:
 
     def run(self, n_steps: Optional[int] = None, *, verbose: bool = False,
             write_output: bool = False, checkpoint: bool = False,
-            restart_from: Optional[str] = None):
+            restart_from: Optional[str] = None, stop_flag=None):
         """Main loop (bin/Citcom.c:199-281): initial solve, then per step
         advection + Stokes, with output every storage_spacing steps and
         checkpoints every checkpoint_frequency steps."""
@@ -253,6 +253,17 @@ class CitcomModel:
                 ckpt.save_citcoms(
                     os.path.join(cfg.datadir,
                                  f"{cfg.datafile}.chkpt.0.{step_no}"), s, cfg)
+            if stop_flag is not None and stop_flag():
+                from g4s_tpu import ckpt
+                import os
+                os.makedirs(cfg.datadir, exist_ok=True)
+                ckpt.save_citcoms(
+                    os.path.join(cfg.datadir,
+                                 f"{cfg.datafile}.chkpt.0.{step_no}"), s, cfg)
+                if verbose:
+                    print(f"# graceful stop at step {step_no}; "
+                          f"checkpoint written")
+                break
             if verbose:
                 print(f"step {step_no}: t={float(s.time):.5e} "
                       f"dt={float(diag.dt):.4e} v={float(diag.v_norm):.6e} "

@@ -404,3 +404,21 @@ class TestObservables:
         s, mon = model.initial_solve(model.init_state())
         np.testing.assert_allclose(float(rms_velocity(model, s.V)),
                                    float(mon.v_norm), rtol=1e-10)
+
+
+class TestSphereHarmonics:
+    def test_pure_mode_roundtrip(self):
+        from g4s_tpu.models.citcoms.sphere_harmonics import (sph_expand,
+                                                             sph_eval)
+        from scipy.special import lpmv
+        from math import factorial, pi, sqrt
+        th = np.linspace(1e-3, np.pi - 1e-3, 181)
+        ph = np.linspace(0, 2 * np.pi, 361)[:-1] + 1e-6
+        norm = sqrt(5 / (4 * pi) / factorial(4)) * sqrt(2)
+        f = norm * lpmv(2, 2, np.cos(th))[:, None] * np.cos(2 * ph)[None, :]
+        cc, cs = sph_expand(f, th, ph, 4)
+        assert abs(cc[2, 2] - 1.0) < 0.01
+        leakage = np.abs(cc).sum() + np.abs(cs).sum() - abs(cc[2, 2])
+        assert leakage < 0.05
+        rec = sph_eval(cc, cs, th, ph)
+        assert np.abs(rec - f).max() < 0.05
