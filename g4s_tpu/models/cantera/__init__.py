@@ -10,3 +10,8 @@ from g4s_tpu.models.cantera.reactor import IdealGasConstVolumeReactor  # noqa: F
 from g4s_tpu.models.cantera.shock_tube import (  # noqa: F401
     ShockTubeBenchmark, ignition_delay, stoich_mixture, NTC_TEMPERATURES,
 )
+from g4s_tpu.models.cantera.equilibrium import equilibrate_tp  # noqa: F401
+from g4s_tpu.models.cantera.transport import (  # noqa: F401
+    load_transport, mixture_viscosity, thermal_conductivity,
+    mixture_diffusion_coeffs,
+)

@@ -208,3 +208,47 @@ class TestTransport:
         D = mixture_diffusion_coeffs(mech, tr, T, 101325.0, jnp.asarray(x))
         d_o2 = float(D[mech.species_index("O2")])
         assert 1e-5 < d_o2 < 4e-5            # O2-N2 ~ 2.1e-5 m2/s
+
+
+class TestEquilibrium:
+    def test_h2o2_equilibrium_limits(self, h2o2):
+        from g4s_tpu.models.cantera.equilibrium import (equilibrate_tp,
+                                                        element_matrix)
+        names = h2o2.species_names
+        x0 = np.zeros(h2o2.nspec)
+        x0[names.index("H2")] = 2.0
+        x0[names.index("O2")] = 1.0
+        # low T: complete combustion
+        x = equilibrate_tp(h2o2, 1000.0, 101325.0, x0)
+        assert x[names.index("H2O")] > 0.999
+        # high T: significant dissociation, elements conserved
+        x = equilibrate_tp(h2o2, 3000.0, 101325.0, x0)
+        assert 0.4 < x[names.index("H2O")] < 0.8
+        assert x[names.index("OH")] > 0.02
+        A, els = element_matrix(h2o2)
+        r0 = A.T @ (x0 / x0.sum())
+        r1 = A.T @ x
+        np.testing.assert_allclose(r1[els.index("H")] / r1[els.index("O")],
+                                   r0[els.index("H")] / r0[els.index("O")],
+                                   rtol=1e-8)
+
+    def test_equilibrium_kills_net_rates(self, h2o2):
+        """At the TP equilibrium composition every reversible reaction's
+        net rate vanishes (thermodynamic consistency of kinetics+thermo)."""
+        from g4s_tpu.models.cantera.equilibrium import equilibrate_tp
+        from g4s_tpu.models.cantera.kinetics import rates_of_progress
+        names = h2o2.species_names
+        x0 = np.zeros(h2o2.nspec)
+        x0[names.index("H2")] = 2.0
+        x0[names.index("O2")] = 1.0
+        T, P = 2500.0, 101325.0
+        x = equilibrate_tp(h2o2, T, P, x0)
+        conc = jnp.asarray(x * P / (R_GAS * T))
+        kin = build_kinetics(h2o2)
+        rf, rr = rates_of_progress(kin, h2o2, jnp.asarray(T), conc)
+        rev = np.asarray(kin.reversible)
+        net = np.abs(np.asarray(rf - rr))[rev]
+        gross = np.maximum(np.asarray(rf)[rev], 1e-300)
+        # net/gross ~ 0 at equilibrium for reactions with active species
+        active = gross > 1e-12 * gross.max()
+        assert (net[active] / gross[active]).max() < 1e-5
