@@ -91,6 +91,8 @@ class CitcomModel:
         self.adv_geo = adv_mod.build_advection_geometry(g, m, self.tmass)
         # per-layer surface-area weights for horizontal averaging
         self._layer_weights = to(self._build_layer_weights())
+        from g4s_tpu.models.citcoms.nodal import StencilPlan
+        self.stencil_plan = StencilPlan.build(cfg)
         self.uzawa_params = sol.UzawaParams(
             cfg.accuracy, cfg.inner_accuracy_scale, cfg.piterations,
             cfg.vlowstep, cfg.check_pressure_convergence)
@@ -158,6 +160,13 @@ class CitcomModel:
         V = asm.apply_vbc(V, self.vbc_mask, self.vbc_val)
         prob = sol.local_problem(ops, self.nmass, self.e_area,
                                  self.total_volume)
+        # swap the element-by-element matvec for the 27-point nodal stencil
+        # (n_assemble path): identical operator, no gather/scatter per
+        # iteration — built once per viscosity update.
+        from g4s_tpu.models.citcoms.nodal import build_stencil, nodal_matvec
+        W = build_stencil(ops.elt_k, self.stencil_plan)
+        prob = prob._replace(
+            A=lambda u: nodal_matvec(W, u, self.vbc_mask, strip=True))
         if self.cfg.solver_type in ("bicg", "bicgstab"):
             V, P, mon = sol.uzawa_bicgstab(prob, V, P, F, fdotf,
                                            self.uzawa_params)
