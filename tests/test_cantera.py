@@ -252,3 +252,28 @@ class TestEquilibrium:
         # net/gross ~ 0 at equilibrium for reactions with active species
         active = gross > 1e-12 * gross.max()
         assert (net[active] / gross[active]).max() < 1e-5
+
+
+class TestFlame:
+    def test_burner_flame_ignites(self, h2o2):
+        """H2/air burner-stabilized flame: pseudo-transient march ignites
+        the mixture, consumes H2, produces H2O, and drives the steady
+        residual down (the oneD/StFlow capability)."""
+        from g4s_tpu.models.cantera.transport import load_transport
+        from g4s_tpu.models.cantera.flame import BurnerFlame
+        tr = load_transport(H2O2, h2o2)
+        names = h2o2.species_names
+        X = np.zeros(h2o2.nspec)
+        X[names.index("H2")] = 2.0
+        X[names.index("O2")] = 1.0
+        X[names.index("N2")] = 3.76
+        W = h2o2.mol_weights
+        Y = X * W / (X * W).sum()
+        fl = BurnerFlame(h2o2, tr, n_points=32, width=0.01, mdot=0.08)
+        s0 = fl.initial_profile(Y)
+        res, reduction = fl.solve(s0, t_end=0.02, rtol=1e-5, atol=1e-8)
+        T, Yf = fl.unpack(res.y)
+        assert T[-1] > 1800.0                      # ignited downstream
+        assert Yf[-1, names.index("H2")] < 0.7 * Y[names.index("H2")]
+        assert Yf[-1, names.index("H2O")] > 0.12
+        assert reduction < 0.05                    # residual down > 20x
