@@ -422,3 +422,59 @@ class TestSphereHarmonics:
         assert leakage < 0.05
         rec = sph_eval(cc, cs, th, ph)
         assert np.abs(rec - f).max() < 0.05
+
+
+class TestFullSphere:
+    def _model(self):
+        from g4s_tpu.models.citcoms.full_driver import FullSphereModel
+        cfg = CitcomConfig(nodex=9, nodey=9, nodez=5, radius_inner=0.55,
+                           radius_outer=1.0, rayleigh=1e4, num_mat=1)
+        return FullSphereModel(cfg)
+
+    def test_mesh_euler_characteristic(self):
+        from g4s_tpu.models.citcoms.full_mesh import build_full_sphere_mesh
+        m = build_full_sphere_mesh(9, 9, 5, 0.55, 1.0)
+        # closed surface: V = 12*(n-1)^2 + 2
+        assert m.nno // 5 == 12 * 64 + 2
+        assert m.nel == 12 * 8 * 8 * 4
+
+    def test_volume(self):
+        model = self._model()
+        analytic = 4 * np.pi / 3 * (1.0 - 0.55 ** 3)
+        assert abs(model.total_volume - analytic) / analytic < 1e-3
+
+    def test_rotation_near_nullspace_across_caps(self):
+        """K applied to a rigid rotation is small relative to a straining
+        field — exercises cc/ccx and assembly across all 12 cap frames."""
+        from g4s_tpu.models.citcoms import assembly as asm
+        model = self._model()
+        s = model.init_state()
+        ops = model._build_ops(s.T)
+        m = model.mesh
+        V = np.zeros((m.nno, 3))
+        V[:, 1] = m.sx[:, 2] * np.sin(m.sx[:, 0])
+        Au = np.asarray(asm.assemble_del2_u(ops, jnp.asarray(V), strip=False))
+        V2 = np.zeros((m.nno, 3))
+        V2[:, 1] = m.sx[:, 2] ** 2
+        Au2 = np.asarray(asm.assemble_del2_u(ops, jnp.asarray(V2),
+                                             strip=False))
+        assert np.abs(Au).max() < 0.1 * np.abs(Au2).max()
+
+    def test_buoyant_solve_and_step(self):
+        model = self._model()
+        s = model.init_state()
+        xyz = model._xyz
+        blob = np.exp(-np.sum((xyz - np.array([0.6, 0.3, 0.2])) ** 2,
+                              axis=1) / 0.05)
+        T2 = jnp.asarray(np.clip(np.asarray(s.T) + 0.3 * blob, 0, 1))
+        import dataclasses as dc
+        s = dc.replace(s, T=T2)
+        s, mon = model.initial_solve(s)
+        assert float(mon.incompressibility) < 1e-3
+        assert np.isfinite(float(mon.v_norm))
+        s2, diag = model.step(s)
+        assert np.isfinite(np.asarray(s2.T)).all()
+        assert float(s2.time) > 0
+        # net rotation is projected out
+        Vr = model.remove_net_rotation(s2.V)
+        assert float(jnp.max(jnp.abs(Vr - s2.V))) < 1e-10
