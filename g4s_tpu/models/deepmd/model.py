@@ -36,7 +36,10 @@ class ModelSpec(NamedTuple):
     fit_neurons: Tuple[int, ...]        # e.g. (240, 240, 240)
     embed_resnet_dt: bool = False
     fit_resnet_dt: bool = True
-    descriptor_type: str = "se_e2_a"    # or "se_e2_r" (radial-only, se_r.py)
+    descriptor_type: str = "se_e2_a"    # "se_e2_r" | "se_atten"
+    attn_layers: int = 2                # se_atten: attention layers
+    attn_dim: int = 0                   # se_atten: Q/K/V width (0 -> m1)
+    tebd_dim: int = 8                   # se_atten: type-embedding width
 
     @property
     def m1(self) -> int:
@@ -50,19 +53,41 @@ class ModelSpec(NamedTuple):
 
 
 def init_params(key, spec: ModelSpec, *, bias_atom_e=None, dtype=jnp.float64):
-    """Parameter pytree: embed[tc][tn] nets + fit[tc] nets + stats."""
+    """Parameter pytree: embed[tc][tn] nets + fit[tc] nets + stats
+    (+ type embedding and attention weights for se_atten)."""
     nt = spec.descriptor.ntypes
     if bias_atom_e is None:
         bias_atom_e = np.zeros(nt)
-    embed = []
-    for tc in range(nt):
-        row = []
-        for tn in range(nt):
-            key, sub = jax.random.split(key)
-            row.append(init_embedding_net(sub, spec.embed_neurons,
-                                          resnet_dt=spec.embed_resnet_dt,
-                                          dtype=dtype))
-        embed.append(row)
+    if spec.descriptor_type == "se_atten":
+        # one type-mixed embedding net over [s(r), tebd_j, tebd_i]
+        key, k1, k2 = jax.random.split(key, 3)
+        embed = init_embedding_net(k1, spec.embed_neurons,
+                                   in_dim=1 + 2 * spec.tebd_dim,
+                                   resnet_dt=spec.embed_resnet_dt,
+                                   dtype=dtype)
+        d = spec.attn_dim or spec.m1
+        attn = []
+        for _ in range(spec.attn_layers):
+            key, kq, kk, kv, ko = jax.random.split(key, 5)
+            sc = 1.0 / np.sqrt(spec.m1)
+            attn.append({
+                "wq": sc * jax.random.normal(kq, (spec.m1, d), dtype),
+                "wk": sc * jax.random.normal(kk, (spec.m1, d), dtype),
+                "wv": sc * jax.random.normal(kv, (spec.m1, d), dtype),
+                "wo": sc * jax.random.normal(ko, (d, spec.m1), dtype)})
+        key, kt = jax.random.split(key)
+        tebd = 0.1 * jax.random.normal(kt, (nt, spec.tebd_dim), dtype)
+        embed = {"net": embed, "attn": attn, "tebd": tebd}
+    else:
+        embed = []
+        for tc in range(nt):
+            row = []
+            for tn in range(nt):
+                key, sub = jax.random.split(key)
+                row.append(init_embedding_net(sub, spec.embed_neurons,
+                                              resnet_dt=spec.embed_resnet_dt,
+                                              dtype=dtype))
+            embed.append(row)
     fit = []
     for tc in range(nt):
         key, sub = jax.random.split(key)
@@ -77,13 +102,15 @@ def init_params(key, spec: ModelSpec, *, bias_atom_e=None, dtype=jnp.float64):
     return {"embed": embed, "fit": fit, "stats": stats}
 
 
-def atomic_descriptor(params, spec: ModelSpec, R, types):
-    """R: (N, nnei, 4) raw env mat -> D: (N, M1*M2)."""
+def atomic_descriptor(params, spec: ModelSpec, R, types, nlist=None):
+    """R: (N, nnei, 4) raw env mat -> D: (N, descriptor_dim)."""
     nt = spec.descriptor.ntypes
     sel = spec.descriptor.sel
     nnei = spec.descriptor.nnei
     Rn = normalize_env_mat(R, types, params["stats"]["davg"],
                            params["stats"]["dstd"])
+    if spec.descriptor_type == "se_atten":
+        return _descriptor_atten(params, spec, Rn, types, nlist)
     sec = np.concatenate([[0], np.cumsum(sel)])
 
     # per center type, accumulate T = sum over neighbor sections R̃^T G
@@ -116,6 +143,44 @@ def atomic_descriptor(params, spec: ModelSpec, R, types):
         D_all, types[None, :, None].astype(jnp.int32), axis=0)[0]
 
 
+def _descriptor_atten(params, spec: ModelSpec, Rn, types, nlist):
+    """DPA-style attention descriptor (DescrptSeAtten, se_atten.py):
+    type-mixed neighbor embedding of [s(r), tebd_neighbor, tebd_center]
+    refined by gated dot-product attention over neighbors, then the same
+    R^T G contraction as se_e2_a."""
+    emb = params["embed"]
+    tebd = emb["tebd"]
+    valid = Rn[:, :, 0] != 0.0 if nlist is None else (nlist >= 0)
+    ntypes = spec.descriptor.ntypes
+    if nlist is None:
+        raise ValueError("se_atten needs the neighbor list (types of "
+                         "neighbors); call via total_energy")
+    nb_type = jnp.where(nlist >= 0, jnp.take(types, jnp.maximum(nlist, 0)),
+                        0)
+    t_j = jnp.take(tebd, nb_type, axis=0)               # (N, nnei, d_t)
+    t_i = jnp.broadcast_to(jnp.take(tebd, types, axis=0)[:, None, :],
+                           t_j.shape)
+    s_in = Rn[:, :, 0:1]
+    x = jnp.concatenate([s_in, t_j, t_i], axis=-1)
+    G = embedding_net_apply(emb["net"], x)              # (N, nnei, m1)
+    d = spec.attn_dim or spec.m1
+    scale = 1.0 / jnp.sqrt(jnp.asarray(float(d), G.dtype))
+    neg = jnp.asarray(-1e9, G.dtype)
+    for layer in emb["attn"]:
+        q = G @ layer["wq"]
+        k = G @ layer["wk"]
+        v = G @ layer["wv"]
+        logits = jnp.einsum("nid,njd->nij", q, k) * scale
+        logits = jnp.where(valid[:, None, :], logits, neg)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.where(valid[:, :, None], attn, 0.0)
+        G = G + (attn @ v) @ layer["wo"]
+    G = jnp.where(valid[:, :, None], G, 0.0)
+    T = jnp.einsum("nsc,nsm->ncm", Rn, G) / spec.descriptor.nnei
+    D = jnp.einsum("ncm,nck->nmk", T, T[:, :, : spec.axis_neuron])
+    return D.reshape(Rn.shape[0], -1)
+
+
 def atomic_energy(params, spec: ModelSpec, D, types):
     e_by_tc = jnp.stack([fitting_net_apply(params["fit"][tc], D)
                          for tc in range(spec.descriptor.ntypes)], axis=0)
@@ -124,8 +189,8 @@ def atomic_energy(params, spec: ModelSpec, D, types):
 
 
 def total_energy(params, spec: ModelSpec, coords, box, types):
-    R, _ = env_mat(coords, box, types, spec.descriptor)
-    D = atomic_descriptor(params, spec, R, types)
+    R, nlist = env_mat(coords, box, types, spec.descriptor)
+    D = atomic_descriptor(params, spec, R, types, nlist)
     return jnp.sum(atomic_energy(params, spec, D, types))
 
 

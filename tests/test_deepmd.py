@@ -298,3 +298,40 @@ class TestInferAPI:
             __import__("g4s_tpu.models.deepmd.model", fromlist=["total_energy"])
             .total_energy(params, spec, coord @ Rz.T, box @ Rz.T, types)))
         assert abs(e2 - float(e)) < 1e-8 * max(abs(float(e)), 1)
+
+
+class TestSeAtten:
+    def _spec(self):
+        return ModelSpec(DescriptorSpec(3.0, 0.5, (6, 10), 2), (4, 8, 16),
+                         4, (16, 16), descriptor_type="se_atten",
+                         attn_layers=2, tebd_dim=4)
+
+    def test_invariances(self, rng):
+        spec = self._spec()
+        coord, box, types = random_frame(rng)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        e = float(total_energy(params, spec, coord, box, types))
+        assert np.isfinite(e)
+        # translation
+        e2 = float(total_energy(params, spec, coord + 0.77, box, types))
+        assert abs(e2 - e) < 1e-8 * max(abs(e), 1)
+        # rotation (box rotates too)
+        th = 0.4
+        Rz = jnp.asarray([[np.cos(th), -np.sin(th), 0],
+                          [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        e3 = float(total_energy(params, spec, coord @ Rz.T, box @ Rz.T,
+                                types))
+        assert abs(e3 - e) < 1e-7 * max(abs(e), 1)
+
+    def test_forces_and_training_grad(self, rng):
+        spec = self._spec()
+        coord, box, types = random_frame(rng)
+        params = init_params(jax.random.PRNGKey(1), spec)
+        e, f, v = energy_force_virial(params, spec, coord, box, types)
+        np.testing.assert_allclose(np.asarray(f).sum(axis=0), 0, atol=1e-8)
+        # params differentiable (training path)
+        g = jax.grad(lambda p: total_energy(p, spec, coord, box, types))(
+            params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert max(float(jnp.abs(l).max()) for l in leaves) > 0
