@@ -130,3 +130,103 @@ def compute_stats(frames_R: Sequence[np.ndarray], frames_types,
         dstd[t, :, 0] = max(std_r, 1e-2)
         dstd[t, :, 1:] = max(std_a, 1e-2)
     return davg, dstd
+
+
+def neighbor_stat(frames_coord, frames_box, types, rcut: float,
+                  ntypes: int):
+    """Max neighbor count per type over sample frames — the auto-`sel`
+    helper (deepmd/deepmd/utils/neighbor_stat.py + source/op/
+    neighbor_stat.cc). Returns (max_per_type, suggested_sel)."""
+    import numpy as np
+    types = np.asarray(types)
+    max_nbor = np.zeros(ntypes, dtype=np.int64)
+    for coord, box in zip(frames_coord, frames_box):
+        c = np.asarray(coord).reshape(-1, 3)
+        b = np.asarray(box).reshape(3, 3)
+        d = c[None] - c[:, None]
+        f = d @ np.linalg.inv(b)
+        f -= np.round(f)
+        r = np.linalg.norm(f @ b, axis=-1)
+        np.fill_diagonal(r, np.inf)
+        within = r < rcut
+        for t in range(ntypes):
+            cnt = within[:, types == t].sum(axis=1)
+            max_nbor[t] = max(max_nbor[t], int(cnt.max()))
+    # suggested sel: ~10% headroom rounded up to a multiple of 4
+    sel = (np.ceil(max_nbor * 1.1 / 4) * 4).astype(int)
+    return max_nbor, tuple(int(s) for s in sel)
+
+
+def env_mat_celllist(coords, box, types, spec: DescriptorSpec,
+                     *, max_per_cell: int = 64):
+    """Cell-list variant of env_mat for large N (the role of the
+    reference's cell-list build, source/lib/src/neighbor_list.cc).
+
+    Atoms are binned into cells with side >= rcut (static cell count from
+    the box); each atom's candidates come from its 27 surrounding cells
+    (fixed max occupancy, padded) instead of all N atoms — O(N) work.
+    Orthorhombic boxes only. Returns the same (R, nlist) as env_mat.
+    """
+    import numpy as np
+    n = coords.shape[0]
+    box_d = np.diag(np.asarray(box))
+    n_cells = np.maximum((box_d / spec.rcut).astype(int), 1)
+    ncx, ncy, ncz = int(n_cells[0]), int(n_cells[1]), int(n_cells[2])
+    n_cell_total = ncx * ncy * ncz
+
+    frac = coords / jnp.asarray(box_d)
+    frac = frac - jnp.floor(frac)
+    ci = jnp.minimum((frac * jnp.asarray([ncx, ncy, ncz])).astype(jnp.int32),
+                     jnp.asarray([ncx - 1, ncy - 1, ncz - 1]))
+    cell_id = (ci[:, 0] * ncy + ci[:, 1]) * ncz + ci[:, 2]
+
+    # bucket atoms per cell (static max occupancy): sort by cell, then
+    # rank within each run of equal cell ids
+    order = jnp.argsort(cell_id)
+    sorted_cells = jnp.take(cell_id, order)
+    run_first = jax.ops.segment_min(jnp.arange(n, dtype=jnp.int32),
+                                    sorted_cells, num_segments=n_cell_total)
+    rank = jnp.arange(n, dtype=jnp.int32) - jnp.take(run_first, sorted_cells)
+    buckets = jnp.full((n_cell_total, max_per_cell), -1, jnp.int32)
+    buckets = buckets.at[sorted_cells,
+                         jnp.minimum(rank, max_per_cell - 1)].set(
+        order.astype(jnp.int32))
+
+    # 27-cell candidate lists per atom
+    offs = jnp.asarray([(dx, dy, dz) for dx in (-1, 0, 1)
+                        for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+                       dtype=jnp.int32)
+    nb_cells = (jnp.mod(ci[:, None, 0] + offs[None, :, 0], ncx) * ncy
+                + jnp.mod(ci[:, None, 1] + offs[None, :, 1], ncy)) * ncz \
+        + jnp.mod(ci[:, None, 2] + offs[None, :, 2], ncz)
+    cand = jnp.take(buckets, nb_cells, axis=0).reshape(n, -1)  # (N, 27*occ)
+
+    # distances to candidates with minimum image
+    cc = jnp.take(coords, jnp.maximum(cand, 0), axis=0)
+    disp = cc - coords[:, None, :]
+    disp = disp - jnp.round(disp / jnp.asarray(box_d)) * jnp.asarray(box_d)
+    r2 = jnp.sum(disp * disp, axis=-1)
+    invalid = (cand < 0) | (cand == jnp.arange(n)[:, None])
+    big = jnp.asarray(1e10, r2.dtype)
+    r2 = jnp.where(invalid, big, r2)
+
+    cand_type = jnp.where(cand >= 0, jnp.take(types, jnp.maximum(cand, 0)),
+                          -1)
+    R_secs, nl_secs = [], []
+    for t in range(spec.ntypes):
+        k = spec.sel[t]
+        r2_t = jnp.where(cand_type == t, r2, big)
+        neg, idx = jax.lax.top_k(-r2_t, k)
+        d2 = -neg
+        valid = d2 < spec.rcut ** 2
+        d = jnp.sqrt(jnp.where(valid, d2, 1.0))
+        vec = jnp.take_along_axis(disp, idx[:, :, None], axis=1)
+        sw = switch_fn(d, spec.rcut_smth, spec.rcut)
+        s = jnp.where(valid, sw / d, 0.0)
+        rows = s[:, :, None] * vec / jnp.where(valid, d, 1.0)[:, :, None]
+        R_secs.append(jnp.concatenate([s[:, :, None], rows], axis=-1)
+                      * valid[:, :, None])
+        glob = jnp.take_along_axis(cand, idx, axis=1)
+        nl_secs.append(jnp.where(valid, glob, -1))
+    return (jnp.concatenate(R_secs, axis=1),
+            jnp.concatenate(nl_secs, axis=1))

@@ -335,3 +335,29 @@ class TestSeAtten:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
         assert max(float(jnp.abs(l).max()) for l in leaves) > 0
+
+
+class TestNeighborInfra:
+    def test_celllist_matches_bruteforce(self, rng):
+        from g4s_tpu.models.deepmd.descriptor import (env_mat,
+                                                      env_mat_celllist)
+        n, L = 200, 14.0
+        coord = jnp.asarray(rng.uniform(0, L, (n, 3)))
+        box = jnp.asarray(np.eye(3) * L)
+        types = jnp.asarray(np.sort(rng.integers(0, 2, n)).astype(np.int32))
+        spec = DescriptorSpec(3.5, 0.5, (12, 20), 2)
+        R1, nl1 = env_mat(coord, box, types, spec)
+        R2, nl2 = env_mat_celllist(coord, box, types, spec, max_per_cell=32)
+        np.testing.assert_allclose(np.asarray(R1), np.asarray(R2),
+                                   atol=1e-12)
+        assert (np.sort(np.asarray(nl1), axis=1)
+                == np.sort(np.asarray(nl2), axis=1)).all()
+
+    def test_neighbor_stat_suggests_sane_sel(self, rng):
+        from g4s_tpu.models.deepmd.descriptor import neighbor_stat
+        n, L = 150, 12.0
+        coord = rng.uniform(0, L, (n, 3))
+        types = np.sort(rng.integers(0, 2, n)).astype(np.int32)
+        mx, sel = neighbor_stat([coord], [np.eye(3) * L], types, 3.0, 2)
+        assert all(s >= m for s, m in zip(sel, mx))
+        assert all(s % 4 == 0 for s in sel)
