@@ -21,12 +21,11 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from g4s_tpu.obs.timings import Timings
-from g4s_tpu.ops.spgemm import (spgemm, spgemm_device_merge, spgemm_flops,
+from g4s_tpu.ops.spgemm import (spgemm_device_merge, spgemm_flops,
                                 spgemm_numeric, spgemm_plan)
-from g4s_tpu.sparse import CSR, crop, csr_allclose, csr_to_dense, read_mtx_csr
+from g4s_tpu.sparse import CSR, crop, csr_to_dense, read_mtx_csr
 
 
 def load_pair(a_path, b_path=None):

@@ -16,11 +16,11 @@ reference's use)."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from g4s_tpu.models.cantera.mech import Mechanism, P_REF, R_GAS
+from g4s_tpu.models.cantera.mech import Mechanism, P_REF
 from g4s_tpu.models.cantera.thermo import h0_RT, s0_R
 
 

@@ -13,7 +13,7 @@ State per grid point: [T, Y_1..Y_K]; constant pressure.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

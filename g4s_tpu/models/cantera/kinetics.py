@@ -20,7 +20,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from g4s_tpu.models.cantera.mech import Mechanism, P_REF, R_GAS
 from g4s_tpu.models.cantera.thermo import h0_RT, s0_R

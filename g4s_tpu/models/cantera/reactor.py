@@ -17,14 +17,11 @@ departure (RedlichKwongMFTP) simply changes U.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from g4s_tpu.models.cantera.kinetics import (KineticsArrays, build_kinetics,
+from g4s_tpu.models.cantera.kinetics import (build_kinetics,
                                              net_production_rates)
 from g4s_tpu.models.cantera.mech import Mechanism, R_GAS
 from g4s_tpu.models.cantera.thermo import (GasState, rk_departures,

@@ -12,7 +12,7 @@ temperature range (:198-266).
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

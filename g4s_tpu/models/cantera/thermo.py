@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from g4s_tpu.models.cantera.mech import Mechanism, P_REF, R_GAS
+from g4s_tpu.models.cantera.mech import Mechanism, R_GAS
 
 
 def _nasa_select(mech: Mechanism, T):

@@ -19,8 +19,6 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import field
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,8 +21,7 @@ on one chip — only the operator closures change.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -30,11 +29,10 @@ import numpy as np
 from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from g4s_tpu.models.citcoms import advection as adv_mod
 from g4s_tpu.models.citcoms import assembly as asm
 from g4s_tpu.models.citcoms import solvers as sol
 from g4s_tpu.models.citcoms.config import CitcomConfig
-from g4s_tpu.models.citcoms.driver import State, StepDiagnostics
+from g4s_tpu.models.citcoms.driver import StepDiagnostics
 from g4s_tpu.models.citcoms.mesh import build_regional_mesh, initial_temperature
 from g4s_tpu.models.citcoms.shapes import build_geometry
 from g4s_tpu.models.citcoms.viscosity import element_materials

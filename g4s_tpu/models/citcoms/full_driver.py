@@ -15,8 +15,6 @@ projects them out of a velocity field.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,8 +23,7 @@ from g4s_tpu.models.citcoms import assembly as asm
 from g4s_tpu.models.citcoms import solvers as sol
 from g4s_tpu.models.citcoms.config import CitcomConfig
 from g4s_tpu.models.citcoms.driver import State, StepDiagnostics
-from g4s_tpu.models.citcoms.full_mesh import (FullSphereMesh,
-                                              build_full_sphere_mesh,
+from g4s_tpu.models.citcoms.full_mesh import (build_full_sphere_mesh,
                                               _sph_to_xyz)
 from g4s_tpu.models.citcoms.shapes import build_geometry_general, shape_n, _PPOINT
 from g4s_tpu.models.citcoms.viscosity import viscosity_at_vpts

@@ -16,7 +16,7 @@ direct node identification for the single-device solver).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 

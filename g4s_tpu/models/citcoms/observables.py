@@ -8,9 +8,7 @@ flux), and the Lenardic-Kaula temperature filter
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def surface_heat_flux(model, T, *, top: bool = True):

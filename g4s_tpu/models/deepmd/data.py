@@ -11,7 +11,7 @@ ceil(32/natoms) frames (data_system.py auto rule).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, NamedTuple, Sequence
+from typing import NamedTuple, Sequence
 
 import numpy as np
 

@@ -7,14 +7,14 @@ across an ensemble of models, used for active-learning error estimates).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from g4s_tpu.models.deepmd.freeze import load_frozen
-from g4s_tpu.models.deepmd.model import ModelSpec, energy_force_virial
+from g4s_tpu.models.deepmd.model import energy_force_virial
 
 
 class DeepPot:

@@ -16,7 +16,7 @@ Units (metal): lengths A, energy eV, time ps, mass g/mol.
 from __future__ import annotations
 
 import time
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Assembles the forward graph that the reference builds in TF
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

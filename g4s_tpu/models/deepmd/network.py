@@ -18,7 +18,7 @@ degree-regular graph.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,11 +18,10 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from g4s_tpu.models.deepmd.model import ModelSpec, energy_force_virial

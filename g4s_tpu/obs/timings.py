@@ -55,3 +55,34 @@ class Timings:
         d = dict(self.stages)
         d["total"] = self.total
         return d
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str):
+    """jax.profiler trace context — the rebuild's analog of the reference's
+    TF timeline profiling (deepmd trainer.py:407-408,859) and rdtsc probes;
+    view with TensorBoard or xprof."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class ConvergenceLog:
+    """Per-iteration convergence reporting (the reference's
+    print_convergence_progress lines, Stokes_flow_Incomp.c:129-148)."""
+
+    def __init__(self, path=None):
+        self.rows = []
+        self.path = path
+
+    def record(self, step: int, **metrics):
+        self.rows.append((step, dict(metrics)))
+        if self.path:
+            with open(self.path, "a") as f:
+                vals = " ".join(f"{k}={v:.6e}" for k, v in metrics.items())
+                f.write(f"{step} {vals}\n")
+
+    def last(self):
+        return self.rows[-1] if self.rows else None

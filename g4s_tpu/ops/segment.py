@@ -10,7 +10,6 @@ data races by construction.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def segment_sum(data, segment_ids, num_segments: int,

@@ -10,7 +10,7 @@ axis names.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

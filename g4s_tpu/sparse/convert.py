@@ -9,7 +9,7 @@ once on the host before arrays are staged to the device.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -12,8 +12,6 @@ Parsing is vectorized with numpy instead of a scalar istream loop.
 from __future__ import annotations
 
 import gzip
-from typing import Tuple
-
 import numpy as np
 
 from g4s_tpu.sparse.containers import COO, CSR

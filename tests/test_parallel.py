@@ -169,3 +169,21 @@ class TestSphereTopology:
         assert len(pairs) == 48       # 12 caps x 4 faces
         srcs = [a for a, b in pairs]
         assert len(set((a, b) for a, b in pairs)) == 48
+
+
+class TestDistSpMV:
+    def test_row_sharded_spmv(self, rng):
+        import scipy.sparse as sp
+        from jax.sharding import Mesh
+        from g4s_tpu.ops.dist_spmv import dist_spmv, shard_rows_ell
+        from g4s_tpu.sparse import CSR
+        A = CSR.from_scipy(sp.random(100, 64, density=0.1,
+                                     random_state=np.random.RandomState(3),
+                                     format="csr"))
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("rows",))
+        cols, vals, rows_per, shape = shard_rows_ell(A, 4)
+        x = jnp.asarray(rng.normal(size=64))
+        y = dist_spmv(mesh, "rows", cols, vals, shape, x)
+        ref = A.to_scipy() @ np.asarray(x)
+        np.testing.assert_allclose(np.asarray(y).reshape(-1)[:100], ref,
+                                   rtol=1e-10)
