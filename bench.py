@@ -75,18 +75,19 @@ def bench_spmv(dtype_str: str):
     import jax.numpy as jnp
     import numpy as np
     import scipy.sparse as sp
-    from g4s_tpu.ops.pallas_spmv import pack_bwell, spmv_bwell
+    from g4s_tpu.engine import build_graph, mxv
     from g4s_tpu.sparse import CSR
 
     n, diags = 1 << 20, 16
     offs = np.r_[0, np.arange(1, diags // 2), -np.arange(1, diags // 2 + 1)]
     m = sp.diags([np.ones(n)] * len(offs), offs, shape=(n, n),
                  format="csr").astype(np.float32)
-    packed = pack_bwell(CSR.from_scipy(m), packs_per_tile=64)
+    g = build_graph(CSR.from_scipy(m))   # dispatcher picks DIA (banded)
+    assert g.variant == "dia", g.variant
 
     def chain(nrep):
         return jax.jit(lambda x: jax.lax.fori_loop(
-            0, nrep, lambda i, u: spmv_bwell(packed, u * 0.999), x))
+            0, nrep, lambda i, u: mxv(g, u * 0.999), x))
 
     times = {}
     for nrep in (2, 100):
@@ -100,7 +101,7 @@ def bench_spmv(dtype_str: str):
             ts.append(time.time() - t0)
         times[nrep] = min(ts)
     per = (times[100] - times[2]) / 98
-    bytes_moved = packed.vals.size * 8 + n * 8
+    bytes_moved = g.dia.vals.size * 4 + n * 8
     return bytes_moved / per / 1e9
 
 

@@ -31,8 +31,8 @@ import numpy as np
 from g4s_tpu.engine.semiring import PLUS_TIMES, Semiring
 from g4s_tpu.ops.segment import segment_reduce
 from g4s_tpu.ops.spgemm import SpGEMMPlan, spgemm_plan
-from g4s_tpu.sparse.containers import CSR, ELL
-from g4s_tpu.sparse.convert import csr_to_ell
+from g4s_tpu.sparse.containers import CSR, DIA, ELL
+from g4s_tpu.sparse.convert import csr_to_dia, csr_to_ell
 
 _ADD_OPS = {"plus_times": "add", "min_plus": "min", "max_plus": "max",
             "max_times": "max", "or_and": "add"}
@@ -53,9 +53,10 @@ class Graph:
 
     ell: Optional[ELL]            # padded layout (ELL/SELL variants)
     csr: Optional[CSR]            # nnz layout (segment-sum variant)
+    dia: Optional[DIA]            # banded layout (shifted-multiply variant)
     row_ids: Optional[jax.Array]  # (nnz,) row of each stored entry (CSR path)
     deg: jax.Array                # (n_rows,) true row degrees
-    variant: str = _static()      # 'ell' | 'csr'
+    variant: str = _static()      # 'ell' | 'csr' | 'dia'
     shape: Tuple[int, int] = _static()
 
     @property
@@ -68,22 +69,38 @@ class Graph:
 
 
 def build_graph(a: CSR, *, variant: str | None = None,
-                max_padding_waste: float = 1.5, pad_to: int = 8) -> Graph:
+                max_padding_waste: float = 1.5, pad_to: int = 8,
+                max_diags: int = 48) -> Graph:
     """Static strategy exploration: choose the execution layout from row
     statistics (host-side, once — like the reference engine's per-matrix
-    strategy search, but resolved at trace time)."""
+    strategy search, but resolved at trace time).
+
+    Order of preference: DIA (banded, gather-free — runs at HBM roofline),
+    ELL (uniform degrees), CSR (extreme skew)."""
     deg = np.diff(np.asarray(a.indptr)).astype(np.int32)
     nnz = max(int(deg.sum()), 1)
     width = int(deg.max()) if deg.size else 0
     waste = (width * a.shape[0] - nnz) / nnz if nnz else 0.0
     if variant is None:
-        variant = "ell" if waste <= max_padding_waste else "csr"
+        if a.shape[0] == a.shape[1] and nnz > 1:
+            offs = np.unique(np.asarray(a.indices).astype(np.int64)
+                             - np.repeat(np.arange(a.shape[0],
+                                                   dtype=np.int64), deg))
+            dia_waste = offs.size * a.shape[0] / nnz
+            if offs.size <= max_diags and dia_waste <= 2.0 + max_padding_waste:
+                variant = "dia"
+        if variant is None:
+            variant = "ell" if waste <= max_padding_waste else "csr"
+    if variant == "dia":
+        dia = csr_to_dia(a).to_device()
+        return Graph(None, None, dia, None, jnp.asarray(deg), "dia", a.shape)
     if variant == "ell":
         ell = csr_to_ell(a, pad_to=pad_to).to_device()
-        return Graph(ell, None, None, jnp.asarray(deg), "ell", a.shape)
+        return Graph(ell, None, None, None, jnp.asarray(deg), "ell", a.shape)
     row_ids = np.repeat(np.arange(a.shape[0], dtype=np.int32), deg)
     d = a.to_device()
-    return Graph(None, d, jnp.asarray(row_ids), jnp.asarray(deg), "csr", a.shape)
+    return Graph(None, d, None, jnp.asarray(row_ids), jnp.asarray(deg),
+                 "csr", a.shape)
 
 
 def mxv(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
@@ -93,6 +110,16 @@ def mxv(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
     (deepmd/source/op/graph.h:21-31: for each vertex, combine over neighbors,
     then apply).
     """
+    if g.variant == "dia":
+        if semiring is not PLUS_TIMES:
+            raise NotImplementedError(
+                "DIA layout supports the plus_times semiring only; "
+                "build the graph with variant='ell' or 'csr'")
+        from g4s_tpu.ops.spmv import spmv_dia
+        y = spmv_dia(g.dia, x)
+        if mask is not None:
+            y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
+        return y
     if g.variant == "ell":
         ell = g.ell
         gathered = jnp.take(x, ell.cols, axis=0)
@@ -128,5 +155,10 @@ def mxm(a: CSR, b: CSR, *, semiring: Semiring = PLUS_TIMES,
 
 def reduce_vector(g: Graph, *, semiring: Semiring = PLUS_TIMES):
     """Reduce all stored values of the operator (GraphBLAS reduce)."""
-    vals = g.ell.vals if g.variant == "ell" else g.csr.data
+    if g.variant == "ell":
+        vals = g.ell.vals
+    elif g.variant == "dia":
+        vals = g.dia.vals
+    else:
+        vals = g.csr.data
     return semiring.reduce(vals)

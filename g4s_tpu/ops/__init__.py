@@ -1,7 +1,7 @@
 from g4s_tpu.ops.segment import segment_sum, sorted_segment_sum  # noqa: F401
 from g4s_tpu.ops.blas2 import gemv, symv, trmv, spmv_packed, pack_symmetric  # noqa: F401
 from g4s_tpu.ops.spmv import (  # noqa: F401
-    spmv_ell, spmv_sell, spmv_csr, spmv, spmv_dense_rows,
+    spmv_ell, spmv_sell, spmv_csr, spmv_dia, spmv, spmv_dense_rows,
 )
 from g4s_tpu.ops.spgemm import (  # noqa: F401
     spgemm, spgemm_plan, spgemm_flops, SpGEMMPlan,

@@ -13,7 +13,7 @@ from typing import Optional
 
 import numpy as np
 
-from g4s_tpu.sparse.containers import COO, CSC, CSR, ELL, SELL
+from g4s_tpu.sparse.containers import COO, CSC, CSR, DIA, ELL, SELL
 
 
 def _as_np(x):
@@ -164,3 +164,21 @@ def csr_to_sell(m: CSR, *, slice_height: int = 512, pad_to: int = 8) -> SELL:
                       np.zeros((0, 1), data.dtype), (0, m.n_cols))]
         slice_rows = [0]
     return SELL(tuple(slices), perm, tuple(slice_rows), m.shape)
+
+
+def csr_to_dia(m: CSR, *, max_diags: Optional[int] = None) -> DIA:
+    """Row-aligned diagonal storage (see containers.DIA). Raises ValueError
+    when the matrix has more distinct diagonals than `max_diags` (caller
+    falls back to ELL/BWELL)."""
+    coo = csr_to_coo(m)
+    row = _as_np(coo.row).astype(np.int64)
+    col = _as_np(coo.col).astype(np.int64)
+    val = _as_np(coo.val)
+    offs = np.unique(col - row)
+    if max_diags is not None and offs.size > max_diags:
+        raise ValueError(f"{offs.size} diagonals exceeds max_diags "
+                         f"{max_diags}")
+    vals = np.zeros((offs.size, m.n_rows), val.dtype)
+    idx = np.searchsorted(offs, col - row)
+    vals[idx, row] += val
+    return DIA(vals, tuple(int(o) for o in offs), m.shape)

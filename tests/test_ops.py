@@ -226,3 +226,51 @@ class TestPallasSpMV:
         A = coo_to_csr(coo)
         with pytest.raises(ValueError):
             ps.pack_bwell(A)
+
+
+class TestDIA:
+    def test_dia_roundtrip_and_spmv(self):
+        from g4s_tpu.sparse import csr_to_dia
+        from g4s_tpu.ops import spmv_dia
+        m = sp.diags([np.arange(1.0, 101.0)] * 3, [0, 2, -5],
+                     shape=(100, 100), format="csr")
+        A = CSR.from_scipy(m.tocsr())
+        d = csr_to_dia(A).to_device()
+        x = np.random.default_rng(0).normal(size=100)
+        y = spmv_dia(d, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), m @ x, rtol=1e-12)
+
+    def test_dispatcher_picks_dia_for_banded(self):
+        from g4s_tpu.engine import build_graph, mxv
+        m = sp.diags([np.ones(256)] * 5, [0, 1, -1, 2, -2],
+                     shape=(256, 256), format="csr")
+        A = CSR.from_scipy(m.tocsr())
+        g = build_graph(A)
+        assert g.variant == "dia"
+        x = np.random.default_rng(1).normal(size=256)
+        y = mxv(g, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), m @ x, rtol=1e-12)
+        # random (non-banded) matrix should NOT pick dia
+        g2 = build_graph(random_csr(0, 100, 100, 0.05))
+        assert g2.variant != "dia"
+
+    def test_gas_on_dia(self):
+        from g4s_tpu.engine import build_graph, gather_apply
+        m = sp.diags([np.full(64, 2.0)] * 3, [0, 1, -1],
+                     shape=(64, 64), format="csr")
+        A = CSR.from_scipy(m.tocsr())
+        g = build_graph(A)
+        assert g.variant == "dia"
+        x = np.random.default_rng(2).normal(size=64)
+        y = gather_apply(g, jnp.asarray(x), gather=lambda w, s: w * s,
+                         apply=lambda a: a + 1.0)
+        np.testing.assert_allclose(np.asarray(y), m @ x + 1.0, rtol=1e-12)
+
+    def test_dia_rejects_min_plus(self):
+        import pytest
+        from g4s_tpu.engine import build_graph, mxv, MIN_PLUS
+        m = sp.diags([np.ones(64)] * 3, [0, 1, -1], shape=(64, 64),
+                     format="csr")
+        g = build_graph(CSR.from_scipy(m.tocsr()))
+        with pytest.raises(NotImplementedError):
+            mxv(g, jnp.ones(64), semiring=MIN_PLUS)
