@@ -75,6 +75,8 @@ class CitcomConfig:
     checkpoint_frequency: int = 100
     datadir: str = "."
     datafile: str = "citcom"
+    output_format: str = "ascii"      # ascii | ascii-gz | vtk (Output.c:41)
+    vtk_format: str = "binary"        # binary | ascii (Output_vtk.c)
     rayleigh: float = 0.0
     Q0: float = 0.0
     inputdiffusivity: float = 1.0

@@ -10,6 +10,7 @@ snapshot which is the practical artifact for postprocessing.
 
 from __future__ import annotations
 
+import gzip
 import os
 
 import numpy as np
@@ -17,14 +18,20 @@ import numpy as np
 
 def _path(cfg, field: str, step: int, rank: int = 0) -> str:
     os.makedirs(cfg.datadir, exist_ok=True)
-    return os.path.join(cfg.datadir, f"{cfg.datafile}.{field}.{rank}.{step}")
+    p = os.path.join(cfg.datadir, f"{cfg.datafile}.{field}.{rank}.{step}")
+    return p + ".gz" if getattr(cfg, "output_format", "") == "ascii-gz" else p
+
+
+def _open(path: str):
+    """ascii-gz support (the reference's Output_gzdir.c gzipped variant)."""
+    return gzip.open(path, "wt") if path.endswith(".gz") else open(path, "w")
 
 
 def output_coord(model, rank: int = 0) -> str:
     """coordinates: node count then (theta, fi, r) rows (output_coord)."""
     p = _path(model.cfg, "coord", 0, rank)
     sx = model.mesh.sx
-    with open(p, "w") as f:
+    with _open(p) as f:
         f.write(f"{sx.shape[0]}\n")
         np.savetxt(f, sx, fmt="%.6e")
     return p
@@ -35,7 +42,7 @@ def output_velo(model, state, step: int, rank: int = 0) -> str:
     p = _path(model.cfg, "velo", step, rank)
     V = np.asarray(state.V)
     T = np.asarray(state.T)
-    with open(p, "w") as f:
+    with _open(p) as f:
         f.write(f"{float(state.time):.6e} {V.shape[0]}\n")
         np.savetxt(f, np.column_stack([V, T]), fmt="%.6e")
     return p
@@ -47,7 +54,7 @@ def output_visc(model, state, step: int, rank: int = 0) -> str:
     p = _path(model.cfg, "visc", step, rank)
     evisc = np.asarray(viscosity_at_vpts(model.cfg, model.mat, state.T,
                                          model.ien, model.N)).mean(axis=1)
-    with open(p, "w") as f:
+    with _open(p) as f:
         f.write(f"{evisc.shape[0]}\n")
         np.savetxt(f, evisc[:, None], fmt="%.6e")
     return p
@@ -64,7 +71,17 @@ def output_snapshot_npz(model, state, step: int) -> str:
 
 
 def output(model, state, step: int) -> list:
-    """Per-step output dispatch (Output.c output())."""
+    """Per-step output dispatch (Output.c output()): format selected by
+    cfg.output_format — ascii field files (default), ascii-gz
+    (Output_gzdir.c role), or vtk StructuredGrid (Output_vtk.c role)."""
+    if getattr(model.cfg, "output_format", "ascii") == "vtk":
+        from g4s_tpu.models.citcoms.vtk import output_vts, write_pvd
+        vts = output_vts(model, state, step)
+        log = getattr(model, "_vtk_series", None)
+        if log is None:
+            log = model._vtk_series = []
+        log.append((float(state.time), vts))
+        return [vts, write_pvd(model.cfg, log)]
     files = [output_velo(model, state, step), output_visc(model, state, step)]
     if step == 0:
         files.insert(0, output_coord(model))

@@ -505,3 +505,42 @@ class TestFullSphereSharded:
         assert float(jnp.max(jnp.abs(V1 - V2))) / vmax < 1e-12
         assert float(jnp.max(jnp.abs(P1 - P2))) < 1e-9 * max(
             1.0, float(jnp.max(jnp.abs(P1))))
+
+
+class TestOutputFormats:
+    def test_vtk_roundtrip_and_gz(self, tmp_path):
+        """output_format=vtk writes .vts + .pvd through run(); the inline
+        base64 arrays round-trip exactly; ascii-gz writes gzipped field
+        files with the same header line."""
+        import dataclasses
+        import glob
+        import gzip
+        from g4s_tpu.models.citcoms.vtk import (read_vts_points,
+                                                sphere_to_cart_velocity)
+        cfg = small_cfg(rayleigh=1e4, storage_spacing=1,
+                        datadir=str(tmp_path / "vtk"), output_format="vtk")
+        model = CitcomModel(cfg)
+        s, _ = model.run(n_steps=1, write_output=True)
+        vts = sorted(glob.glob(str(tmp_path / "vtk" / "*.vts")))
+        assert len(vts) == 2  # step 0 + step 1
+        d = read_vts_points(vts[-1])
+        T = np.asarray(s.T)
+        assert np.abs(d["temperature"] - T.astype(np.float32)).max() == 0
+        vc = sphere_to_cart_velocity(np.asarray(model.mesh.sx),
+                                     np.asarray(s.V))
+        assert np.abs(d["velocity"] - vc.astype(np.float32)).max() == 0
+        # rotation to Cartesian preserves speed
+        assert np.abs(np.linalg.norm(vc, axis=1)
+                      - np.linalg.norm(np.asarray(s.V), axis=1)).max() < 1e-12
+        pvd = (tmp_path / "vtk" / f"{cfg.datafile}.pvd").read_text()
+        assert pvd.count("<DataSet") == 2
+
+        cfg2 = dataclasses.replace(cfg, output_format="ascii-gz",
+                                   datadir=str(tmp_path / "gz"))
+        m2 = CitcomModel(cfg2)
+        m2.run(n_steps=1, write_output=True)
+        velo = sorted(glob.glob(str(tmp_path / "gz" / "*.velo.*.gz")))
+        assert velo
+        with gzip.open(velo[0], "rt") as fh:
+            first = fh.readline().split()
+        assert int(first[1]) == cfg.nno
