@@ -45,6 +45,13 @@ class KineticsArrays(NamedTuple):
     low_Ea: jnp.ndarray
     troe: jnp.ndarray
     has_troe: jnp.ndarray
+    is_plog: jnp.ndarray
+    plog_logP: jnp.ndarray
+    plog_arr: jnp.ndarray
+    is_cheb: jnp.ndarray
+    cheb_coeffs: jnp.ndarray
+    cheb_Tlim: jnp.ndarray
+    cheb_Plim: jnp.ndarray
 
 
 def build_kinetics(mech: Mechanism, dtype=jnp.float64) -> KineticsArrays:
@@ -57,7 +64,10 @@ def build_kinetics(mech: Mechanism, dtype=jnp.float64) -> KineticsArrays:
         jnp.asarray(mech.reversible), jnp.asarray(mech.is_three_body),
         jnp.asarray(mech.is_falloff), to(mech.efficiencies),
         to(mech.low_A), to(mech.low_b), to(mech.low_Ea),
-        to(mech.troe), jnp.asarray(mech.has_troe))
+        to(mech.troe), jnp.asarray(mech.has_troe),
+        jnp.asarray(mech.is_plog), to(mech.plog_logP), to(mech.plog_arr),
+        jnp.asarray(mech.is_cheb), to(mech.cheb_coeffs),
+        to(mech.cheb_Tlim), to(mech.cheb_Plim))
 
 
 def _arrhenius(A, b, Ea, T, logT):
@@ -93,7 +103,56 @@ def forward_rate_constants(kin: KineticsArrays, mech: Mechanism, T, conc):
     log_F = log_fc / (1.0 + f1 * f1)
     F = jnp.where(kin.has_troe, jnp.power(10.0, log_F), 1.0)
     kf_falloff = kf * (pr / (1.0 + pr)) * F
-    return jnp.where(kin.is_falloff, kf_falloff, kf)
+    kf = jnp.where(kin.is_falloff, kf_falloff, kf)
+
+    # pressure-dependent classes (gated at trace time; the benchmark
+    # mechanisms carry none, so they cost nothing there). Pressure from the
+    # ideal-gas state the kinetics sees (GasKinetics::update_rates_C).
+    import numpy as _np
+    if _np.any(_np.asarray(mech.is_plog)):
+        P = jnp.sum(conc) * R_GAS * T
+        lnP = jnp.log(jnp.maximum(P, 1e-300))
+        # PlogRate.cpp: ln k linear in ln P between bracketing pressures;
+        # clamped to the boundary rates outside the table
+        lk = (jnp.log(kin.plog_arr[:, :, 0])
+              + kin.plog_arr[:, :, 1] * logT
+              - kin.plog_arr[:, :, 2] / (R_GAS * T))
+        maxp = kin.plog_logP.shape[1]
+        cnt = jnp.sum(kin.plog_logP <= lnP, axis=1)
+        ilo = jnp.clip(cnt - 1, 0, max(maxp - 2, 0))[:, None]
+        lp0 = jnp.take_along_axis(kin.plog_logP, ilo, 1)[:, 0]
+        lp1 = jnp.take_along_axis(kin.plog_logP,
+                                  jnp.minimum(ilo + 1, maxp - 1), 1)[:, 0]
+        lk0 = jnp.take_along_axis(lk, ilo, 1)[:, 0]
+        lk1 = jnp.take_along_axis(lk,
+                                  jnp.minimum(ilo + 1, maxp - 1), 1)[:, 0]
+        w = jnp.clip(jnp.where(jnp.isfinite(lp1 - lp0) & (lp1 > lp0),
+                               (lnP - lp0) / jnp.where(lp1 > lp0,
+                                                       lp1 - lp0, 1.0),
+                               0.0), 0.0, 1.0)
+        kf = jnp.where(kin.is_plog, jnp.exp(lk0 + w * (lk1 - lk0)), kf)
+    if _np.any(_np.asarray(mech.is_cheb)):
+        P = jnp.sum(conc) * R_GAS * T
+        # ChebyshevRate.cpp: log10 k = sum a_ij Ti(Tred) Tj(Pred)
+        Tmin, Tmax = kin.cheb_Tlim[:, 0], kin.cheb_Tlim[:, 1]
+        Pmin, Pmax = kin.cheb_Plim[:, 0], kin.cheb_Plim[:, 1]
+        tr = ((2.0 / T - 1.0 / Tmin - 1.0 / Tmax)
+              / (1.0 / Tmax - 1.0 / Tmin))
+        pr_ = ((2.0 * jnp.log10(P) - jnp.log10(Pmin) - jnp.log10(Pmax))
+               / (jnp.log10(Pmax) - jnp.log10(Pmin)))
+        nT, nP = kin.cheb_coeffs.shape[1], kin.cheb_coeffs.shape[2]
+
+        def _cheb_basis(x, nfun):
+            basis = [jnp.ones_like(x), x]
+            for _ in range(2, nfun):
+                basis.append(2.0 * x * basis[-1] - basis[-2])
+            return jnp.stack(basis[:nfun], axis=-1)   # (nrxn, nfun)
+
+        bt = _cheb_basis(tr, nT)
+        bp = _cheb_basis(pr_, nP)
+        log10k = jnp.einsum("rij,ri,rj->r", kin.cheb_coeffs, bt, bp)
+        kf = jnp.where(kin.is_cheb, jnp.power(10.0, log10k), kf)
+    return kf
 
 
 def equilibrium_constants(kin: KineticsArrays, mech: Mechanism, T):

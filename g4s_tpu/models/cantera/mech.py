@@ -62,6 +62,22 @@ class Mechanism:
     low_Ea: np.ndarray
     troe: np.ndarray                # (nrxn, 4) A, T3, T1, T2 (T2=0 -> absent)
     has_troe: np.ndarray            # (nrxn,) bool
+    # pressure-dependent-Arrhenius (PLOG): padded per-pressure tables
+    is_plog: np.ndarray             # (nrxn,) bool
+    plog_logP: np.ndarray           # (nrxn, maxp) ln(P/Pa), padded w/ +inf
+    plog_arr: np.ndarray            # (nrxn, maxp, 3) A(SI), b, Ea(J/mol)
+    plog_n: np.ndarray              # (nrxn,) valid point count
+    # Chebyshev: padded coefficient grids (log10 k in SI after conversion)
+    is_cheb: np.ndarray             # (nrxn,) bool
+    cheb_coeffs: np.ndarray         # (nrxn, nT, nP)
+    cheb_Tlim: np.ndarray           # (nrxn, 2) Tmin, Tmax (K)
+    cheb_Plim: np.ndarray           # (nrxn, 2) Pmin, Pmax (Pa)
+    # cubic-EoS selector + Peng-Robinson coefficients (mol-SI)
+    eos_model: str = "ideal"        # ideal | redlich-kwong | peng-robinson
+    pr_a: Optional[np.ndarray] = None       # (nspec,) Pa (m^3/mol)^2
+    pr_b: Optional[np.ndarray] = None       # (nspec,) m^3/mol
+    pr_kappa: Optional[np.ndarray] = None   # (nspec,) from acentric factor
+    pr_Tc: Optional[np.ndarray] = None      # (nspec,) K
 
     @property
     def nspec(self) -> int:
@@ -76,6 +92,17 @@ class Mechanism:
 
 
 _COEF_SPECIES = re.compile(r"^(\d+(?:\.\d+)?)\s+(.*)$")
+
+_PRESSURE_UNITS = {"Pa": 1.0, "kPa": 1e3, "bar": 1e5, "atm": 101325.0,
+                   "torr": 133.322}
+
+
+def _parse_pressure(v) -> float:
+    """'1.0 atm' / '1.0e5 Pa' / bare number (Pa) -> Pa."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    num, unit = v.split()
+    return float(num) * _PRESSURE_UNITS[unit]
 
 
 def _parse_side(side: str, species_idx: Dict[str, int], nspec: int):
@@ -151,7 +178,13 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
     t_mid = np.zeros(nspec)
     rk_a = np.zeros((nspec, 2))
     rk_b = np.zeros(nspec)
-    is_rk_phase = str(phase.get("thermo", "")).lower().startswith("redlich")
+    pr_a = np.zeros(nspec)
+    pr_b = np.zeros(nspec)
+    pr_kappa = np.zeros(nspec)
+    pr_Tc = np.ones(nspec)
+    thermo_model = str(phase.get("thermo", "")).lower()
+    is_rk_phase = thermo_model.startswith("redlich")
+    is_pr_phase = thermo_model.startswith("peng")
 
     for name, i in species_idx.items():
         sp = by_name[name]
@@ -178,6 +211,15 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
             # (cm^3/mol)^2 * Pa -> (m^3/mol)^2 * Pa
             rk_a[i] = np.asarray(a, dtype=np.float64) * 1e-12
             rk_b[i] = float(eos["b"]) * 1e-6
+        elif eos and str(eos.get("model", "")).lower().startswith("peng"):
+            # PengRobinson.cpp setSpeciesCoeffs: a, b, acentric factor;
+            # Tc recovered from a/b via the critical-point relations
+            # a = 0.45724 R^2 Tc^2/Pc, b = 0.07780 R Tc/Pc
+            pr_a[i] = float(eos["a"]) * 1e-12
+            pr_b[i] = float(eos["b"]) * 1e-6
+            w = float(eos.get("acentric-factor", 0.0))
+            pr_kappa[i] = 0.37464 + 1.54226 * w - 0.26992 * w * w
+            pr_Tc[i] = (pr_a[i] * 0.07780) / (pr_b[i] * 0.45724 * R_GAS)
 
     # units block
     units = doc.get("units", {})
@@ -203,6 +245,10 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
     effs = np.ones((n, nspec))
     troe = np.zeros((n, 4))
     has_troe = np.zeros(n, bool)
+    is_plog = np.zeros(n, bool)
+    plog_entries: list = [None] * n
+    is_cheb = np.zeros(n, bool)
+    cheb_entries: list = [None] * n
 
     for k, rx in enumerate(rxns):
         eq = rx["equation"]
@@ -244,8 +290,55 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
                 has_troe[k] = True
                 troe[k] = [float(tr.get("A", 0.0)), float(tr.get("T3", 1e-30)),
                            float(tr.get("T1", 1e-30)), float(tr.get("T2", 0.0))]
+        elif rtype == "pressure-dependent-Arrhenius":
+            # PlogRate (cantera/src/kinetics/PlogRate.cpp): piecewise
+            # log-log interpolation between tabulated pressures
+            is_plog[k] = True
+            pts = []
+            for rc in rx["rate-constants"]:
+                pts.append((np.log(_parse_pressure(rc["P"])),
+                            *_convert_arrhenius(rc, order)))
+            pts.sort(key=lambda t: t[0])
+            plog_entries[k] = pts
+        elif rtype == "Chebyshev":
+            # ChebyshevRate (cantera/src/kinetics/ChebyshevRate.cpp):
+            # log10 k = sum_ij a_ij Ti(Tred) Tj(Pred); unit conversion of k
+            # folds into the constant coefficient a00
+            is_cheb[k] = True
+            coeffs = np.asarray(rx["data"], dtype=np.float64)
+            conv = conc_unit ** (-(order - 1.0))
+            coeffs[0, 0] += np.log10(conv)
+            tr_ = [float(t) for t in rx["temperature-range"]]
+            pr_ = [_parse_pressure(p) for p in rx["pressure-range"]]
+            cheb_entries[k] = (coeffs, tr_, pr_)
         else:
             arr[k] = _convert_arrhenius(rx["rate-constant"], order)
+
+    # pack PLOG points into padded tables (pad logP with +inf so the
+    # bracketing search naturally clamps to the last real interval)
+    maxp = max((len(p) for p in plog_entries if p), default=1)
+    plog_logP = np.full((n, maxp), np.inf)
+    plog_arr = np.zeros((n, maxp, 3))
+    plog_arr[:, :, 0] = 1.0
+    plog_n = np.zeros(n, np.int32)
+    for k, pts in enumerate(plog_entries):
+        if pts:
+            plog_n[k] = len(pts)
+            for j, (lp, A, b, Ea) in enumerate(pts):
+                plog_logP[k, j] = lp
+                plog_arr[k, j] = (A, b, Ea)
+
+    nT = max((c[0].shape[0] for c in cheb_entries if c), default=1)
+    nP = max((c[0].shape[1] for c in cheb_entries if c), default=1)
+    cheb_coeffs = np.zeros((n, nT, nP))
+    cheb_Tlim = np.tile(np.array([300.0, 3000.0]), (n, 1))
+    cheb_Plim = np.tile(np.array([1e3, 1e7]), (n, 1))
+    for k, ent in enumerate(cheb_entries):
+        if ent:
+            c, tr_, pr_ = ent
+            cheb_coeffs[k, :c.shape[0], :c.shape[1]] = c
+            cheb_Tlim[k] = tr_
+            cheb_Plim[k] = pr_
 
     return Mechanism(
         name=phase.get("name", "gas"), species_names=list(species_order),
@@ -256,4 +349,10 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
         arr_A=arr[:, 0], arr_b=arr[:, 1], arr_Ea=arr[:, 2],
         reversible=reversible, is_three_body=is_tb, is_falloff=is_fo,
         efficiencies=effs, low_A=low[:, 0], low_b=low[:, 1], low_Ea=low[:, 2],
-        troe=troe, has_troe=has_troe)
+        troe=troe, has_troe=has_troe,
+        is_plog=is_plog, plog_logP=plog_logP, plog_arr=plog_arr,
+        plog_n=plog_n, is_cheb=is_cheb, cheb_coeffs=cheb_coeffs,
+        cheb_Tlim=cheb_Tlim, cheb_Plim=cheb_Plim,
+        eos_model=("redlich-kwong" if is_rk_phase
+                   else "peng-robinson" if is_pr_phase else "ideal"),
+        pr_a=pr_a, pr_b=pr_b, pr_kappa=pr_kappa, pr_Tc=pr_Tc)

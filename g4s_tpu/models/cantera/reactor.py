@@ -24,8 +24,9 @@ import numpy as np
 from g4s_tpu.models.cantera.kinetics import (build_kinetics,
                                              net_production_rates)
 from g4s_tpu.models.cantera.mech import Mechanism, R_GAS
-from g4s_tpu.models.cantera.thermo import (GasState, rk_departures,
-                                           rk_molar_volume, u0_RT)
+from g4s_tpu.models.cantera.thermo import (GasState, pr_molar_volume,
+                                           rk_departures, rk_molar_volume,
+                                           u0_RT)
 from g4s_tpu.ops.odeint import bdf_solve
 
 
@@ -50,8 +51,9 @@ class IdealGasConstVolumeReactor:
         X = np.asarray(X, np.float64)
         X = X / X.sum()
         if self.real_gas:
-            v = float(rk_molar_volume(self.mech, jnp.asarray(float(T)),
-                                      jnp.asarray(float(P)), jnp.asarray(X)))
+            solve_v = pr_molar_volume if self.gas._is_pr else rk_molar_volume
+            v = float(solve_v(self.mech, jnp.asarray(float(T)),
+                              jnp.asarray(float(P)), jnp.asarray(X)))
         else:
             v = R_GAS * float(T) / float(P)
         conc = X / v
@@ -65,7 +67,7 @@ class IdealGasConstVolumeReactor:
         if self.real_gas:
             ntot = jnp.sum(conc)
             x = conc / ntot
-            u_dep, _ = rk_departures(self.mech, T, 1.0 / ntot, x)
+            u_dep, _ = self.gas._eos_departures(T, 1.0 / ntot, x)
             U = U + ntot * u_dep
         return U
 

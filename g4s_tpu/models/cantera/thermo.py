@@ -124,6 +124,68 @@ def rk_departures(mech: Mechanism, T, molar_volume, x):
     return u_dep, cv_dep
 
 
+# ---------------- Peng-Robinson real gas ----------------
+#
+# P = R T / (v - b) - a alpha(T) / (v^2 + 2 b v - b^2)
+# alpha_i = (1 + kappa_i (1 - sqrt(T/Tc_i)))^2
+# (PengRobinson.cpp; same autodiff-departure pattern as RK above)
+
+_SQRT2 = 1.4142135623730951
+
+
+def pr_a_alpha_species(mech: Mechanism, T):
+    Tr = T / jnp.asarray(mech.pr_Tc)
+    alpha = jnp.square(1.0 + jnp.asarray(mech.pr_kappa)
+                       * (1.0 - jnp.sqrt(Tr)))
+    return jnp.asarray(mech.pr_a) * alpha
+
+
+def pr_mix(mech: Mechanism, T, x):
+    """Geometric-mean combining rule, O(K) form (cf. rk_mix)."""
+    sa = jnp.sqrt(jnp.maximum(pr_a_alpha_species(mech, T), 0.0))
+    a_mix = jnp.square(jnp.sum(x * sa))
+    b_mix = jnp.sum(x * jnp.asarray(mech.pr_b))
+    return a_mix, b_mix
+
+
+def pr_pressure(mech: Mechanism, T, molar_volume, x):
+    a, b = pr_mix(mech, T, x)
+    v = molar_volume
+    return R_GAS * T / (v - b) - a / (v * v + 2.0 * b * v - b * b)
+
+
+def pr_molar_volume(mech: Mechanism, T, P, x, *, iters: int = 60):
+    a, b = pr_mix(mech, T, x)
+
+    def f(v):
+        return (R_GAS * T / (v - b)
+                - a / (v * v + 2.0 * b * v - b * b) - P)
+
+    def body(i, v):
+        v_new = v - f(v) / jax.grad(f)(v)
+        return jnp.where(v_new > b, v_new, 0.5 * (v + b))
+
+    return jax.lax.fori_loop(0, iters, body, R_GAS * T / P)
+
+
+def pr_departures(mech: Mechanism, T, molar_volume, x):
+    """(u_dep, cv_dep) per mole for PR:
+      u_dep = (T a'(T) - a(T)) L,  cv_dep = T a''(T) L,
+      L = ln((v+(1+s)b)/(v+(1-s)b)) / (2 s b),  s = sqrt(2)."""
+    v = molar_volume
+
+    def a_of_T(t):
+        am, _ = pr_mix(mech, t, x)
+        return am
+
+    b = jnp.sum(x * jnp.asarray(mech.pr_b))
+    da = jax.grad(a_of_T)(T)
+    d2a = jax.grad(jax.grad(a_of_T))(T)
+    L = jnp.log((v + (1.0 + _SQRT2) * b)
+                / (v + (1.0 - _SQRT2) * b)) / (2.0 * _SQRT2 * b)
+    return (T * da - a_of_T(T)) * L, T * d2a * L
+
+
 class GasState:
     """Convenience wrapper: mixture properties from (T, concentrations).
 
@@ -132,8 +194,21 @@ class GasState:
 
     def __init__(self, mech: Mechanism, real_gas: bool = False):
         self.mech = mech
-        self.real_gas = real_gas and bool((mech.rk_b != 0).any())
+        model = getattr(mech, "eos_model", "ideal")
+        if model == "peng-robinson":
+            self.real_gas = real_gas and bool((mech.pr_b != 0).any())
+        else:
+            self.real_gas = real_gas and bool((mech.rk_b != 0).any())
+        self._is_pr = self.real_gas and model == "peng-robinson"
         self.W = jnp.asarray(mech.mol_weights)
+
+    def _eos_pressure(self, T, v, x):
+        return (pr_pressure if self._is_pr else rk_pressure)(
+            self.mech, T, v, x)
+
+    def _eos_departures(self, T, v, x):
+        return (pr_departures if self._is_pr else rk_departures)(
+            self.mech, T, v, x)
 
     def density(self, conc):
         return jnp.sum(conc * self.W)
@@ -145,8 +220,7 @@ class GasState:
         ctot = jnp.sum(conc)
         if not self.real_gas:
             return ctot * R_GAS * T
-        return rk_pressure(self.mech, T, 1.0 / ctot,
-                           self.mole_fractions(conc))
+        return self._eos_pressure(T, 1.0 / ctot, self.mole_fractions(conc))
 
     def cv_mole(self, T, conc):
         """Mixture molar cv (J/mol/K)."""
@@ -154,7 +228,7 @@ class GasState:
         cv_ig = jnp.sum(x * (cp0_R(self.mech, T) - 1.0)) * R_GAS
         if not self.real_gas:
             return cv_ig
-        _, cv_dep = rk_departures(self.mech, T, 1.0 / jnp.sum(conc), x)
+        _, cv_dep = self._eos_departures(T, 1.0 / jnp.sum(conc), x)
         return cv_ig + cv_dep
 
     def partial_molar_int_energy(self, T, conc):
@@ -167,7 +241,7 @@ class GasState:
         def U_dep_total(c):
             ntot = jnp.sum(c)
             x = c / ntot
-            u_dep, _ = rk_departures(self.mech, T, 1.0 / ntot, x)
+            u_dep, _ = self._eos_departures(T, 1.0 / ntot, x)
             return ntot * u_dep   # per unit volume
 
         return u_ig + jax.grad(U_dep_total)(conc)

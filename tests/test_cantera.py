@@ -277,3 +277,147 @@ class TestFlame:
         assert Yf[-1, names.index("H2")] < 0.7 * Y[names.index("H2")]
         assert Yf[-1, names.index("H2O")] > 0.12
         assert reduction < 0.05                    # residual down > 20x
+
+
+_PLOG_CHEB_YAML = """
+units: {length: cm, quantity: mol, activation-energy: cal/mol}
+phases:
+- {name: gas, thermo: ideal-gas, species: [A, B], kinetics: gas}
+species:
+- name: A
+  composition: {H: 1}
+  thermo: {model: NASA7, temperature-ranges: [200., 1000., 3500.],
+           data: [[2.5, 0., 0., 0., 0., 0., 0.], [2.5, 0., 0., 0., 0., 0., 0.]]}
+- name: B
+  composition: {H: 1}
+  thermo: {model: NASA7, temperature-ranges: [200., 1000., 3500.],
+           data: [[2.5, 0., 0., 0., 0., 0., 0.], [2.5, 0., 0., 0., 0., 0., 0.]]}
+reactions:
+- equation: A => B
+  type: pressure-dependent-Arrhenius
+  rate-constants:
+  - {P: 0.01 atm, A: 1.0e+10, b: 0.0, Ea: 0.0}
+  - {P: 1.0 atm, A: 1.0e+12, b: 0.5, Ea: 1000.0}
+  - {P: 100.0 atm, A: 1.0e+14, b: 1.0, Ea: 2000.0}
+- equation: B => A
+  type: Chebyshev
+  temperature-range: [300.0, 2000.0]
+  pressure-range: [0.01 atm, 100.0 atm]
+  data: [[8.0, 0.5, -0.1], [0.5, 0.1, 0.05]]
+"""
+
+
+class TestPressureDependentRates:
+    """PlogRate.cpp / ChebyshevRate.cpp parity on a 2-reaction mechanism."""
+
+    def _mech(self, tmp_path):
+        p = tmp_path / "plog_cheb.yaml"
+        p.write_text(_PLOG_CHEB_YAML)
+        from g4s_tpu.models.cantera.kinetics import (build_kinetics,
+                                                     forward_rate_constants)
+        return load_mechanism(str(p)), build_kinetics, forward_rate_constants
+
+    def test_plog_and_chebyshev_vs_oracle(self, tmp_path):
+        from g4s_tpu.models.cantera.mech import CAL2J, R_GAS
+        mech, build_kinetics, forward_rate_constants = self._mech(tmp_path)
+        kin = build_kinetics(mech)
+        T = 800.0
+        pts = [(np.log(0.01 * 101325), 1e10, 0.0, 0.0),
+               (np.log(1.0 * 101325), 1e12, 0.5, 1000 * CAL2J),
+               (np.log(100 * 101325), 1e14, 1.0, 2000 * CAL2J)]
+        coeffs = np.array([[8.0, 0.5, -0.1], [0.5, 0.1, 0.05]])
+        for P_atm in (0.01, 1.0, 100.0, 0.1, 1000.0, 0.001):
+            P = P_atm * 101325.0
+            conc = jnp.full(2, P / (R_GAS * T) / 2)
+            kf = np.asarray(forward_rate_constants(kin, mech, T, conc))
+            lnP = np.log(P)
+            lks = [np.log(A) + b * np.log(T) - Ea / (R_GAS * T)
+                   for _, A, b, Ea in pts]
+            lps = [p0[0] for p0 in pts]
+            if lnP <= lps[0]:
+                lk = lks[0]
+            elif lnP >= lps[-1]:
+                lk = lks[-1]
+            else:
+                i = np.searchsorted(lps, lnP) - 1
+                w = (lnP - lps[i]) / (lps[i + 1] - lps[i])
+                lk = lks[i] + w * (lks[i + 1] - lks[i])
+            assert abs(kf[0] - np.exp(lk)) / np.exp(lk) < 1e-12
+            Tmin, Tmax, Pmin, Pmax = 300., 2000., 0.01 * 101325, 100 * 101325
+            tr = (2 / T - 1 / Tmin - 1 / Tmax) / (1 / Tmax - 1 / Tmin)
+            pr = ((2 * np.log10(P) - np.log10(Pmin) - np.log10(Pmax))
+                  / (np.log10(Pmax) - np.log10(Pmin)))
+
+            def cb(xv, nf):
+                bs = [1.0, xv]
+                for _ in range(2, nf):
+                    bs.append(2 * xv * bs[-1] - bs[-2])
+                return np.array(bs[:nf])
+
+            k_ref = 10 ** (cb(tr, 2) @ coeffs @ cb(pr, 3))
+            assert abs(kf[1] - k_ref) / k_ref < 1e-12
+
+
+_PR_YAML = """
+units: {length: cm, quantity: mol, activation-energy: cal/mol}
+phases:
+- {name: co2gas, thermo: Peng-Robinson, species: [CO2], kinetics: gas}
+species:
+- name: CO2
+  composition: {C: 1, O: 2}
+  thermo: {model: NASA7, temperature-ranges: [200., 1000., 3500.],
+           data: [[2.35677352, 8.98459677e-03, -7.12356269e-06, 2.45919022e-09,
+                   -1.43699548e-13, -4.83719697e+04, 9.90105222],
+                  [3.85746029, 4.41437026e-03, -2.21481404e-06, 5.23490188e-10,
+                   -4.72084164e-14, -4.8759166e+04, 2.27163806]]}
+  equation-of-state:
+    {model: Peng-Robinson, a: 3.958134e+11, b: 26.6644, acentric-factor: 0.228}
+reactions: []
+"""
+
+
+class TestPengRobinson:
+    """PengRobinson.cpp parity: cubic solve + departure functions verified
+    against exact thermodynamic identities (du/dv|_T = T dP/dT|_v - P,
+    cv_dep = du_dep/dT|_v)."""
+
+    def _mech(self, tmp_path):
+        p = tmp_path / "pr.yaml"
+        p.write_text(_PR_YAML)
+        return load_mechanism(str(p))
+
+    def test_pr_identities(self, tmp_path):
+        from g4s_tpu.models.cantera import thermo as th
+        from g4s_tpu.models.cantera.mech import R_GAS
+        mech = self._mech(tmp_path)
+        assert mech.eos_model == "peng-robinson"
+        assert abs(mech.pr_Tc[0] - 304.13) < 1.0   # CO2 critical temperature
+        x = jnp.array([1.0])
+        T, P = 350.0, 100e5
+        v = th.pr_molar_volume(mech, T, P, x)
+        assert abs(float(th.pr_pressure(mech, T, v, x)) - P) < 1e-4 * P
+        Z = float(P * v / (R_GAS * T))
+        assert 0.3 < Z < 0.9         # strongly non-ideal near critical
+        for Tt, vt in [(350.0, float(v)), (800.0, 1e-3)]:
+            du_dv = float(jax.grad(
+                lambda vv: th.pr_departures(mech, Tt, vv, x)[0])(vt))
+            rhs = float(Tt * jax.grad(
+                lambda tt: th.pr_pressure(mech, tt, vt, x))(Tt)
+                - th.pr_pressure(mech, Tt, vt, x))
+            assert abs(du_dv - rhs) / abs(rhs) < 1e-10
+        cvd = float(th.pr_departures(mech, T, float(v), x)[1])
+        cvd_ad = float(jax.grad(
+            lambda tt: th.pr_departures(mech, tt, float(v), x)[0])(T))
+        assert abs(cvd - cvd_ad) < 1e-10 * abs(cvd)
+
+    def test_pr_reactor_state(self, tmp_path):
+        """IdealGasConstVolumeReactor picks the PR cubic for TPX setup."""
+        from g4s_tpu.models.cantera.reactor import IdealGasConstVolumeReactor
+        from g4s_tpu.models.cantera.mech import R_GAS
+        mech = self._mech(tmp_path)
+        r = IdealGasConstVolumeReactor(mech, real_gas=True)
+        assert r.gas._is_pr
+        y0 = r.initial_state(350.0, 100e5, [1.0])
+        conc = float(y0[1])
+        c_ideal = 100e5 / (R_GAS * 350.0)
+        assert conc > 1.2 * c_ideal   # real gas denser than ideal here
