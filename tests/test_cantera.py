@@ -421,3 +421,93 @@ class TestPengRobinson:
         conc = float(y0[1])
         c_ideal = 100e5 / (R_GAS * 350.0)
         assert conc > 1.2 * c_ideal   # real gas denser than ideal here
+
+
+class TestReactorNet:
+    """zeroD network parity (ReactorNet.cpp / Wall.cpp / Valve.h):
+    analytic wall relaxation, conservation laws, device behavior."""
+
+    def _setup(self):
+        from g4s_tpu.models.cantera.mech import R_GAS
+        mech = load_mechanism(H2O2)
+        X = np.zeros(mech.nspec)
+        X[mech.species_index("AR")] = 1.0
+        return mech, X, R_GAS
+
+    def test_conducting_wall_analytic(self):
+        from g4s_tpu.models.cantera.network import ReactorNet, Wall
+        mech, X, R_GAS = self._setup()
+        net = ReactorNet(mech, [(1000.0, 101325.0, X), (300.0, 101325.0, X)],
+                         walls=[Wall(0, 1, A=1.0, U=50.0)])
+        _, _, n0 = net._split(net.y0)
+        C1 = float(jnp.sum(n0[0]) * 1.5 * R_GAS)   # monatomic cv = 3R/2
+        C2 = float(jnp.sum(n0[1]) * 1.5 * R_GAS)
+        tau = 1.0 / (50.0 * (1 / C1 + 1 / C2))
+        res = net.advance(2.0 * tau)
+        T, _, _ = net._split(res.y)
+        dT = float(T[0] - T[1])
+        assert abs(dT - 700.0 * np.exp(-2.0)) / (700.0 * np.exp(-2.0)) < 1e-4
+        U0 = C1 * 1000 + C2 * 300
+        Uf = C1 * float(T[0]) + C2 * float(T[1])
+        assert abs(Uf - U0) / U0 < 1e-12           # pure heat exchange
+
+    def test_piston_wall(self):
+        """Moving wall: total volume exactly conserved; pressures approach
+        each other; total U decreases by the K A dP^2 wall dissipation
+        (same convention as the reference's Wall::vdot)."""
+        from g4s_tpu.models.cantera.network import ReactorNet, Wall
+        mech, X, R_GAS = self._setup()
+        net = ReactorNet(mech, [(500.0, 2 * 101325.0, X),
+                                (500.0, 101325.0, X)],
+                         walls=[Wall(0, 1, A=1.0, K=1e-4)])
+        res = net.advance(5.0)
+        T, V, n = net._split(res.y)
+        assert abs(float(V.sum()) - 2.0) < 1e-12
+        P0 = float(net.pressure(res.y, 0))
+        P1 = float(net.pressure(res.y, 1))
+        assert abs(P0 - P1) / P1 < 0.02            # near-equalized
+        Cv = lambda nn: float(jnp.sum(nn) * 1.5 * R_GAS)
+        dU = (Cv(n[0]) * float(T[0]) + Cv(n[1]) * float(T[1])
+              - (Cv(n[0]) + Cv(n[1])) * 500.0)
+        assert dU < 0                               # dissipation only
+
+    def test_valve_fill(self):
+        from g4s_tpu.models.cantera.network import (ReactorNet, Reservoir,
+                                                    Valve)
+        mech, X, _ = self._setup()
+        resv = Reservoir(400.0, 5 * 101325.0, X)
+        net = ReactorNet(mech, [(300.0, 101325.0, X)], reservoirs=[resv],
+                         flows=[Valve(-1, 0, Kv=3e-6)])
+        out = net.advance(20.0)
+        P = float(net.pressure(out.y, 0)) / 101325.0
+        T = float(net._split(out.y)[0][0])
+        assert 4.9 < P <= 5.01
+        assert T > 400.0     # filling a rigid tank: h_in > u stored
+
+    def test_mass_flow_controller(self):
+        from g4s_tpu.models.cantera.network import (MassFlowController,
+                                                    ReactorNet, Reservoir)
+        mech, X, R_GAS = self._setup()
+        resv = Reservoir(300.0, 101325.0, X)
+        net = ReactorNet(mech, [(300.0, 101325.0, X)], reservoirs=[resv],
+                         flows=[MassFlowController(-1, 0, mdot=0.01)])
+        out = net.advance(10.0)
+        _, _, n = net._split(out.y)
+        dn = float(jnp.sum(n[0]) - jnp.sum(net._split(net.y0)[2][0]))
+        W_ar = float(mech.mol_weights[mech.species_index("AR")])
+        assert abs(dn - 0.01 * 10.0 / W_ar) / dn < 1e-6
+
+    def test_single_reactor_matches_standalone(self):
+        from g4s_tpu.models.cantera.network import ReactorNet
+        from g4s_tpu.models.cantera.reactor import IdealGasConstVolumeReactor
+        mech, _, _ = self._setup()
+        X = np.zeros(mech.nspec)
+        X[mech.species_index("H2")] = 2
+        X[mech.species_index("O2")] = 1
+        X[mech.species_index("AR")] = 5
+        r = IdealGasConstVolumeReactor(mech)
+        rr = r.advance(r.initial_state(1100.0, 101325.0, X), 1e-3)
+        net = ReactorNet(mech, [(1100.0, 101325.0, X)])
+        out = net.advance(1e-3)
+        T_net = float(net._split(out.y)[0][0])
+        assert abs(T_net - float(rr.y[0])) / float(rr.y[0]) < 1e-6
