@@ -36,10 +36,11 @@ class ModelSpec(NamedTuple):
     fit_neurons: Tuple[int, ...]        # e.g. (240, 240, 240)
     embed_resnet_dt: bool = False
     fit_resnet_dt: bool = True
-    descriptor_type: str = "se_e2_a"    # "se_e2_r" | "se_atten"
+    descriptor_type: str = "se_e2_a"    # "se_e2_r"|"se_atten"|"se_t"|"hybrid"
     attn_layers: int = 2                # se_atten: attention layers
     attn_dim: int = 0                   # se_atten: Q/K/V width (0 -> m1)
     tebd_dim: int = 8                   # se_atten: type-embedding width
+    hybrid_types: Tuple[str, ...] = ("se_e2_a", "se_e2_r")  # hybrid parts
 
     @property
     def m1(self) -> int:
@@ -47,17 +48,24 @@ class ModelSpec(NamedTuple):
 
     @property
     def descriptor_dim(self) -> int:
-        if self.descriptor_type == "se_e2_r":
+        if self.descriptor_type == "hybrid":
+            return sum(self._replace(descriptor_type=t).descriptor_dim
+                       for t in self.hybrid_types)
+        if self.descriptor_type in ("se_e2_r", "se_t"):
             return self.m1
         return self.m1 * self.axis_neuron
 
 
-def init_params(key, spec: ModelSpec, *, bias_atom_e=None, dtype=jnp.float64):
-    """Parameter pytree: embed[tc][tn] nets + fit[tc] nets + stats
-    (+ type embedding and attention weights for se_atten)."""
+def _init_embed(key, spec: ModelSpec, dtype):
+    """Embedding-side parameters for one descriptor type."""
     nt = spec.descriptor.ntypes
-    if bias_atom_e is None:
-        bias_atom_e = np.zeros(nt)
+    if spec.descriptor_type == "hybrid":
+        parts = []
+        for t in spec.hybrid_types:
+            key, sub = jax.random.split(key)
+            parts.append(_init_embed(sub, spec._replace(descriptor_type=t),
+                                     dtype))
+        return {"parts": parts}
     if spec.descriptor_type == "se_atten":
         # one type-mixed embedding net over [s(r), tebd_j, tebd_i]
         key, k1, k2 = jax.random.split(key, 3)
@@ -77,17 +85,30 @@ def init_params(key, spec: ModelSpec, *, bias_atom_e=None, dtype=jnp.float64):
                 "wo": sc * jax.random.normal(ko, (d, spec.m1), dtype)})
         key, kt = jax.random.split(key)
         tebd = 0.1 * jax.random.normal(kt, (nt, spec.tebd_dim), dtype)
-        embed = {"net": embed, "attn": attn, "tebd": tebd}
-    else:
-        embed = []
-        for tc in range(nt):
-            row = []
-            for tn in range(nt):
-                key, sub = jax.random.split(key)
-                row.append(init_embedding_net(sub, spec.embed_neurons,
-                                              resnet_dt=spec.embed_resnet_dt,
-                                              dtype=dtype))
-            embed.append(row)
+        return {"net": embed, "attn": attn, "tebd": tebd}
+    # se_e2_a / se_e2_r: nets indexed [center_type][neighbor_type];
+    # se_t: the same nt x nt grid indexed [type1][type2] (upper triangle
+    # used — DescrptSeT's per-type-pair angular nets, se_t.py _filter)
+    embed = []
+    for tc in range(nt):
+        row = []
+        for tn in range(nt):
+            key, sub = jax.random.split(key)
+            row.append(init_embedding_net(sub, spec.embed_neurons,
+                                          resnet_dt=spec.embed_resnet_dt,
+                                          dtype=dtype))
+        embed.append(row)
+    return embed
+
+
+def init_params(key, spec: ModelSpec, *, bias_atom_e=None, dtype=jnp.float64):
+    """Parameter pytree: embed[tc][tn] nets + fit[tc] nets + stats
+    (+ type embedding and attention weights for se_atten)."""
+    nt = spec.descriptor.ntypes
+    if bias_atom_e is None:
+        bias_atom_e = np.zeros(nt)
+    key, ke = jax.random.split(key)
+    embed = _init_embed(ke, spec, dtype)
     fit = []
     for tc in range(nt):
         key, sub = jax.random.split(key)
@@ -104,13 +125,53 @@ def init_params(key, spec: ModelSpec, *, bias_atom_e=None, dtype=jnp.float64):
 
 def atomic_descriptor(params, spec: ModelSpec, R, types, nlist=None):
     """R: (N, nnei, 4) raw env mat -> D: (N, descriptor_dim)."""
+    Rn = normalize_env_mat(R, types, params["stats"]["davg"],
+                           params["stats"]["dstd"])
+    return _descr_dispatch(params["embed"], spec, Rn, types, nlist)
+
+
+def _descr_dispatch(embed, spec: ModelSpec, Rn, types, nlist):
+    if spec.descriptor_type == "hybrid":
+        # DescrptHybrid (deepmd/descriptor/hybrid.py): concatenation of
+        # sub-descriptors over the same neighbor environment
+        parts = [
+            _descr_dispatch(embed["parts"][i],
+                            spec._replace(descriptor_type=t), Rn, types,
+                            nlist)
+            for i, t in enumerate(spec.hybrid_types)]
+        return jnp.concatenate(parts, axis=-1)
+    if spec.descriptor_type == "se_atten":
+        return _descriptor_atten(embed, spec, Rn, types, nlist)
+    if spec.descriptor_type == "se_t":
+        return _descriptor_se_t(embed, spec, Rn)
+    return _descriptor_plain(embed, spec, Rn, types)
+
+
+def _descriptor_se_t(embed, spec: ModelSpec, Rn):
+    """Three-body descriptor (DescrptSeT, deepmd/descriptor/se_t.py:617
+    _filter): for each neighbor-type pair (t1 <= t2) the angular matrix
+    theta_jk = x̃_j . x̃_k (displacement channels) is embedded through a
+    per-pair net and contracted res = sum_jk theta_jk G_jk / (sel1 sel2)."""
+    sel = spec.descriptor.sel
+    sec = np.concatenate([[0], np.cumsum(sel)])
+    nt = spec.descriptor.ntypes
+    N = Rn.shape[0]
+    D = jnp.zeros((N, spec.m1), Rn.dtype)
+    for t1 in range(nt):
+        x1 = Rn[:, sec[t1]: sec[t1 + 1], 1:4]
+        for t2 in range(t1, nt):
+            x2 = Rn[:, sec[t2]: sec[t2 + 1], 1:4]
+            theta = jnp.einsum("njm,nkm->njk", x1, x2)
+            G = embedding_net_apply(embed[t1][t2], theta[..., None])
+            D = D + (jnp.einsum("njk,njkm->nm", theta, G)
+                     / (sel[t1] * sel[t2]))
+    return D
+
+
+def _descriptor_plain(embed, spec: ModelSpec, Rn, types):
     nt = spec.descriptor.ntypes
     sel = spec.descriptor.sel
     nnei = spec.descriptor.nnei
-    Rn = normalize_env_mat(R, types, params["stats"]["davg"],
-                           params["stats"]["dstd"])
-    if spec.descriptor_type == "se_atten":
-        return _descriptor_atten(params, spec, Rn, types, nlist)
     sec = np.concatenate([[0], np.cumsum(sel)])
 
     # per center type, accumulate T = sum over neighbor sections R̃^T G
@@ -119,23 +180,22 @@ def atomic_descriptor(params, spec: ModelSpec, R, types, nlist=None):
         if spec.descriptor_type == "se_e2_r":
             # radial-only descriptor (DescrptSeR, deepmd/descriptor/se_r.py):
             # D = mean over neighbors of the embedded s(r)
-            acc = jnp.zeros((R.shape[0], spec.m1), Rn.dtype)
+            acc = jnp.zeros((Rn.shape[0], spec.m1), Rn.dtype)
             for tn in range(nt):
                 sec_R = Rn[:, sec[tn]: sec[tn + 1], :]
-                G = embedding_net_apply(params["embed"][tc][tn],
-                                        sec_R[:, :, 0:1])
+                G = embedding_net_apply(embed[tc][tn], sec_R[:, :, 0:1])
                 acc = acc + jnp.sum(G, axis=1)
             D_by_tc.append(acc / nnei)
             continue
-        T = jnp.zeros((R.shape[0], 4, spec.m1), Rn.dtype)
+        T = jnp.zeros((Rn.shape[0], 4, spec.m1), Rn.dtype)
         for tn in range(nt):
             sec_R = Rn[:, sec[tn]: sec[tn + 1], :]         # (N, sel_tn, 4)
             s_in = sec_R[:, :, 0:1]                        # radial channel
-            G = embedding_net_apply(params["embed"][tc][tn], s_in)
+            G = embedding_net_apply(embed[tc][tn], s_in)
             T = T + jnp.einsum("nsc,nsm->ncm", sec_R, G)
         T = T / nnei
         T2 = T[:, :, : spec.axis_neuron]
-        D = jnp.einsum("ncm,nck->nmk", T, T2).reshape(R.shape[0], -1)
+        D = jnp.einsum("ncm,nck->nmk", T, T2).reshape(Rn.shape[0], -1)
         D_by_tc.append(D)
     # select per-atom according to its type
     D_all = jnp.stack(D_by_tc, axis=0)                     # (nt, N, M1*M2)
@@ -143,12 +203,11 @@ def atomic_descriptor(params, spec: ModelSpec, R, types, nlist=None):
         D_all, types[None, :, None].astype(jnp.int32), axis=0)[0]
 
 
-def _descriptor_atten(params, spec: ModelSpec, Rn, types, nlist):
+def _descriptor_atten(emb, spec: ModelSpec, Rn, types, nlist):
     """DPA-style attention descriptor (DescrptSeAtten, se_atten.py):
     type-mixed neighbor embedding of [s(r), tebd_neighbor, tebd_center]
     refined by gated dot-product attention over neighbors, then the same
     R^T G contraction as se_e2_a."""
-    emb = params["embed"]
     tebd = emb["tebd"]
     valid = Rn[:, :, 0] != 0.0 if nlist is None else (nlist >= 0)
     ntypes = spec.descriptor.ntypes

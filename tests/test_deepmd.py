@@ -361,3 +361,50 @@ class TestNeighborInfra:
         mx, sel = neighbor_stat([coord], [np.eye(3) * L], types, 3.0, 2)
         assert all(s >= m for s, m in zip(sel, mx))
         assert all(s % 4 == 0 for s in sel)
+
+
+class TestSeTAndHybrid:
+    """DescrptSeT (se_t.py:617 _filter) and DescrptHybrid parity:
+    per-type-pair angular embedding / sub-descriptor concatenation."""
+
+    def _setup(self, dt):
+        from g4s_tpu.models.deepmd.descriptor import DescriptorSpec
+        from g4s_tpu.models.deepmd.model import ModelSpec, init_params
+        dspec = DescriptorSpec(rcut=6.0, rcut_smth=0.5, sel=(12, 24),
+                               ntypes=2)
+        spec = ModelSpec(descriptor=dspec, embed_neurons=(8, 16),
+                         axis_neuron=4, fit_neurons=(24, 24),
+                         descriptor_type=dt)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        rng = np.random.default_rng(0)
+        n = 24
+        coords = jnp.asarray(rng.uniform(0, 8.0, (n, 3)))
+        box = jnp.asarray(np.diag([8.0, 8.0, 8.0]).astype(float))
+        types = jnp.asarray((np.arange(n) % 3 == 0).astype(np.int32))
+        return spec, params, coords, box, types
+
+    @pytest.mark.parametrize("dt", ["se_t", "hybrid"])
+    def test_forces_match_fd_and_invariance(self, dt):
+        from g4s_tpu.models.deepmd.model import (energy_force_virial,
+                                                 total_energy)
+        spec, params, coords, box, types = self._setup(dt)
+        e, F, W = energy_force_virial(params, spec, coords, box, types)
+        eps = 1e-6
+        f_num = -(total_energy(params, spec, coords.at[5, 1].add(eps),
+                               box, types)
+                  - total_energy(params, spec, coords.at[5, 1].add(-eps),
+                                 box, types)) / (2 * eps)
+        assert abs(float(F[5, 1] - f_num)) < 1e-6 * max(
+            abs(float(f_num)), 1e-8)
+        assert float(jnp.max(jnp.abs(W - W.T))) < 1e-12
+        e2 = total_energy(params, spec, coords + 1.234, box, types)
+        assert abs(float(e2 - e)) < 1e-10
+
+    def test_hybrid_dim_is_sum(self):
+        spec, params, coords, box, types = self._setup("hybrid")
+        from g4s_tpu.models.deepmd.descriptor import env_mat
+        from g4s_tpu.models.deepmd.model import atomic_descriptor
+        R, nlist = env_mat(coords, box, types, spec.descriptor)
+        D = atomic_descriptor(params, spec, R, types, nlist)
+        m1 = spec.embed_neurons[-1]
+        assert D.shape == (coords.shape[0], m1 * spec.axis_neuron + m1)
