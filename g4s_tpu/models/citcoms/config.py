@@ -81,6 +81,34 @@ class CitcomConfig:
     Q0: float = 0.0
     inputdiffusivity: float = 1.0
 
+    # phase transitions (Phase_change.c phase_change_input:66-99)
+    Ra_410: float = 0.0
+    clapeyron410: float = 0.0
+    transT410: float = 0.0
+    width410: float = 0.0058
+    z_410: float = 0.06434
+    Ra_670: float = 0.0
+    clapeyron670: float = 0.0
+    transT670: float = 0.0
+    width670: float = 0.0058
+    z_670: float = 0.1036
+    Ra_cmb: float = 0.0
+    clapeyroncmb: float = 0.0
+    transTcmb: float = 0.0
+    widthcmb: float = 0.0058
+    z_cmb: float = 0.45
+
+    # dimensional constants for observables (Instructions.c:700-790 defaults)
+    density: float = 3340.0
+    density_above: float = 1030.0
+    density_below: float = 6600.0
+    grav_acc: float = 9.81
+    radius_km: float = 6371.0
+    grav_const: float = 6.67e-11
+    therm_exp: float = 3.0e-5
+    ref_temperature: float = 2700.0
+    llmax: int = 20
+
     # solver (Instructions.c:650-680)
     solver_type: str = "cgrad"
     accuracy: float = 1.0e-4

@@ -132,9 +132,15 @@ class CitcomModel:
     # ---------- physics pieces ----------
 
     def buoyancy(self, T):
-        """Ra * T with per-layer horizontal average removed."""
+        """Ra * T (minus phase-change terms) with per-layer horizontal
+        average removed (Process_buoyancy.c + Phase_change.c apply)."""
         cfg = self.cfg
         buoy = cfg.rayleigh * T
+        if cfg.Ra_410 != 0.0 or cfg.Ra_670 != 0.0 or cfg.Ra_cmb != 0.0:
+            from g4s_tpu.models.citcoms.phase_change import \
+                apply_phase_changes
+            r = jnp.asarray(self.mesh.sx[:, 2])
+            buoy = apply_phase_changes(cfg, r, T, buoy)
         noz = cfg.nodez
         layer = jnp.arange(self.mesh.nno, dtype=jnp.int32) % noz
         wsum = jax.ops.segment_sum(self._layer_weights, layer, noz)

@@ -544,3 +544,74 @@ class TestOutputFormats:
         with gzip.open(velo[0], "rt") as fh:
             first = fh.readline().split()
         assert int(first[1]) == cfg.nno
+
+
+class TestPhaseChangeAndGeoid:
+    def _model(self, **kw):
+        cfg = small_cfg(rayleigh=1e5, **kw)
+        return CitcomModel(cfg), cfg
+
+    def test_phase_function_and_boundary(self):
+        """Phase_change.c:156-196: B is a tanh of reduced pressure; a hot
+        column deflects the boundary deeper for positive Clapeyron slope."""
+        from g4s_tpu.models.citcoms.phase_change import (phase_boundary,
+                                                         phase_function)
+        model, cfg = self._model(Ra_410=2e4, clapeyron410=0.0235,
+                                 transT410=0.78, z_410=0.1, nodez=17)
+        s = model.init_state()
+        r = jnp.asarray(model.mesh.sx[:, 2])
+        B = phase_function(cfg, r, s.T, cfg.clapeyron410, cfg.z_410,
+                           cfg.transT410, cfg.width410)
+        assert float(B.min()) >= 0.0 and float(B.max()) <= 1.0
+        bd = phase_boundary(cfg, B)
+        assert abs(bd[bd > 0].mean() - (cfg.radius_outer - cfg.z_410)) < 0.02
+        Tg = np.asarray(s.T).reshape(cfg.nodey, cfg.nodex, cfg.nodez)
+        Th = Tg.copy()
+        Th[2, 2, :] = np.clip(Th[2, 2, :] + 0.2, 0, 1)
+        Bh = phase_function(cfg, r, jnp.asarray(Th.ravel()),
+                            cfg.clapeyron410, cfg.z_410, cfg.transT410,
+                            cfg.width410)
+        bdh = phase_boundary(cfg, Bh)
+        assert bdh[2, 2] < bd[2, 2]          # hot -> deeper for gamma > 0
+
+    def test_phase_buoyancy_wiring(self):
+        """A lateral temperature anomaly straddling the transition changes
+        the assembled buoyancy by O(Ra_410)."""
+        import dataclasses
+        # wide transition so the coarse test grid resolves the tanh
+        model, cfg = self._model(Ra_410=2e4, clapeyron410=0.1,
+                                 transT410=0.5, z_410=0.2, width410=0.05,
+                                 nodez=9)
+        model0 = CitcomModel(dataclasses.replace(cfg, Ra_410=0.0))
+        s = model.init_state()
+        Tg = np.array(s.T).reshape(cfg.nodey, cfg.nodex, cfg.nodez)
+        Tg[2:4, 2:4, :] = np.clip(Tg[2:4, 2:4, :] + 0.3, 0, 1)
+        T = jnp.asarray(Tg.ravel())
+        diff = float(jnp.max(jnp.abs(model.buoyancy(T)
+                                     - model0.buoyancy(T))))
+        assert diff > 100.0                  # O(Ra_410 * dB)
+
+    def test_geoid(self):
+        """Topo_gravity.c compute_geoid: degree-0/1 skipped; a lateral
+        anomaly yields nonzero low-degree coefficients; buoyancy term is
+        linear in the anomaly amplitude."""
+        from g4s_tpu.models.citcoms import observables as obs
+        model, cfg = self._model()
+        s = model.init_state()
+        s, _ = model.initial_solve(s)
+        Tg = np.asarray(s.T).reshape(cfg.nodey, cfg.nodex, cfg.nodez)
+        for amp in (0.1, 0.2):
+            Th = Tg.copy()
+            Th[2:5, 2:5, 2:5] = np.clip(Th[2:5, 2:5, 2:5] + amp, 0, 1)
+            import dataclasses as dc
+            s2 = dc.replace(s, T=jnp.asarray(Th.ravel()))
+            ops = model._build_ops(s2.T)
+            g = obs.geoid(model, s2, ops, lmax=6)
+            gc, gs = g["total"]
+            assert np.abs(gc[:2]).max() == 0.0 and np.abs(gs[:2]).max() == 0.0
+            bc, _ = g["from_buoyancy"]
+            if amp == 0.1:
+                ref = np.abs(bc).max()
+                assert ref > 0.0
+            else:
+                assert abs(np.abs(bc).max() / ref - 2.0) < 0.3  # ~linear
