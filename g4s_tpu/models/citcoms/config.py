@@ -98,6 +98,13 @@ class CitcomConfig:
     widthcmb: float = 0.0058
     z_cmb: float = 0.45
 
+    # thermochemical convection (Composition_related.c / Tracer_setup.c)
+    tracer: bool = False
+    tracers_per_element: int = 10
+    chemical_buoyancy: bool = False
+    buoyancy_ratio: float = 1.0
+    z_interface: float = 0.7
+
     # dimensional constants for observables (Instructions.c:700-790 defaults)
     density: float = 3340.0
     density_above: float = 1030.0

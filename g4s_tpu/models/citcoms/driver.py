@@ -131,11 +131,14 @@ class CitcomModel:
 
     # ---------- physics pieces ----------
 
-    def buoyancy(self, T):
-        """Ra * T (minus phase-change terms) with per-layer horizontal
-        average removed (Process_buoyancy.c + Phase_change.c apply)."""
+    def buoyancy(self, T, C=None):
+        """Ra * T minus chemical (get_buoyancy,
+        Pan_problem_misc_functions.c:170-182: buoy -= Ra*ratio*C) and
+        phase-change terms, with per-layer horizontal average removed."""
         cfg = self.cfg
         buoy = cfg.rayleigh * T
+        if C is not None:
+            buoy = buoy - cfg.rayleigh * cfg.buoyancy_ratio * C
         if cfg.Ra_410 != 0.0 or cfg.Ra_670 != 0.0 or cfg.Ra_cmb != 0.0:
             from g4s_tpu.models.citcoms.phase_change import \
                 apply_phase_changes
@@ -156,10 +159,10 @@ class CitcomModel:
         return asm.StokesOperators(self.ien, elt_k, self.G, self.vbc_mask,
                                    self.vbc_val, BI, BPI, self.plan)
 
-    def _stokes(self, T, V, P):
+    def _stokes(self, T, V, P, C=None):
         """general_stokes_solver: viscosity -> stiffness -> forces -> Uzawa."""
         ops = self._build_ops(T)
-        buoy = self.buoyancy(T)
+        buoy = self.buoyancy(T, C)
         F = asm.assemble_forces(ops, self.N, self.gda, self.gweight,
                                 self.cc, buoy)
         fdotf = jnp.sqrt(jnp.vdot(F, F))
@@ -180,7 +183,7 @@ class CitcomModel:
             V, P, mon = sol.uzawa_cg(prob, V, P, F, fdotf, self.uzawa_params)
         return V, P, mon
 
-    def _timestep(self, s: State):
+    def _timestep(self, s: State, pos=None, flavors=None):
         cfg = self.cfg
         dt0 = adv_mod.cfl_timestep(self.adv_geo, self.ien, s.V,
                                    finetunedt=cfg.finetunedt,
@@ -220,11 +223,27 @@ class CitcomModel:
         if cfg.filter_temp:
             from g4s_tpu.models.citcoms.observables import filter_temperature
             T = filter_temperature(T, self.tbc_mask, self.tbc_val)
-        V, P, mon = self._stokes(T, s.V, s.P)
+        if pos is not None:
+            # thermochemical step: advect tracers with the same dt, map the
+            # dense-flavor fraction to nodes, include chemical buoyancy
+            from g4s_tpu.models.citcoms.tracers import (TracerField,
+                                                        advect_tracers,
+                                                        element_composition,
+                                                        composition_to_nodes)
+            tf = TracerField.from_mesh(self.mesh)
+            pos = advect_tracers(tf, s.V, pos, dt)
+            comp_el, _ = element_composition(tf, pos, flavors, 2)
+            C = composition_to_nodes(tf, comp_el[1], self.plan, self.ien)
+            V, P, mon = self._stokes(T, s.V, s.P, C=C)
+        else:
+            V, P, mon = self._stokes(T, s.V, s.P)
         diag = StepDiagnostics(dt, mon.v_norm, mon.p_norm,
                                mon.incompressibility, mon.outer_iterations,
                                mon.inner_iterations)
-        return State(T, Tdot, V, P, s.time + dt, dt, s.step + 1), diag
+        new_s = State(T, Tdot, V, P, s.time + dt, dt, s.step + 1)
+        if pos is not None:
+            return new_s, diag, pos
+        return new_s, diag
 
     # ---------- public API ----------
 
@@ -235,6 +254,14 @@ class CitcomModel:
 
     def step(self, s: State):
         return self._step_fn(s)
+
+    def step_tracers(self, s: State, pos, flavors):
+        """Thermochemical timestep (tracer advection + ratio-method
+        composition -> chemical buoyancy). Returns (state, diag, pos)."""
+        if not hasattr(self, "_step_tr_fn"):
+            self._step_tr_fn = jax.jit(
+                lambda st, p_, f_: self._timestep(st, p_, f_))
+        return self._step_tr_fn(s, pos, flavors)
 
     def run(self, n_steps: Optional[int] = None, *, verbose: bool = False,
             write_output: bool = False, checkpoint: bool = False,

@@ -615,3 +615,39 @@ class TestPhaseChangeAndGeoid:
                 assert ref > 0.0
             else:
                 assert abs(np.abs(bc).max() / ref - 2.0) < 0.3  # ~linear
+
+
+class TestThermochemical:
+    def test_tracer_step_with_chemical_buoyancy(self):
+        """step_tracers advects particles with the energy dt, maps the
+        ratio-method composition to nodes, and includes -Ra*ratio*C in the
+        buoyancy (get_buoyancy, Pan_problem_misc_functions.c:170-182)."""
+        from g4s_tpu.models.citcoms.tracers import seed_tracers
+        cfg = small_cfg(rayleigh=1e5, nodez=9,
+                        tracer=True, chemical_buoyancy=True,
+                        buoyancy_ratio=2.0, z_interface=0.7)
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        s, _ = model.initial_solve(s)
+        pos, fl = seed_tracers(model.mesh, 8,
+                               flavor_boundary_r=cfg.z_interface)
+        pos, fl = jnp.asarray(pos), jnp.asarray(fl)
+        r0 = float(pos[fl == 1, 2].mean())
+        for _ in range(2):
+            s, diag, pos = model.step_tracers(s, pos, fl)
+        assert bool(jnp.all((pos[:, 2] >= cfg.radius_inner)
+                            & (pos[:, 2] <= cfg.radius_outer)))
+        # dense layer (ratio 2) stays stratified over a few steps
+        assert abs(float(pos[fl == 1, 2].mean()) - r0) < 0.02
+
+    def test_chemical_buoyancy_term(self):
+        cfg = small_cfg(rayleigh=1e5, buoyancy_ratio=3.0)
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        # laterally alternating composition (constant per column in z)
+        grid = np.indices((cfg.nodey, cfg.nodex, cfg.nodez))
+        Cg = ((grid[0] + grid[1]) % 2).astype(float)
+        C = jnp.asarray(Cg.ravel())
+        d = model.buoyancy(s.T, C) - model.buoyancy(s.T)
+        # lateral alternation survives layer-average removal at O(Ra*ratio)
+        assert float(jnp.max(jnp.abs(d))) > 1e5
