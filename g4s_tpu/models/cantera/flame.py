@@ -145,3 +145,180 @@ class BurnerFlame:
     def unpack(self, state):
         s = np.asarray(state).reshape(self.n, self.mech.nspec + 1)
         return s[:, 0], s[:, 1:]
+
+
+class FreeFlame(BurnerFlame):
+    """Freely-propagating adiabatic premixed flame.
+
+    Reference: Cantera's FreeFlame (src/oneD/StFlow.cpp, m_dovisc=false
+    free-flow domain): the mass flux mdot is an EIGENVALUE fixed by
+    anchoring the temperature at one interior grid point. Here the
+    eigenvalue joins the pseudo-transient state vector with relaxation
+        d(mdot)/dt = kappa * (T[i_fix] - T_fixed)
+    (flame drifting upstream raises T at the anchor -> mdot grows and
+    pushes it back). The laminar flame speed is Su = mdot / rho_unburned.
+    """
+
+    def __init__(self, mech: Mechanism, tr: TransportData, *, n_points=64,
+                 width=0.02, pressure=101325.0, T_inlet=300.0,
+                 anchor_frac=0.35, kappa=200.0):
+        super().__init__(mech, tr, n_points=n_points, width=width,
+                         mdot=0.0, pressure=pressure, T_burner=T_inlet)
+        self.i_fix = int(anchor_frac * n_points)
+        self.kappa = kappa
+        self.T_fixed = None
+
+    def initial_profile(self, Y_in, *, T_hot=2400.0, mdot_guess=0.5,
+                        ignition_pos=None):
+        # place the ignition ramp so the anchor node sits halfway up it,
+        # then pin exactly the anchor's initial temperature (Sim1D
+        # setFixedTemperature semantics)
+        pos = (self.i_fix / self.n - 0.075) if ignition_pos is None \
+            else ignition_pos
+        core = super().initial_profile(Y_in, T_hot=T_hot, ignition_pos=pos)
+        Tprof = np.asarray(core).reshape(self.n, -1)[:, 0]
+        self.T_fixed = float(Tprof[self.i_fix])
+        return jnp.concatenate([jnp.asarray([mdot_guess]), core])
+
+    def rhs(self, t, state):
+        mdot = state[0]
+        self.mdot = mdot            # consumed by the parent rhs (traced)
+        core = super().rhs(t, state[1:])
+        T_at_fix = state[1:].reshape(self.n, -1)[self.i_fix, 0]
+        dmdot = self.kappa * (T_at_fix - self.T_fixed) / self.T_fixed
+        return jnp.concatenate([dmdot[None], core])
+
+    def flame_speed(self, state):
+        """Su = mdot / rho_u with the unburned (inlet) density."""
+        mdot = float(state[0])
+        s = np.asarray(state[1:]).reshape(self.n, -1)
+        Y0 = s[0, 1:]
+        Wmix = 1.0 / np.sum(Y0 / np.asarray(self.W))
+        rho_u = self.P * Wmix / (R_GAS * self.T_burner)
+        return mdot / rho_u
+
+
+def damped_newton(residual_fn, y0, *, weights=None, max_iter=60, tol=1e-4,
+                  min_lambda=1e-4):
+    """Sim1D's damped-Newton steady solve (cantera/src/oneD/MultiNewton.cpp):
+    full Jacobian by forward-mode autodiff, step damping by WEIGHTED
+    residual reduction (MultiNewton uses per-component error weights the
+    same way). Returns (y, ||F||_w, converged)."""
+    jac = jax.jit(jax.jacfwd(lambda y: residual_fn(0.0, y)))
+    res = jax.jit(lambda y: residual_fn(0.0, y))
+    y = jnp.asarray(y0)
+    if weights is None:
+        weights = np.ones(y.shape[0])
+    w = np.asarray(weights)
+
+    def wnorm(f):
+        return float(np.sqrt(np.mean((np.asarray(f) / w) ** 2)))
+
+    f = res(y)
+    nrm = wnorm(f)
+    for _ in range(max_iter):
+        if nrm < tol:
+            return y, nrm, True
+        J = np.asarray(jac(y))
+        d = np.linalg.solve(J, -np.asarray(f))
+        lam = 1.0
+        while lam >= min_lambda:
+            y_new = y + lam * jnp.asarray(d)
+            f_new = res(y_new)
+            n_new = wnorm(f_new)
+            if np.isfinite(n_new) and n_new < nrm * (1.0 - 0.2 * lam) + 1e-30:
+                break
+            lam *= 0.5
+        else:
+            return y, nrm, False
+        y, f, nrm = y_new, f_new, n_new
+    return y, nrm, nrm < tol
+
+
+def _flame_weights(flame, n_state):
+    """Characteristic d/dt scales per component: T rows ~1e5 K/s, Y rows
+    ~1e2 /s, the mdot eigenvalue row ~1e1 — equalizes the Newton norm."""
+    K = flame.mech.nspec
+    w_core = np.tile(np.concatenate([[1e5], 1e2 * np.ones(K)]), flame.n)
+    if n_state == flame.n * (K + 1) + 1:
+        return np.concatenate([[1e1], w_core])
+    return w_core
+
+
+def solve_free_flame(flame, state0, *, t_ignite=0.004, rtol=1e-5,
+                     atol=1e-8, newton_tol=1e-6):
+    """Short pseudo-transient ignition march, then damped Newton on the
+    steady system including the mdot eigenvalue (the Sim1D solve()
+    strategy: timestepping only as globalization for Newton)."""
+    res = flame.solve(state0, t_end=t_ignite, rtol=rtol, atol=atol,
+                      max_steps=40000)[0]
+    w = _flame_weights(flame, int(res.y.shape[0]))
+    y, nrm, ok = damped_newton(flame.rhs, res.y, weights=w, tol=newton_tol)
+    return y, nrm, ok
+
+
+def solve_flame_speed(flame, state0, *, iters=10, t_ignite=0.006,
+                      t_inner=0.015, rtol=1e-5, atol=1e-8):
+    """Eigenvalue solve by bisection on the FLAME POSITION.
+
+    NOTE: with the first-order upwind convection used here, numerical
+    diffusion (u dz / 2) is comparable to the physical diffusivity at the
+    default grids, so the eigenvalue carries O(1) discretization error —
+    refine n_points (and use the returned position error, in cells) when
+    the flame speed itself is the quantity of interest.
+
+    The front position z_f(mdot) — where T crosses T_fixed — increases
+    monotonically with the mass flux (low flux: flashback toward the
+    inlet; high flux: blow-off downstream), so bracketing the anchor node
+    and bisecting is robust where an anchor-temperature secant saturates.
+    Inner steady solves are warm-started pseudo-transient burner marches
+    (Sim1D's timestepping globalization). Returns (core_state, mdot,
+    position_error_in_cells).
+    """
+    core_rhs = lambda t, y: BurnerFlame.rhs(flame, t, y)
+    z = np.asarray(flame.z)
+    z_anchor = z[flame.i_fix]
+
+    def front(yv):
+        T = np.asarray(yv).reshape(flame.n, -1)[:, 0]
+        above = T >= flame.T_fixed
+        if above.all():
+            return z[0]
+        if not above.any():
+            return z[-1]
+        k = int(np.argmax(above))
+        if k == 0:
+            return z[0]
+        fr = (flame.T_fixed - T[k - 1]) / (T[k] - T[k - 1] + 1e-300)
+        return z[k - 1] + fr * (z[k] - z[k - 1])
+
+    def inner(m, y_start, t_end):
+        flame.mdot = m
+        r = bdf_solve(core_rhs, y_start, 0.0, t_end, rtol=rtol, atol=atol,
+                      max_steps=60000)
+        return r.y, front(r.y)
+
+    m = float(state0[0])
+    y, zf = inner(m, state0[1:], t_ignite)
+    y_burn = y           # last profile with a live flame (warm-start source)
+    m_lo = m_hi = None
+    for _ in range(iters):
+        Tmax = float(np.asarray(y).reshape(flame.n, -1)[:, 0].max())
+        if Tmax < flame.T_fixed:
+            zf = z[-1]   # extinguished == blown off: flux too high
+        else:
+            y_burn = y
+        if zf < z_anchor:      # flame too far upstream -> raise flux
+            m_lo = m
+            m = m * 1.5 if m_hi is None else 0.5 * (m + m_hi)
+        else:
+            m_hi = m
+            m = m / 1.5 if m_lo is None else 0.5 * (m + m_lo)
+        y, zf = inner(m, y_burn, t_inner)
+        if m_lo is not None and m_hi is not None and \
+                (m_hi - m_lo) < 0.02 * m_hi:
+            break
+    if float(np.asarray(y).reshape(flame.n, -1)[:, 0].max()) < flame.T_fixed:
+        y, zf = y_burn, front(y_burn)
+    dz = z[1] - z[0]
+    return y, m, abs(zf - z_anchor) / dz

@@ -511,3 +511,34 @@ class TestReactorNet:
         out = net.advance(1e-3)
         T_net = float(net._split(out.y)[0][0])
         assert abs(T_net - float(rr.y[0])) / float(rr.y[0]) < 1e-6
+
+
+class TestFreeFlame:
+    def test_flame_speed_eigenvalue(self):
+        """FreeFlame (oneD StFlow free-flow domain): the mass-flux
+        eigenvalue bisection returns a live anchored flame with a positive
+        laminar flame speed for stoich H2/O2/Ar."""
+        from g4s_tpu.models.cantera.flame import FreeFlame, solve_flame_speed
+        from g4s_tpu.models.cantera.transport import load_transport
+        mech = load_mechanism(H2O2)
+        tr = load_transport(H2O2, mech)
+        W = np.asarray(mech.mol_weights)
+        X = np.zeros(mech.nspec)
+        X[mech.species_index("H2")] = 2
+        X[mech.species_index("O2")] = 1
+        X[mech.species_index("AR")] = 4
+        Y = X * W
+        Y /= Y.sum()
+        f = FreeFlame(mech, tr, n_points=24, width=0.006)
+        s0 = f.initial_profile(Y, mdot_guess=4.0)
+        y, mdot, err_cells = solve_flame_speed(f, s0, iters=3,
+                                               t_ignite=0.004,
+                                               t_inner=0.008)
+        T = np.asarray(y).reshape(f.n, -1)[:, 0]
+        assert T.max() > 1800.0           # flame alive
+        assert T[-1] > 1800.0             # burned products downstream
+        assert mdot > 0.5
+        Wmix = 1.0 / np.sum(Y / W)
+        rho_u = 101325.0 * Wmix / (8.314462618 * 300.0)
+        su = mdot / rho_u
+        assert 0.5 < su < 20.0            # plausible for H2/O2/Ar
