@@ -20,7 +20,7 @@ from g4s_tpu.models.deepmd.descriptor import DescriptorSpec
 from g4s_tpu.models.deepmd.model import ModelSpec
 
 
-def freeze(params, spec: ModelSpec, path) -> None:
+def freeze(params, spec: ModelSpec, path, *, type_map=None) -> None:
     leaves, treedef = jax.tree_util.tree_flatten(params)
     meta = dict(
         rcut=spec.descriptor.rcut, rcut_smth=spec.descriptor.rcut_smth,
@@ -30,6 +30,7 @@ def freeze(params, spec: ModelSpec, path) -> None:
         embed_resnet_dt=spec.embed_resnet_dt,
         fit_resnet_dt=spec.fit_resnet_dt,
         descriptor_type=spec.descriptor_type,
+        type_map=list(type_map) if type_map else None,
         treedef=str(treedef))
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     np.savez(path, __meta__=json.dumps(meta), **arrays)
@@ -51,3 +52,8 @@ def load_frozen(path) -> Tuple[dict, ModelSpec]:
     skeleton = init_params(jax.random.PRNGKey(0), spec)
     treedef = jax.tree_util.tree_structure(skeleton)
     return jax.tree_util.tree_unflatten(treedef, leaves), spec
+
+
+def load_frozen_meta(path) -> dict:
+    with np.load(path, allow_pickle=False) as z:
+        return json.loads(str(z["__meta__"]))

@@ -26,6 +26,8 @@ class DeepPot:
 
     def __init__(self, model_file):
         self.params, self.spec = load_frozen(model_file)
+        from g4s_tpu.models.deepmd.freeze import load_frozen_meta
+        self.type_map = load_frozen_meta(model_file).get("type_map") or []
         self._single = jax.jit(
             lambda c, b, t: energy_force_virial(self.params, self.spec,
                                                 c, b, t))

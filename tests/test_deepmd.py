@@ -408,3 +408,32 @@ class TestSeTAndHybrid:
         D = atomic_descriptor(params, spec, R, types, nlist)
         m1 = spec.embed_neurons[-1]
         assert D.shape == (coords.shape[0], m1 * spec.axis_neuron + m1)
+
+
+class TestCalculator:
+    def test_ase_free_eval_and_gated_DP(self, tmp_path):
+        """calculator.py: the ASE-free path evaluates a frozen model by
+        element symbols; the DP class raises a clear error without ase."""
+        from g4s_tpu.models.deepmd.calculator import DP, calc_ase_free
+        from g4s_tpu.models.deepmd.descriptor import DescriptorSpec
+        from g4s_tpu.models.deepmd.freeze import freeze
+        from g4s_tpu.models.deepmd.model import ModelSpec, init_params
+        spec = ModelSpec(DescriptorSpec(6.0, 0.5, (8, 12), 2),
+                         (8, 16), 4, (24, 24))
+        params = init_params(jax.random.PRNGKey(0), spec)
+        mf = str(tmp_path / "m.npz")
+        freeze(params, spec, mf, type_map=["O", "H"])
+        rng = np.random.default_rng(0)
+        pos = rng.uniform(0, 9, (24, 3))
+        out = calc_ase_free(mf, pos, np.diag([9., 9., 9.]),
+                            ["O"] * 8 + ["H"] * 16, ["O", "H"])
+        assert out["forces"].shape == (24, 3)
+        assert np.isfinite(out["energy"])
+        try:
+            import ase  # noqa: F401
+            has_ase = True
+        except ImportError:
+            has_ase = False
+        if not has_ase:
+            with pytest.raises(ImportError):
+                DP(mf)
