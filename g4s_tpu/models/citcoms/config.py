@@ -169,6 +169,11 @@ class CitcomConfig:
     VMAX: bool = False
     visc_max: float = 1.0e3
     VISC_UPDATE: bool = True
+    # anisotropic viscosity (Anisotropic_viscosity.c; radial director)
+    ANIVISC: bool = False
+    anivisc_mode: str = "orthotropic"   # orthotropic | ti
+    ani_vis2_factor: float = 0.0        # delta_vis = 1 - eta_S/eta
+    anivisc_gamma: float = 0.0          # ti normal-viscosity contrast
 
     # advection (Advection_diffusion.c:80-92)
     ADV: bool = True

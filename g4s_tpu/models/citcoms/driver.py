@@ -153,7 +153,20 @@ class CitcomModel:
 
     def _build_ops(self, T) -> asm.StokesOperators:
         evisc = viscosity_at_vpts(self.cfg, self.mat, T, self.ien, self.N)
-        elt_k = asm.build_elt_k(self.B, self.gda, self.gweight, evisc)
+        cfg = self.cfg
+        if cfg.ANIVISC and cfg.ani_vis2_factor != 0.0:
+            from g4s_tpu.models.citcoms.anisotropic import (
+                build_elt_k_aniso, constitutive_orthotropic, constitutive_ti)
+            n_dir = jnp.asarray([0.0, 0.0, 1.0], self.B.dtype)  # radial
+            if cfg.anivisc_mode == "ti":
+                D = constitutive_ti(cfg.ani_vis2_factor,
+                                    cfg.anivisc_gamma, n_dir)
+            else:
+                D = constitutive_orthotropic(cfg.ani_vis2_factor, n_dir)
+            elt_k = build_elt_k_aniso(self.B, self.gda, self.gweight,
+                                      evisc, D)
+        else:
+            elt_k = asm.build_elt_k(self.B, self.gda, self.gweight, evisc)
         BI = asm.build_diag_K(elt_k, self.plan)
         BPI = asm.build_bpi(self.G, BI, self.ien, self.vbc_mask)
         return asm.StokesOperators(self.ien, elt_k, self.G, self.vbc_mask,

@@ -651,3 +651,43 @@ class TestThermochemical:
         d = model.buoyancy(s.T, C) - model.buoyancy(s.T)
         # lateral alternation survives layer-average removal at O(Ra*ratio)
         assert float(jnp.max(jnp.abs(d))) > 1e5
+
+
+class TestAnisotropicViscosity:
+    def test_constitutive_matrix(self):
+        """Muehlhaus orthotropic D (Anisotropic_viscosity.c
+        get_constitutive_orthotropic_viscosity): for a radial director,
+        only the shear components involving r are softened by delta_vis;
+        the matrix stays symmetric positive semidefinite."""
+        from g4s_tpu.models.citcoms import anisotropic as ani
+        D = np.asarray(ani.constitutive_orthotropic(0.3, [0., 0., 1.]))
+        assert abs(D[4, 4] - 0.7) < 1e-14     # tr shear softened
+        assert abs(D[5, 5] - 0.7) < 1e-14     # pr shear softened
+        assert abs(D[3, 3] - 1.0) < 1e-14     # tp shear untouched
+        assert abs(D[2, 2] - 2.0) < 1e-14     # normal untouched
+        assert np.abs(D - D.T).max() == 0.0
+        assert np.linalg.eigvalsh(D).min() >= -1e-12
+        D0 = np.asarray(ani.constitutive_orthotropic(0.0, [0., 0., 1.]))
+        assert np.abs(D0 - np.diag([2., 2., 2., 1., 1., 1.])).max() == 0.0
+
+    def test_solver_with_anisotropy(self):
+        """delta->0 reproduces the isotropic stiffness exactly; finite
+        delta changes the flow while keeping incompressibility."""
+        import dataclasses
+        cfg = small_cfg(rayleigh=1e4, nodez=5, num_perturbations=1,
+                        perturbl=[2], perturbm=[2], perturblayer=[2],
+                        perturbmag=[0.05])
+        cfg_a0 = dataclasses.replace(cfg, ANIVISC=True,
+                                     ani_vis2_factor=1e-16)
+        cfg_a = dataclasses.replace(cfg, ANIVISC=True, ani_vis2_factor=0.5)
+        m = CitcomModel(cfg)
+        m0 = CitcomModel(cfg_a0)
+        ma = CitcomModel(cfg_a)
+        s = m.init_state()
+        d = jnp.max(jnp.abs(m._build_ops(s.T).elt_k
+                            - m0._build_ops(s.T).elt_k))
+        assert float(d) < 1e-12
+        s1, mon1 = m.initial_solve(s)
+        s2, mon2 = ma.initial_solve(s)
+        assert float(mon2.incompressibility) < 1e-2
+        assert abs(float(mon2.v_norm) - float(mon1.v_norm)) > 1e-4
