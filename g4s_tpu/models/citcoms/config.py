@@ -105,6 +105,14 @@ class CitcomConfig:
     buoyancy_ratio: float = 1.0
     z_interface: float = 0.7
 
+    # lithosphere age BCs (Lith_age.c lith_age_input:47-66)
+    lith_age: bool = False
+    lith_age_file: str = ""
+    lith_age_depth: float = 0.0471
+    mantle_temp: float = 1.0
+    lith_age_uniform_myr: float = 60.0
+    therm_diff: float = 1.0e-6          # m^2/s, for Myr nondim (scalet)
+
     # dimensional constants for observables (Instructions.c:700-790 defaults)
     density: float = 3340.0
     density_above: float = 1030.0

@@ -91,6 +91,18 @@ class CitcomModel:
         self.adv_geo = adv_mod.build_advection_geometry(g, m, self.tmass)
         # per-layer surface-area weights for horizontal averaging
         self._layer_weights = to(self._build_layer_weights())
+        if cfg.lith_age:
+            # half-space-cooling initial T + essential TBCs in the lid
+            from g4s_tpu.models.citcoms import lith_age as la
+            nsf = cfg.nodex * cfg.nodey
+            if cfg.lith_age_file:
+                ages = la.read_age_file(cfg.lith_age_file, nsf)
+            else:
+                ages = np.full(nsf, cfg.lith_age_uniform_myr)
+            self._age_nd = la.age_to_nondim(cfg, ages)
+            self.tbc_mask, self.tbc_val = la.lith_age_tbc(
+                cfg, self.mesh, self._age_nd, self.tbc_mask, self.tbc_val)
+            self.tbc_val = jnp.asarray(self.tbc_val, dtype)
         from g4s_tpu.models.citcoms.nodal import StencilPlan
         self.stencil_plan = StencilPlan.build(cfg)
         self.uzawa_params = sol.UzawaParams(
@@ -102,7 +114,12 @@ class CitcomModel:
     # ---------- initialization ----------
 
     def init_state(self) -> State:
-        T = jnp.asarray(initial_temperature(self.mesh), self.dtype)
+        if self.cfg.lith_age:
+            from g4s_tpu.models.citcoms import lith_age as la
+            T = jnp.asarray(la.lith_age_tic(self.cfg, self.mesh,
+                                            self._age_nd), self.dtype)
+        else:
+            T = jnp.asarray(initial_temperature(self.mesh), self.dtype)
         V = asm.apply_vbc(jnp.zeros((self.mesh.nno, 3), self.dtype),
                           self.vbc_mask, self.vbc_val)
         return State(T, jnp.zeros_like(T), V,

@@ -691,3 +691,34 @@ class TestAnisotropicViscosity:
         s2, mon2 = ma.initial_solve(s)
         assert float(mon2.incompressibility) < 1e-2
         assert abs(float(mon2.v_norm) - float(mon1.v_norm)) > 1e-4
+
+
+class TestLithAge:
+    def test_halfspace_profile_and_tbc(self, tmp_path):
+        """Lith_age.c: T = mantle_temp*erf(depth/(2 sqrt(age))) within
+        lith_age_depth; young plates are warmer at depth; lid nodes are
+        pinned as thermal BCs through timesteps."""
+        import dataclasses
+        ages = np.where(np.arange(81) % 9 < 4, 300.0, 3000.0)
+        agef = tmp_path / "ages.txt"
+        np.savetxt(agef, ages)
+        cfg = small_cfg(rayleigh=1e4, nodex=9, nodey=9, nodez=17,
+                        lith_age=True, lith_age_depth=0.12,
+                        lith_age_file=str(agef))
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        Tg = np.asarray(s.T).reshape(9, 9, 17)
+        assert Tg[4, 1, 15] > Tg[4, 7, 15] + 0.05   # young warmer at depth
+        assert Tg[4, 4, 3] == cfg.mantle_temp       # interior
+        # erf value check at one node against the closed form
+        from scipy.special import erf
+        from g4s_tpu.models.citcoms.lith_age import age_to_nondim
+        r = model.mesh.sx.reshape(9, 9, 17, 3)[4, 7, 15, 2]
+        a = age_to_nondim(cfg, 3000.0)
+        expect = erf((cfg.radius_outer - r) * 0.5 / np.sqrt(a))
+        assert abs(Tg[4, 7, 15] - expect) < 1e-12
+        # BCs hold under a step
+        s2, _ = model.step(s)
+        Tg2 = np.asarray(s2.T).reshape(9, 9, 17)
+        assert abs(Tg2[4, 4, 16] - Tg[4, 4, 16]) < 1e-12
+        assert abs(Tg2[4, 4, 15] - Tg[4, 4, 15]) < 1e-12
