@@ -437,3 +437,37 @@ class TestCalculator:
         if not has_ase:
             with pytest.raises(ImportError):
                 DP(mf)
+
+
+class TestTensorFitting:
+    def test_dipole_polar_covariance(self):
+        """fit/dipole.py + fit/polar.py parity: outputs built from the
+        se_e2_a rotation matrix are exactly covariant — dipole rotates as
+        a vector, polarizability as a rank-2 tensor — and autodiff
+        provides the DeepTensor derivative."""
+        from scipy.spatial.transform import Rotation
+        from g4s_tpu.models.deepmd import fit_tensor as ft
+        from g4s_tpu.models.deepmd.descriptor import DescriptorSpec
+        from g4s_tpu.models.deepmd.model import ModelSpec, init_params
+        spec = ModelSpec(DescriptorSpec(6.0, 0.5, (8, 12), 2),
+                         (8, 16), 4, (24, 24))
+        params = init_params(jax.random.PRNGKey(0), spec)
+        nets = ft.init_tensor_fit(jax.random.PRNGKey(1), spec)
+        rng = np.random.default_rng(0)
+        pos = rng.uniform(3.0, 6.0, (24, 3))
+        box = jnp.asarray(np.diag([30., 30., 30.]))
+        types = jnp.asarray((np.arange(24) % 3 == 0).astype(np.int32))
+        d = ft.total_dipole(params, nets, spec, jnp.asarray(pos), box, types)
+        P = ft.total_polar(params, nets, spec, jnp.asarray(pos), box, types)
+        R = Rotation.from_euler("xyz", [0.3, -0.7, 1.1]).as_matrix()
+        pos_r = jnp.asarray(pos @ R.T + 15.0)
+        d_r = ft.total_dipole(params, nets, spec, pos_r, box, types)
+        P_r = ft.total_polar(params, nets, spec, pos_r, box, types)
+        Rj = jnp.asarray(R)
+        assert float(jnp.max(jnp.abs(d_r - Rj @ d))) < 1e-10
+        assert float(jnp.max(jnp.abs(P_r - Rj @ P @ Rj.T))) < 1e-10
+        assert float(jnp.max(jnp.abs(P - P.T))) < 1e-14
+        g = jax.jacrev(lambda c: ft.total_dipole(params, nets, spec, c,
+                                                 box, types))(
+            jnp.asarray(pos))
+        assert bool(jnp.all(jnp.isfinite(g)))
