@@ -203,3 +203,29 @@ def spgemm_device_merge(a: CSR, b: CSR):
         jnp.asarray((rows * n).astype(kt)),
         jnp.asarray(np.asarray(b.indices).astype(kt)),
         jnp.asarray(a.data), jnp.asarray(b.data), F)
+
+
+def spgemm_via_csc(a: CSR, b: CSR) -> CSR:
+    """Column-wise SpGEMM: process C column-by-column through the
+    transposed operands, C = ((B^T)(A^T))^T.
+
+    This is the TPU analog of the reference's HeapSpGEMM
+    (mm/inc/heap_mult.h:47-223): that engine walks CSC columns of B and
+    k-way-merges sorted column contributions; here the same column-major
+    strategy is expressed as the row-wise two-phase engine applied to the
+    transposes, and the final transpose restores row-major CSR with
+    columns sorted by construction (the heap variant's selling point).
+    """
+    from g4s_tpu.sparse.containers import CSC
+    from g4s_tpu.sparse.convert import csc_to_csr, csr_to_csc
+
+    at = csr_to_csc(a)        # CSC of A == CSR of A^T (swapped shape)
+    bt = csr_to_csc(b)
+    a_t = CSR(bt.indptr, bt.indices, bt.data, (b.shape[1], b.shape[0]))
+    b_t = CSR(at.indptr, at.indices, at.data, (a.shape[1], a.shape[0]))
+    ct = spgemm(a_t, b_t)     # C^T as CSR
+    cc = CSC(ct.indptr, ct.indices, np.asarray(ct.data),
+             (b.shape[1], a.shape[0]))
+    c = csc_to_csr(CSC(cc.indptr, cc.indices, cc.data,
+                       (a.shape[0], b.shape[1])))
+    return c

@@ -53,3 +53,33 @@ def test_device_merge_matches_plan():
     C = sp.coo_matrix((np.asarray(vals)[: int(nnz)], (k // 64, k % 64)),
                       shape=(64, 64)).tocsr()
     assert abs(C - ref).max() < 1e-12
+
+
+class TestRegMM:
+    def test_all_strategies_pass(self, capsys):
+        """reg_mm: the four SpGEMM strategy analogs (hash/heap/outer/MKL)
+        agree with the exact oracle on a random matrix."""
+        from g4s_tpu.drivers import reg_mm
+        rc = reg_mm.main(["--random", "200", "0.06"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert out.count("PASS") == 5      # 4 strategies + ALL PASS
+        for name in ("plan", "csc", "device", "dense"):
+            assert name in out
+
+    def test_csc_strategy_rectangular(self):
+        import scipy.sparse as sp
+        from g4s_tpu.ops.spgemm import spgemm_via_csc
+        from g4s_tpu.sparse import dense_to_csr
+        A = sp.random(50, 70, density=0.1, format="csr", random_state=2)
+        B = sp.random(70, 30, density=0.1, format="csr", random_state=3)
+        c = spgemm_via_csc(dense_to_csr(A.toarray()),
+                           dense_to_csr(B.toarray()))
+        C = sp.csr_matrix((np.asarray(c.data), np.asarray(c.indices),
+                           np.asarray(c.indptr)), shape=c.shape)
+        assert abs((C - A @ B).toarray()).max() < 1e-12
+        # heap-analog property: sorted columns within each row
+        ind, ptr = np.asarray(c.indices), np.asarray(c.indptr)
+        for i in range(c.shape[0]):
+            seg = ind[ptr[i]:ptr[i + 1]]
+            assert (np.diff(seg) > 0).all()
