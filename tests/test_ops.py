@@ -274,3 +274,38 @@ class TestDIA:
         g = build_graph(CSR.from_scipy(m.tocsr()))
         with pytest.raises(NotImplementedError):
             mxv(g, jnp.ones(64), semiring=MIN_PLUS)
+
+
+class TestBWELLRowMode:
+    def test_row_window_mode(self):
+        """Per-gather-row windows admit matrices whose columns cluster
+        locally but span globally (pack mode infeasible); interpret-mode
+        kernel matches scipy."""
+        import scipy.sparse as sp
+        from jax.experimental import pallas as pl
+        from g4s_tpu.ops import pallas_spmv as ps
+        rng = np.random.default_rng(0)
+        n, W = 2048, 16
+        gr = n // 8
+        bases = rng.integers(0, (n - 64) // 64, size=gr) * 64
+        cols = (bases[:, None, None]
+                + rng.integers(0, 64, size=(gr, 8, W))).reshape(-1)
+        rows = np.repeat(np.arange(n), W)
+        vals = rng.standard_normal(n * W).astype(np.float32)
+        S = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+        S.sum_duplicates()
+        a = CSR.from_scipy(S.astype(np.float32))
+        import pytest
+        with pytest.raises(ValueError):
+            ps.pack_bwell(a, mode="pack")
+        packed = ps.pack_bwell(a, mode="auto")
+        assert packed.mode == "row"
+        orig = pl.pallas_call
+        pl.pallas_call = lambda *ar, **k: orig(*ar, interpret=True, **k)
+        try:
+            x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+            y = np.asarray(ps.spmv_bwell(packed, x))
+        finally:
+            pl.pallas_call = orig
+        ref = S @ np.asarray(x)
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
