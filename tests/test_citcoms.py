@@ -722,3 +722,38 @@ class TestLithAge:
         Tg2 = np.asarray(s2.T).reshape(9, 9, 17)
         assert abs(Tg2[4, 4, 16] - Tg[4, 4, 16]) < 1e-12
         assert abs(Tg2[4, 4, 15] - Tg[4, 4, 15]) < 1e-12
+
+
+class TestMineralPhysics:
+    def test_prem_values(self):
+        """get_prem (Mineral_physics_models.c:40): PREM polynomials give
+        the familiar values — lower-mantle Vs ~7 km/s, surface crust
+        3.2 km/s / 2.6 g/cm3, CMB clamping below r_CMB."""
+        from g4s_tpu.models.citcoms.mineral_physics import get_prem
+        vp, vs, rho = get_prem(0.60)
+        assert 6.9 < vs < 7.4 and 12.5 < vp < 13.5 and 5.0 < rho < 5.6
+        vp1, vs1, rho1 = get_prem(0.9999)
+        assert abs(vs1 - 3.2) < 0.01 and abs(rho1 - 2.6) < 0.01
+        a = get_prem(0.30)
+        b = get_prem(0.546226)       # clamped to CMB
+        assert np.allclose(a, b)
+
+    def test_tvv_scaling(self):
+        """Hot anomalies are slow and light; dense composition is fast
+        in Vp per the TVV Table-2 signs."""
+        from g4s_tpu.models.citcoms.mineral_physics import seismic_model
+        cfg = small_cfg(rayleigh=1e5, nodez=9)
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        T = np.array(s.T).reshape(cfg.nodey, cfg.nodex, cfg.nodez)
+        T[2, 2, 4] = min(T[2, 2, 4] + 0.2, 1.0)
+        rho, vp, vs = seismic_model(model, T.ravel())
+        i_hot = (2 * cfg.nodex + 2) * cfg.nodez + 4
+        i_ref = (1 * cfg.nodex + 1) * cfg.nodez + 4
+        assert rho[i_hot] < rho[i_ref]     # hot -> light
+        assert vs[i_hot] < vs[i_ref]       # hot -> slow
+        C = np.zeros(model.mesh.nno)
+        C[i_hot] = 0.5
+        rho2, vp2, vs2 = seismic_model(model, T.ravel(), C)
+        assert rho2[i_hot] > rho[i_hot]    # dense component
+        assert vp2[i_hot] > vp[i_hot]      # chemically fast (TVV dlnvp/dc>0)
