@@ -136,6 +136,26 @@ def cmd_md(args):
     print(f"# MD done: {args.steps} steps, final T = {log[-1][1]:.1f} K")
 
 
+def cmd_neighbor_stat(args):
+    """`dp neighbor-stat` (deepmd/entrypoints/main.py neighbor_stat
+    subcommand): report max neighbors per type within rcut and the
+    suggested `sel` for the training input."""
+    import numpy as np
+    from g4s_tpu.models.deepmd.data import load_system
+    from g4s_tpu.models.deepmd.descriptor import neighbor_stat
+    sys_ = load_system(args.system)
+    ntypes = int(np.asarray(sys_.types).max()) + 1
+    nf = min(10, sys_.nframes)
+    coords = [np.asarray(sys_.coord[i]).reshape(-1, 3) for i in range(nf)]
+    boxes = [np.asarray(sys_.box[i]).reshape(3, 3) for i in range(nf)]
+    max_nbor, sel = neighbor_stat(coords, boxes, sys_.types,
+                                  args.rcut, ntypes)
+    names = args.type_map or [str(i) for i in range(ntypes)]
+    for t, (m, s_) in enumerate(zip(max_nbor, sel)):
+        print(f"type {names[t]}: max_nbor {int(m)}  suggested sel {int(s_)}")
+    print("sel =", list(int(x) for x in sel))
+
+
 def main():
     from g4s_tpu.utils.platform import honor_env_platforms
     honor_env_platforms()
@@ -164,6 +184,12 @@ def main():
     p.add_argument("-s", "--system", required=True)
     p.add_argument("-n", "--numb-test", type=int, default=10)
     p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("neighbor-stat")
+    p.add_argument("-s", "--system", required=True)
+    p.add_argument("-r", "--rcut", type=float, required=True)
+    p.add_argument("-t", "--type-map", nargs="+", default=None)
+    p.set_defaults(fn=cmd_neighbor_stat)
 
     p = sub.add_parser("md")
     p.add_argument("-m", "--model", default="frozen_model.npz")

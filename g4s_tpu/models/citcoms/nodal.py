@@ -81,7 +81,8 @@ def apply_stencil(W, u_grid):
     for o, (dy, dx, dz) in enumerate(_OFFSETS):
         shifted = jax.lax.dynamic_slice(
             up, (1 + dy, 1 + dx, 1 + dz, 0), (noy, nox, noz, 3))
-        out = out + jnp.einsum("yxzij,yxzj->yxzi", W[:, :, :, o], shifted)
+        out = out + jnp.einsum("yxzij,yxzj->yxzi", W[:, :, :, o], shifted,
+                               precision=jax.lax.Precision.HIGHEST)
     return out
 
 
