@@ -757,3 +757,30 @@ class TestMineralPhysics:
         rho2, vp2, vs2 = seismic_model(model, T.ravel(), C)
         assert rho2[i_hot] > rho[i_hot]    # dense component
         assert vp2[i_hot] > vp[i_hot]      # chemically fast (TVV dlnvp/dc>0)
+
+
+class TestGgrd:
+    def test_trilinear_and_temp_init(self, tmp_path):
+        """ggrd.py (Ggrd_handling.c role): trilinear interpolation is
+        exact on a linear field; temperature init adds the gridded
+        anomaly to the conductive profile and clips; netCDF is gated."""
+        from g4s_tpu.models.citcoms import ggrd
+        cfg = small_cfg(rayleigh=1e4)
+        model = CitcomModel(cfg)
+        lon = np.linspace(-20, 80, 41)
+        lat = np.linspace(-30, 70, 36)
+        depth = np.linspace(0, 1, 5)
+        D, LA, LO = np.meshgrid(depth, lat, lon, indexing="ij")
+        np.savez(tmp_path / "g.npz", lon=lon, lat=lat, depth=depth,
+                 field=LA + LO / 100 + D)
+        v = ggrd.interpolate_to_mesh(model.mesh, lon, lat, depth,
+                                     LA + LO / 100 + D)
+        sx = np.asarray(model.mesh.sx)
+        exact = ((90 - np.degrees(sx[:, 0])) + np.degrees(sx[:, 1]) / 100
+                 + (1 - sx[:, 2] / sx[:, 2].max()))
+        assert np.abs(v - exact).max() < 1e-12
+        T = ggrd.ggrd_temp_init(model, str(tmp_path / "g.npz"),
+                                scale=1e-3)
+        assert T.min() >= 0.0 and T.max() <= 1.0
+        with pytest.raises(ImportError):
+            ggrd.load_grid("x.grd")
