@@ -15,6 +15,7 @@ from g4s_tpu.models.cantera.shock_tube import (  # noqa: F401
     ShockTubeBenchmark, ignition_delay, stoich_mixture, NTC_TEMPERATURES,
 )
 from g4s_tpu.models.cantera.equilibrium import equilibrate_tp  # noqa: F401
+from g4s_tpu.models.cantera.solution_array import SolutionArray  # noqa: F401
 from g4s_tpu.models.cantera.transport import (  # noqa: F401
     load_transport, mixture_viscosity, thermal_conductivity,
     mixture_diffusion_coeffs,

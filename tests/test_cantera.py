@@ -542,3 +542,29 @@ class TestFreeFlame:
         rho_u = 101325.0 * Wmix / (8.314462618 * 300.0)
         su = mdot / rho_u
         assert 0.5 < su < 20.0            # plausible for H2/O2/Ar
+
+
+class TestSolutionArray:
+    def test_vectorized_states(self):
+        """SolutionArray (composite.py): batch property evaluation and
+        per-state TP equilibration."""
+        from g4s_tpu.models.cantera import R_GAS, SolutionArray
+        mech = load_mechanism(H2O2)
+        n = 6
+        T = np.linspace(300, 2000, n)
+        X = np.zeros((n, mech.nspec))
+        X[:, mech.species_index("H2")] = 2
+        X[:, mech.species_index("O2")] = 1
+        sol = SolutionArray(mech, T=T, P=101325.0, X=X)
+        assert len(sol) == n
+        rho_hand = (101325.0 * np.asarray(sol.mean_molecular_weight)
+                    / (R_GAS * T))
+        assert np.abs(np.asarray(sol.density) - rho_hand).max() < 1e-12
+        cp = np.asarray(sol.cp_mole)
+        assert (np.diff(cp) > 0).all()         # H2/O2 cp rises with T
+        wdot = np.asarray(sol.net_production_rates)
+        assert np.abs(wdot[0]).max() < 1e-20   # frozen when cold
+        assert np.abs(wdot[-1]).max() > 1.0    # reacting when hot
+        s1 = SolutionArray(mech, T=np.array([1000.0]), P=101325.0,
+                           X=X[:1]).equilibrate("TP")
+        assert float(s1("H2O")[0]) > 0.999
