@@ -156,6 +156,26 @@ def cmd_neighbor_stat(args):
     print("sel =", list(int(x) for x in sel))
 
 
+def cmd_model_devi(args):
+    """`dp model-devi` (deepmd/infer/model_devi.py make_model_devi):
+    force/virial deviation across an ensemble of frozen models."""
+    import numpy as np
+    from g4s_tpu.models.deepmd.data import load_system
+    from g4s_tpu.models.deepmd.infer import DeepPot, calc_model_devi
+    sys_ = load_system(args.system)
+    pots = [DeepPot(m) for m in args.models]
+    rows = []
+    for i in range(min(sys_.nframes, 50)):
+        mx, mn, av = calc_model_devi(pots, sys_.coord[i], sys_.box[i],
+                                     sys_.types)
+        rows.append([i, float(mx[0]), float(mn[0]), float(av[0])])
+    arr = np.asarray(rows)
+    np.savetxt(args.output, arr,
+               header="frame max_devi_f min_devi_f avg_devi_f")
+    print(f"wrote {args.output}: mean max_devi_f "
+          f"{arr[:, 1].mean():.3e}")
+
+
 def main():
     from g4s_tpu.utils.platform import honor_env_platforms
     honor_env_platforms()
@@ -190,6 +210,12 @@ def main():
     p.add_argument("-r", "--rcut", type=float, required=True)
     p.add_argument("-t", "--type-map", nargs="+", default=None)
     p.set_defaults(fn=cmd_neighbor_stat)
+
+    p = sub.add_parser("model-devi")
+    p.add_argument("-m", "--models", nargs="+", required=True)
+    p.add_argument("-s", "--system", required=True)
+    p.add_argument("-o", "--output", default="model_devi.out")
+    p.set_defaults(fn=cmd_model_devi)
 
     p = sub.add_parser("md")
     p.add_argument("-m", "--model", default="frozen_model.npz")
