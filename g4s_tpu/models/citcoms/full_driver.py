@@ -286,3 +286,36 @@ def shard_full_sphere(model: FullSphereModel, mesh, axis: str = "e"):
 
     return jax.jit(stokes, in_shardings=(rep, rep, rep),
                    out_shardings=(rep, rep, rep))
+
+
+def shard_full_step(model: FullSphereModel, mesh, axis: str = "e"):
+    """Multi-chip FULL TIMESTEP (SUPG advection + Stokes) by element
+    sharding. Unlike shard_full_sphere (which re-plumbs one solve), this
+    re-homes the model's per-element tensors onto the device mesh and
+    jits the existing _timestep — pjit propagation inserts the seam
+    collectives everywhere an element->node scatter or node->element
+    gather crosses shards. Requires nel % n_devices == 0 (pick nodex so
+    12 (nodex-1)^2 (nodez-1) divides the device count).
+
+    Returns a jitted step(state) -> (state, diagnostics), both
+    replicated.
+    """
+    import copy
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    if model.mesh.nel % n_dev:
+        raise ValueError(f"nel {model.mesh.nel} not divisible by "
+                         f"{n_dev} devices")
+    shard_e = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    m2 = copy.copy(model)
+    for name in ("ien", "gda", "cc", "B", "G", "gradN", "e_area", "mat",
+                 "e_size"):
+        setattr(m2, name, jax.device_put(getattr(model, name), shard_e))
+    for name in ("N", "gweight", "vbc_mask", "vbc_val", "tbc_mask",
+                 "tbc_val", "tmass", "nmass", "N_center"):
+        setattr(m2, name, jax.device_put(getattr(model, name), rep))
+    return jax.jit(m2._timestep, in_shardings=(rep,),
+                   out_shardings=(rep, rep))
