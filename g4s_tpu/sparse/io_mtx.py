@@ -88,3 +88,36 @@ def write_mtx(path, m: COO, *, comment: str = "") -> None:
         f.write(f"{m.shape[0]} {m.shape[1]} {row.size}\n")
         for r, c, v in zip(row, col, val):
             f.write(f"{r} {c} {v:.17g}\n")
+
+
+def read_gtgraph(path):
+    """GTgraph/DIMACS edge list -> CSR (the reference's graph struct,
+    mm/inc/graph.h: directed edges start->end with double weights).
+
+    Format: 'c' comment lines, one 'p sp <n> <m>' problem line, and
+    'a <u> <v> <w>' arc lines with 1-based vertex ids.
+    """
+    import numpy as np
+
+    from g4s_tpu.sparse.containers import COO
+    from g4s_tpu.sparse.convert import coo_to_csr, merge_duplicates
+
+    n = m = 0
+    rows, cols, vals = [], [], []
+    with open(path) as f:
+        for line in f:
+            if not line or line[0] == "c":
+                continue
+            if line[0] == "p":
+                parts = line.split()
+                n, m = int(parts[-2]), int(parts[-1])
+            elif line[0] == "a":
+                _, u, v, w = line.split()
+                rows.append(int(u) - 1)
+                cols.append(int(v) - 1)
+                vals.append(float(w))
+    if n == 0:
+        n = max(max(rows, default=0), max(cols, default=0)) + 1
+    coo = COO(np.asarray(rows, np.int64), np.asarray(cols, np.int64),
+              np.asarray(vals), (n, n))
+    return merge_duplicates(coo_to_csr(coo))

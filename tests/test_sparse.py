@@ -164,3 +164,19 @@ class TestNative:
                                       np.asarray(p2.c_indices))
         np.testing.assert_array_equal(np.asarray(p1.slot), np.asarray(p2.slot))
         np.testing.assert_array_equal(np.asarray(p1.src_a), np.asarray(p2.src_a))
+
+
+class TestGTgraph:
+    def test_read_gtgraph(self, tmp_path):
+        """DIMACS/GTgraph edge lists (mm/inc/graph.h consumers): 1-based
+        arcs, duplicate edges merged by summation."""
+        import numpy as np
+        from g4s_tpu.sparse import csr_to_dense, read_gtgraph
+        p = tmp_path / "g.gr"
+        p.write_text("c sample\np sp 4 5\na 1 2 1.5\na 1 2 0.5\n"
+                     "a 2 3 2.0\na 3 1 -1.0\na 4 4 9.0\n")
+        c = read_gtgraph(str(p))
+        d = np.asarray(csr_to_dense(c))
+        assert d.shape == (4, 4)
+        assert d[0, 1] == 2.0      # duplicates merged
+        assert d[2, 0] == -1.0 and d[3, 3] == 9.0
