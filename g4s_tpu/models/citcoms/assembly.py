@@ -69,6 +69,7 @@ class StokesOperators:
     BI: jax.Array         # (nno, 3) 1/diag(K)
     BPI: jax.Array        # (nel,)   pressure preconditioner
     plan: ScatterPlan
+    elt_c: object = None  # (nel, 8, 3) anelastic continuity, or None
 
 
 def build_elt_k(B, gda, gweight, evisc):
@@ -114,9 +115,30 @@ def assemble_grad_p(ops: StokesOperators, p, *, strip: bool = True):
 
 
 def assemble_div_u(ops: StokesOperators, u):
-    """r_e = G_e^T u_el (assemble_div_u, Element_calculations.c:701-730)."""
+    """r_e = G_e^T u_el (assemble_div_u, Element_calculations.c:701-730).
+    With elt_c present this is the ANELASTIC divergence
+    div(rho_ref u)/rho_ref = div u + (dln rho/dr) u_r
+    (assemble_div_rho_u, Element_calculations.c:682-693)."""
     u_el = jnp.take(u, ops.ien, axis=0)                       # (nel, 8, 3)
-    return jnp.einsum("eai,eai->e", ops.G, u_el)
+    d = jnp.einsum("eai,eai->e", ops.G, u_el)
+    if ops.elt_c is not None:
+        d = d + jnp.einsum("eai,eai->e", ops.elt_c, u_el)
+    return d
+
+
+def build_elt_c(cc, volume, beta):
+    """Element operator for (dln rho/dr) u_r at the pressure point
+    (get_elt_c, Element_calculations.c:840-880, refstate choice 1:
+    rho = exp((1-r) Di/gamma) so beta = dln(rho)/dr = -Di/gamma).
+
+    elt_c[e, a, i] = -beta * V_e * N_a(center) * cc_r[e, i, a] where cc_r
+    is the radial row of the node->gauss frame rotation (center mean);
+    the minus matches the reference's divergence sign convention
+    (elt_c[p][0] = -x * temp * beta, Element_calculations.c:870-872).
+    """
+    cc_r = cc.mean(axis=1)[:, 2]            # (nel, 3i, 8a)
+    return -beta * volume[:, None, None] / 8.0 \
+        * jnp.transpose(cc_r, (0, 2, 1))    # (nel, 8a, 3i)
 
 
 def build_diag_K(elt_k, plan: ScatterPlan):

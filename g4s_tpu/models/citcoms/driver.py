@@ -186,8 +186,12 @@ class CitcomModel:
             elt_k = asm.build_elt_k(self.B, self.gda, self.gweight, evisc)
         BI = asm.build_diag_K(elt_k, self.plan)
         BPI = asm.build_bpi(self.G, BI, self.ien, self.vbc_mask)
+        elt_c = None
+        if cfg.disptn_number != 0.0:
+            beta = -cfg.disptn_number / cfg.gruneisen
+            elt_c = asm.build_elt_c(self.cc, self.e_area, beta)
         return asm.StokesOperators(self.ien, elt_k, self.G, self.vbc_mask,
-                                   self.vbc_val, BI, BPI, self.plan)
+                                   self.vbc_val, BI, BPI, self.plan, elt_c)
 
     def _stokes(self, T, V, P, C=None):
         """general_stokes_solver: viscosity -> stiffness -> forces -> Uzawa."""

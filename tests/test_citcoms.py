@@ -816,3 +816,44 @@ class TestFullSphereShardedStep:
         with pytest.raises(ValueError):
             shard_full_step(model, Mesh(np.asarray(jax.devices()[:5]),
                                         ("e",)))
+
+
+class TestAnelasticContinuity:
+    def test_divergence_operator(self):
+        """get_elt_c / assemble_c_u (Element_calculations.c:652-693,
+        840-880): the anelastic divergence annihilates the analytic
+        mass-conserving field rho r^2 u_r = const (rho = exp((1-r)Di/g))
+        while the Boussinesq divergence does not."""
+        import dataclasses
+        from g4s_tpu.models.citcoms import assembly as asm
+        Di, gam = 0.5, 1.2
+        cfg = small_cfg(rayleigh=1e4, nodex=13, nodey=13, nodez=13,
+                        disptn_number=Di, gruneisen=gam)
+        m = CitcomModel(cfg)
+        s = m.init_state()
+        ops = m._build_ops(s.T)
+        assert ops.elt_c is not None
+        r = np.asarray(m.mesh.sx[:, 2])
+        rho = np.exp((1.0 - r) * Di / gam)
+        V = jnp.asarray(np.stack([np.zeros_like(r), np.zeros_like(r),
+                                  1.0 / (rho * r * r)], 1))
+        vol = np.asarray(m.e_area)
+        da = np.abs(np.asarray(asm.assemble_div_u(ops, V)) / vol).max()
+        ops0 = dataclasses.replace(ops, elt_c=None)
+        dp = np.abs(np.asarray(asm.assemble_div_u(ops0, V)) / vol).max()
+        assert da < 0.02 * dp
+
+    def test_tala_solve(self):
+        """The Uzawa solve converges under the anelastic constraint and
+        differs from the Boussinesq solution."""
+        import dataclasses as dc
+        cfg = small_cfg(rayleigh=1e4, nodez=5, num_perturbations=1,
+                        perturbl=[2], perturbm=[2], perturblayer=[2],
+                        perturbmag=[0.05], disptn_number=0.5)
+        m_tala = CitcomModel(cfg)
+        m_bous = CitcomModel(dc.replace(cfg, disptn_number=0.0))
+        s = m_tala.init_state()
+        s1, mon1 = m_tala.initial_solve(s)
+        s2, mon2 = m_bous.initial_solve(s)
+        assert float(mon1.incompressibility) < 1e-2
+        assert abs(float(mon1.v_norm) - float(mon2.v_norm)) > 1e-6
