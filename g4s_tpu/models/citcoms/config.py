@@ -181,6 +181,9 @@ class CitcomConfig:
     VMAX: bool = False
     visc_max: float = 1.0e3
     VISC_UPDATE: bool = True
+    CDEPV: bool = False
+    cdepv_ff: List[float] = dataclasses.field(
+        default_factory=lambda: [1.0, 1.0])
     # anisotropic viscosity (Anisotropic_viscosity.c; radial director)
     ANIVISC: bool = False
     anivisc_mode: str = "orthotropic"   # orthotropic | ti

@@ -168,8 +168,9 @@ class CitcomModel:
         have = bsum / wsum
         return buoy - jnp.take(have, layer)
 
-    def _build_ops(self, T) -> asm.StokesOperators:
-        evisc = viscosity_at_vpts(self.cfg, self.mat, T, self.ien, self.N)
+    def _build_ops(self, T, C=None) -> asm.StokesOperators:
+        evisc = viscosity_at_vpts(self.cfg, self.mat, T, self.ien, self.N,
+                                  C_nodes=C)
         cfg = self.cfg
         if cfg.ANIVISC and cfg.ani_vis2_factor != 0.0:
             from g4s_tpu.models.citcoms.anisotropic import (
@@ -195,7 +196,7 @@ class CitcomModel:
 
     def _stokes(self, T, V, P, C=None):
         """general_stokes_solver: viscosity -> stiffness -> forces -> Uzawa."""
-        ops = self._build_ops(T)
+        ops = self._build_ops(T, C)
         buoy = self.buoyancy(T, C)
         F = asm.assemble_forces(ops, self.N, self.gda, self.gweight,
                                 self.cc, buoy)

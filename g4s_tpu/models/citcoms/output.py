@@ -74,7 +74,10 @@ def output(model, state, step: int) -> list:
     """Per-step output dispatch (Output.c output()): format selected by
     cfg.output_format — ascii field files (default), ascii-gz
     (Output_gzdir.c role), or vtk StructuredGrid (Output_vtk.c role)."""
-    if getattr(model.cfg, "output_format", "ascii") == "vtk":
+    fmt = getattr(model.cfg, "output_format", "ascii")
+    if fmt == "hdf5":
+        return [output_h5(model, state, step)]
+    if fmt == "vtk":
         from g4s_tpu.models.citcoms.vtk import output_vts, write_pvd
         vts = output_vts(model, state, step)
         log = getattr(model, "_vtk_series", None)
@@ -86,3 +89,21 @@ def output(model, state, step: int) -> list:
     if step == 0:
         files.insert(0, output_coord(model))
     return files
+
+
+def output_h5(model, state, step: int) -> str:
+    """HDF5 snapshot (Output_h5.c role): /coord, /velocity, /temperature,
+    /viscosity (+ scalar attrs time/step) in one file per step."""
+    import h5py
+
+    from g4s_tpu.models.citcoms.vtk import nodal_viscosity
+    p = _path(model.cfg, "h5", step).replace(".gz", "") + ".h5"
+    with h5py.File(p, "w") as f:
+        f.attrs["time"] = float(state.time)
+        f.attrs["step"] = int(state.step)
+        f.create_dataset("coord", data=np.asarray(model.mesh.sx))
+        f.create_dataset("velocity", data=np.asarray(state.V))
+        f.create_dataset("temperature", data=np.asarray(state.T))
+        f.create_dataset("pressure", data=np.asarray(state.P))
+        f.create_dataset("viscosity", data=nodal_viscosity(model, state))
+    return p

@@ -27,11 +27,24 @@ def element_materials(cfg: CitcomConfig, e_center_r: np.ndarray,
     return np.minimum(mat, max(cfg.num_mat, 1) - 1).astype(np.int32)
 
 
+def cdepv_prefactor(cfg, C_nodes, ien, N):
+    """Compositional geometric-mean viscosity prefactor
+    (visc_from_C, Viscosity_structures.c:1110-1155): per vpt,
+    vmean = exp((1 - C) ln ff0 + C ln ff1) for the single-component
+    ratio method (background flavor 0, dense flavor 1)."""
+    C_el = jnp.take(jnp.asarray(C_nodes), ien, axis=0)       # (nel, 8a)
+    C_g = jnp.clip(jnp.einsum("ea,ag->eg", C_el, N), 0.0, 1.0)
+    ff = [float(x) for x in cfg.cdepv_ff[:2]]
+    import numpy as _np
+    return jnp.exp((1.0 - C_g) * _np.log(ff[0]) + C_g * _np.log(ff[1]))
+
+
 def viscosity_at_vpts(cfg: CitcomConfig, mat, T_nodes, ien, N,
-                      strain_rate_II=None):
+                      strain_rate_II=None, C_nodes=None):
     """eta at (nel, 8 gauss points).
 
-    mat: (nel,) int32; T_nodes: (nno,); N: (8a, 8g).
+    mat: (nel,) int32; T_nodes: (nno,); N: (8a, 8g). With C_nodes and
+    cfg.CDEPV the compositional prefactor multiplies in.
     """
     n0 = jnp.asarray(cfg.visc0)[mat]                       # (nel,)
     if not cfg.TDEPV:
@@ -67,6 +80,8 @@ def viscosity_at_vpts(cfg: CitcomConfig, mat, T_nodes, ien, N,
         n = jnp.asarray(cfg.sdepv_expt)[mat][:, None]
         eta = eta * jnp.power(eta / jnp.maximum(strain_rate_II, 1e-32),
                               (n - 1.0) / n)
+    if getattr(cfg, "CDEPV", False) and C_nodes is not None:
+        eta = eta * cdepv_prefactor(cfg, C_nodes, ien, N)
     if cfg.VMIN:
         eta = jnp.maximum(eta, cfg.visc_min)
     if cfg.VMAX:

@@ -857,3 +857,38 @@ class TestAnelasticContinuity:
         s2, mon2 = m_bous.initial_solve(s)
         assert float(mon1.incompressibility) < 1e-2
         assert abs(float(mon1.v_norm) - float(mon2.v_norm)) > 1e-6
+
+
+class TestOutputH5AndCDEPV:
+    def test_h5_output(self, tmp_path):
+        """output_format=hdf5 (Output_h5.c role): one .h5 per step with
+        coord/velocity/temperature/pressure/viscosity, exact roundtrip."""
+        import glob
+        import h5py
+        cfg = small_cfg(rayleigh=1e4, storage_spacing=1,
+                        datadir=str(tmp_path), output_format="hdf5")
+        m = CitcomModel(cfg)
+        s, _ = m.run(n_steps=1, write_output=True)
+        files = sorted(glob.glob(str(tmp_path / "*.h5")))
+        assert len(files) == 2
+        with h5py.File(files[-1]) as f:
+            assert set(f.keys()) == {"coord", "velocity", "temperature",
+                                     "pressure", "viscosity"}
+            assert np.abs(f["temperature"][:] - np.asarray(s.T)).max() == 0
+
+    def test_cdepv_prefactor(self):
+        """visc_from_C (Viscosity_structures.c:1110-1155): geometric-mean
+        compositional prefactor; C=1 multiplies by ff1, C=1/2 by
+        sqrt(ff0 ff1)."""
+        from g4s_tpu.models.citcoms.viscosity import viscosity_at_vpts
+        cfg = small_cfg(rayleigh=1e4, CDEPV=True, cdepv_ff=[1.0, 100.0])
+        m = CitcomModel(cfg)
+        s = m.init_state()
+        e0 = viscosity_at_vpts(cfg, m.mat, s.T, m.ien, m.N,
+                               C_nodes=jnp.zeros(m.mesh.nno))
+        e1 = viscosity_at_vpts(cfg, m.mat, s.T, m.ien, m.N,
+                               C_nodes=jnp.ones(m.mesh.nno))
+        eh = viscosity_at_vpts(cfg, m.mat, s.T, m.ien, m.N,
+                               C_nodes=jnp.full(m.mesh.nno, 0.5))
+        assert abs(float((e1 / e0).mean()) - 100.0) < 1e-9
+        assert abs(float((eh / e0).mean()) - 10.0) < 1e-9
