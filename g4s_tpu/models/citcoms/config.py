@@ -81,9 +81,10 @@ class CitcomConfig:
     Q0: float = 0.0
     inputdiffusivity: float = 1.0
 
-    # anelastic (TALA) continuity (get_elt_c refstate choice 1)
+    # anelastic (TALA) continuity + heating (get_elt_c refstate choice 1)
     disptn_number: float = 0.0          # Di; 0 = Boussinesq
     gruneisen: float = 1.2
+    surfaceT: float = 0.0               # nondim surface temperature Ts
 
     # phase transitions (Phase_change.c phase_change_input:66-99)
     Ra_410: float = 0.0

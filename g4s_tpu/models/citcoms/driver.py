@@ -224,10 +224,27 @@ class CitcomModel:
                                    finetunedt=cfg.finetunedt,
                                    fixed_timestep=cfg.fixed_timestep)
 
+        Q_src = cfg.Q0
+        if cfg.disptn_number != 0.0:
+            # TALA heating terms (Advection_diffusion.c:617:
+            # heating = Q - adi + visc): adiabatic cooling Di u_r (T+Ts)
+            # and viscous dissipation (Di/Ra) Phi, per element
+            from g4s_tpu.models.citcoms.viscosity import strain_rate_2inv
+            Di = cfg.disptn_number
+            u_el = jnp.take(s.V, self.ien, axis=0)
+            T_el = jnp.take(s.T, self.ien, axis=0)
+            adi = Di * jnp.mean(u_el[:, :, 2] * (T_el + cfg.surfaceT),
+                                axis=1)
+            evisc = viscosity_at_vpts(cfg, self.mat, s.T, self.ien, self.N)
+            ee2 = strain_rate_2inv(self.B, self.ien, s.V, sqrt=False)
+            viscH = (Di / max(abs(cfg.rayleigh), 1e-300)) \
+                * 2.0 * evisc.mean(axis=1) * ee2
+            Q_src = (cfg.Q0 - adi + viscH)[:, None]
+
         def advect(dt):
             return adv_mod.pg_timestep(
                 self.adv_geo, self.ien, self.plan, s.T, s.Tdot, s.V, dt,
-                diff=cfg.inputdiffusivity, Q0=cfg.Q0, gamma=cfg.adv_gamma,
+                diff=cfg.inputdiffusivity, Q0=Q_src, gamma=cfg.adv_gamma,
                 sub_iterations=cfg.adv_sub_iterations,
                 tbc_mask=self.tbc_mask, tbc_val=self.tbc_val)
 

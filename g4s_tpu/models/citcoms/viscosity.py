@@ -87,3 +87,17 @@ def viscosity_at_vpts(cfg: CitcomConfig, mat, T_nodes, ien, N,
     if cfg.VMAX:
         eta = jnp.minimum(eta, cfg.visc_max)
     return eta
+
+
+def strain_rate_2inv(B, ien, V, *, sqrt=True):
+    """Second invariant of the strain rate at elements
+    (strain_rate_2_inv, Viscosity_structures.c:1158+): eps from the B
+    tensor, invariant = sum(eps_n^2) + 0.5 sum(gamma_s^2) averaged over
+    gauss points; sqrt=False returns the square (the viscous-heating
+    form)."""
+    u_el = jnp.take(V, ien, axis=0)                        # (nel, 8a, 3)
+    eps = jnp.einsum("egsai,eai->egs", B, u_el)            # (nel, 8g, 6)
+    ee = (jnp.sum(eps[..., :3] ** 2, -1)
+          + 0.5 * jnp.sum(eps[..., 3:] ** 2, -1))          # (nel, 8g)
+    val = ee.mean(axis=1)
+    return jnp.sqrt(val) if sqrt else val

@@ -892,3 +892,27 @@ class TestOutputH5AndCDEPV:
                                C_nodes=jnp.full(m.mesh.nno, 0.5))
         assert abs(float((e1 / e0).mean()) - 100.0) < 1e-9
         assert abs(float((eh / e0).mean()) - 10.0) < 1e-9
+
+
+class TestTalaHeating:
+    def test_adiabatic_cooling_sign(self):
+        """TALA heating (Advection_diffusion.c:617 heating = Q - adi
+        + visc): with Di > 0, strong upwellings cool relative to the
+        Boussinesq step (adiabatic decompression), and the viscous term
+        keeps the change bounded."""
+        import dataclasses
+        base = dict(rayleigh=1e4, nodez=9, nodex=9, nodey=9,
+                    num_perturbations=1, perturbl=[2], perturbm=[2],
+                    perturblayer=[4], perturbmag=[0.1])
+        m0 = CitcomModel(small_cfg(**base))
+        mt = CitcomModel(small_cfg(**base, disptn_number=0.5,
+                                   surfaceT=0.1))
+        s = m0.init_state()
+        s, _ = m0.initial_solve(s)
+        s1, _ = m0.step(s)
+        st1, _ = mt.step(s)
+        dT = np.asarray(st1.T) - np.asarray(s1.T)
+        assert np.abs(dT).max() > 1e-6        # heating terms active
+        Vr = np.asarray(s.V)[:, 2]
+        up = Vr > np.percentile(Vr, 90)
+        assert dT[up].mean() < 0              # decompression cooling
