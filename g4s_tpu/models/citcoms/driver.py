@@ -168,9 +168,13 @@ class CitcomModel:
         have = bsum / wsum
         return buoy - jnp.take(have, layer)
 
-    def _build_ops(self, T, C=None) -> asm.StokesOperators:
+    def _build_ops(self, T, C=None, V=None) -> asm.StokesOperators:
+        srII = None
+        if self.cfg.SDEPV and V is not None:
+            from g4s_tpu.models.citcoms.viscosity import strain_rate_2inv
+            srII = strain_rate_2inv(self.B, self.ien, V)[:, None]
         evisc = viscosity_at_vpts(self.cfg, self.mat, T, self.ien, self.N,
-                                  C_nodes=C)
+                                  strain_rate_II=srII, C_nodes=C)
         cfg = self.cfg
         if cfg.ANIVISC and cfg.ani_vis2_factor != 0.0:
             from g4s_tpu.models.citcoms.anisotropic import (
@@ -196,7 +200,7 @@ class CitcomModel:
 
     def _stokes(self, T, V, P, C=None):
         """general_stokes_solver: viscosity -> stiffness -> forces -> Uzawa."""
-        ops = self._build_ops(T, C)
+        ops = self._build_ops(T, C, V)
         buoy = self.buoyancy(T, C)
         F = asm.assemble_forces(ops, self.N, self.gda, self.gweight,
                                 self.cc, buoy)

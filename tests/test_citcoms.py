@@ -916,3 +916,27 @@ class TestTalaHeating:
         Vr = np.asarray(s.V)[:, 2]
         up = Vr > np.percentile(Vr, 90)
         assert dT[up].mean() < 0              # decompression cooling
+
+
+class TestSDEPV:
+    def test_strain_rate_weakening(self):
+        """SDEPV power-law (Viscosity_structures.c sdepv path): with the
+        driven-lid strain field, n=2 viscosity weakens (eta_eff < eta
+        where strain is high) and the Stokes solve still converges."""
+        from g4s_tpu.models.citcoms.viscosity import (strain_rate_2inv,
+                                                      viscosity_at_vpts)
+        base = dict(rayleigh=1e4, nodez=5, topvbc=1, topvbxval=100.0)
+        cfg = small_cfg(**base, SDEPV=True, sdepv_expt=[2.0],
+                        VMIN=True, visc_min=1e-3, VMAX=True, visc_max=1e3)
+        m = CitcomModel(cfg)
+        m_lin = CitcomModel(small_cfg(**base))
+        s = m_lin.init_state()
+        s_l, _ = m_lin.initial_solve(s)
+        srII = strain_rate_2inv(m.B, m.ien, s_l.V)[:, None]
+        e_lin = viscosity_at_vpts(cfg, m.mat, s.T, m.ien, m.N)
+        e_pl = viscosity_at_vpts(cfg, m.mat, s.T, m.ien, m.N,
+                                 strain_rate_II=srII)
+        ratio = np.asarray(e_pl / e_lin)
+        assert ratio.max() < 1.0          # shear thinning everywhere lid moves
+        V2, P2, mon = m._stokes_fn(s.T, s_l.V, s_l.P)
+        assert float(mon.incompressibility) < 1e-2
