@@ -243,12 +243,31 @@ class CitcomModel:
             ee2 = strain_rate_2inv(self.B, self.ien, s.V, sqrt=False)
             viscH = (Di / max(abs(cfg.rayleigh), 1e-300)) \
                 * 2.0 * evisc.mean(axis=1) * ee2
-            Q_src = (cfg.Q0 - adi + viscH)[:, None]
+            # latent heating at phase transitions (latent_heating,
+            # Advection_diffusion.c:830-868: adds to the adiabatic term
+            # and scales source+diffusion by the capacity factor)
+            lat = jnp.ones(self.mesh.nel)
+            from g4s_tpu.models.citcoms.phase_change import (
+                _transitions, phase_function)
+            r_n = jnp.asarray(self.mesh.sx[:, 2])
+            for (Ra_ph, clap, depth, transT, width) in _transitions(cfg):
+                B = phase_function(cfg, r_n, s.T, clap, depth, transT,
+                                   width)
+                f_el = jnp.take((1.0 - B) * B * (s.T + cfg.surfaceT),
+                                self.ien, axis=0)
+                t0 = 2.0 / width * clap * Di * Ra_ph \
+                    / max(abs(cfg.rayleigh), 1e-300)
+                adi = adi + t0 * jnp.mean(f_el * u_el[:, :, 2], axis=1)
+                lat = lat + t0 * clap * jnp.mean(f_el, axis=1)
+            Q_src = ((cfg.Q0 - adi + viscH) * lat)[:, None]
+            diff_eff = cfg.inputdiffusivity * lat[:, None]
+        else:
+            diff_eff = cfg.inputdiffusivity
 
         def advect(dt):
             return adv_mod.pg_timestep(
                 self.adv_geo, self.ien, self.plan, s.T, s.Tdot, s.V, dt,
-                diff=cfg.inputdiffusivity, Q0=Q_src, gamma=cfg.adv_gamma,
+                diff=diff_eff, Q0=Q_src, gamma=cfg.adv_gamma,
                 sub_iterations=cfg.adv_sub_iterations,
                 tbc_mask=self.tbc_mask, tbc_val=self.tbc_val)
 

@@ -940,3 +940,26 @@ class TestSDEPV:
         assert ratio.max() < 1.0          # shear thinning everywhere lid moves
         V2, P2, mon = m._stokes_fn(s.T, s_l.V, s_l.P)
         assert float(mon.incompressibility) < 1e-2
+
+
+class TestLatentHeating:
+    def test_latent_heating_active(self):
+        """latent_heating (Advection_diffusion.c:830-868): with Di > 0
+        and an active phase transition, the energy step changes at the
+        transition but stays bounded, and a Boussinesq run (Di = 0) is
+        unaffected by phase-change heating."""
+        import dataclasses
+        base = dict(rayleigh=1e4, nodex=9, nodey=9, nodez=9,
+                    num_perturbations=1, perturbl=[2], perturbm=[2],
+                    perturblayer=[4], perturbmag=[0.1],
+                    disptn_number=0.5, surfaceT=0.1)
+        ph = dict(Ra_410=2e4, clapeyron410=0.1, transT410=0.5,
+                  z_410=0.2, width410=0.05)
+        m0 = CitcomModel(small_cfg(**base))
+        ml = CitcomModel(small_cfg(**base, **ph))
+        s = m0.init_state()
+        s, _ = m0.initial_solve(s)
+        s0, _ = m0.step(s)
+        sl, _ = ml.step(s)
+        d = np.abs(np.asarray(sl.T) - np.asarray(s0.T)).max()
+        assert 1e-6 < d < 0.05
