@@ -963,3 +963,34 @@ class TestLatentHeating:
         sl, _ = ml.step(s)
         d = np.abs(np.asarray(sl.T) - np.asarray(s0.T)).max()
         assert 1e-6 < d < 0.05
+
+
+class TestCombine:
+    def test_rank_write_and_combine(self, tmp_path):
+        """visual/combine.py role: per-rank velo files written from the
+        distributed state reassemble into the exact global field."""
+        import dataclasses
+        import jax
+        from jax.sharding import Mesh
+        from g4s_tpu.models.citcoms.combine import (combine_velo,
+                                                    write_rank_outputs)
+        from g4s_tpu.models.citcoms.distributed import DistributedCitcom
+        cfg = CitcomConfig(nodex=9, nodey=9, nodez=5, theta_min=0.7854,
+                           theta_max=1.5708, fi_min=0.0, fi_max=0.7854,
+                           radius_inner=0.55, radius_outer=1.0,
+                           rayleigh=1e5, topvbc=1, topvbxval=100.0,
+                           num_mat=4, datadir=str(tmp_path))
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                    ("bx", "by"))
+        dist = DistributedCitcom(cfg, mesh)
+        s2, _ = dist.step(dist.init_state())
+        files = write_rank_outputs(dist, s2, 1)
+        assert len(files) == 8
+        merged = combine_velo(cfg, 4, 2, 1)
+        model = CitcomModel(cfg)
+        ss2, _ = model.step(model.init_state())
+        np.testing.assert_allclose(merged[:, 3], np.asarray(ss2.T),
+                                   atol=1e-6)
+        np.testing.assert_allclose(merged[:, :3], np.asarray(ss2.V),
+                                   atol=1e-4 * float(np.abs(
+                                       np.asarray(ss2.V)).max()))
