@@ -182,6 +182,11 @@ class CitcomConfig:
     VMAX: bool = False
     visc_max: float = 1.0e3
     VISC_UPDATE: bool = True
+    PDEPV: bool = False
+    pdepv_a: List[float] = dataclasses.field(default_factory=lambda: [1e20])
+    pdepv_b: List[float] = dataclasses.field(default_factory=lambda: [0.0])
+    pdepv_y: List[float] = dataclasses.field(default_factory=lambda: [1e20])
+    pdepv_eff: bool = True
     CDEPV: bool = False
     cdepv_ff: List[float] = dataclasses.field(
         default_factory=lambda: [1.0, 1.0])
@@ -253,7 +258,9 @@ def config_from_table(table: Dict[str, str]) -> CitcomConfig:
     # N0 defaulting to 1.0 (Viscosity_structures.c:119-121)
     n = max(num_mat, 1)
     for name, dflt in (("visc0", 1.0), ("viscT", 0.0), ("viscE", 0.0),
-                       ("viscZ", 0.0), ("sdepv_expt", 1.0)):
+                       ("viscZ", 0.0), ("sdepv_expt", 1.0),
+                       ("pdepv_a", 1e20), ("pdepv_b", 0.0),
+                       ("pdepv_y", 1e20)):
         vec = list(getattr(c, name))
         setattr(c, name, (vec + [dflt] * n)[:n])
     return c

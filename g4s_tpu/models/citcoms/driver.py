@@ -170,11 +170,12 @@ class CitcomModel:
 
     def _build_ops(self, T, C=None, V=None) -> asm.StokesOperators:
         srII = None
-        if self.cfg.SDEPV and V is not None:
+        if (self.cfg.SDEPV or self.cfg.PDEPV) and V is not None:
             from g4s_tpu.models.citcoms.viscosity import strain_rate_2inv
             srII = strain_rate_2inv(self.B, self.ien, V)[:, None]
         evisc = viscosity_at_vpts(self.cfg, self.mat, T, self.ien, self.N,
-                                  strain_rate_II=srII, C_nodes=C)
+                                  strain_rate_II=srII, C_nodes=C,
+                                  r_nodes=self.mesh.sx[:, 2])
         cfg = self.cfg
         if cfg.ANIVISC and cfg.ani_vis2_factor != 0.0:
             from g4s_tpu.models.citcoms.anisotropic import (

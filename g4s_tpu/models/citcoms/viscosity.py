@@ -40,7 +40,7 @@ def cdepv_prefactor(cfg, C_nodes, ien, N):
 
 
 def viscosity_at_vpts(cfg: CitcomConfig, mat, T_nodes, ien, N,
-                      strain_rate_II=None, C_nodes=None):
+                      strain_rate_II=None, C_nodes=None, r_nodes=None):
     """eta at (nel, 8 gauss points).
 
     mat: (nel,) int32; T_nodes: (nno,); N: (8a, 8g). With C_nodes and
@@ -82,6 +82,22 @@ def viscosity_at_vpts(cfg: CitcomConfig, mat, T_nodes, ien, N,
                               (n - 1.0) / n)
     if getattr(cfg, "CDEPV", False) and C_nodes is not None:
         eta = eta * cdepv_prefactor(cfg, C_nodes, ien, N)
+    if getattr(cfg, "PDEPV", False) and strain_rate_II is not None \
+            and r_nodes is not None:
+        # plasticity (visc_from_P, Viscosity_structures.c:951):
+        # sigma_y = min(a + b (1-r), y); eta_y = sigma_y / (2 epsII);
+        # eta_eff = harmonic(eta, eta_y) or min(eta, eta_y)
+        r_g = jnp.einsum("ea,ag->eg", jnp.take(jnp.asarray(r_nodes), ien,
+                                               axis=0), N)
+        a = jnp.asarray(cfg.pdepv_a)[mat][:, None]
+        b = jnp.asarray(cfg.pdepv_b)[mat][:, None]
+        y = jnp.asarray(cfg.pdepv_y)[mat][:, None]
+        sigma_y = jnp.minimum(a + b * (cfg.radius_outer - r_g), y)
+        eta_y = sigma_y / jnp.maximum(2.0 * strain_rate_II, 1e-32)
+        if cfg.pdepv_eff:
+            eta = eta * eta_y / (eta + eta_y)
+        else:
+            eta = jnp.minimum(eta, eta_y)
     if cfg.VMIN:
         eta = jnp.maximum(eta, cfg.visc_min)
     if cfg.VMAX:

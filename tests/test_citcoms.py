@@ -994,3 +994,34 @@ class TestCombine:
         np.testing.assert_allclose(merged[:, :3], np.asarray(ss2.V),
                                    atol=1e-4 * float(np.abs(
                                        np.asarray(ss2.V)).max()))
+
+
+class TestPDEPV:
+    def test_yield_stress_limiter(self):
+        """visc_from_P (Viscosity_structures.c:951): sigma_y = min(a +
+        b(1-r), y); with the driven-lid strain the harmonic-mean
+        effective viscosity drops where the flow is fast; with huge
+        yield stress the limiter is a no-op."""
+        from g4s_tpu.models.citcoms.viscosity import (strain_rate_2inv,
+                                                      viscosity_at_vpts)
+        base = dict(rayleigh=1e4, nodez=5, topvbc=1, topvbxval=100.0)
+        cfg_p = small_cfg(**base, PDEPV=True, pdepv_a=[0.05],
+                          pdepv_b=[1.0], pdepv_y=[5.0])
+        cfg_off = small_cfg(**base, PDEPV=True, pdepv_a=[1e20],
+                            pdepv_b=[0.0], pdepv_y=[1e20])
+        m = CitcomModel(cfg_p)
+        m_lin = CitcomModel(small_cfg(**base))
+        s = m_lin.init_state()
+        s_l, _ = m_lin.initial_solve(s)
+        srII = strain_rate_2inv(m.B, m.ien, s_l.V)[:, None]
+        r_n = m.mesh.sx[:, 2]
+        e0 = viscosity_at_vpts(m_lin.cfg, m.mat, s.T, m.ien, m.N)
+        ep = viscosity_at_vpts(cfg_p, m.mat, s.T, m.ien, m.N,
+                               strain_rate_II=srII, r_nodes=r_n)
+        eo = viscosity_at_vpts(cfg_off, m.mat, s.T, m.ien, m.N,
+                               strain_rate_II=srII, r_nodes=r_n)
+        assert float(jnp.max(ep / e0)) <= 1.0
+        assert float(jnp.min(ep / e0)) < 0.1        # yielding where fast
+        assert float(jnp.max(jnp.abs(eo / e0 - 1.0))) < 1e-10  # no-op
+        V2, P2, mon = m._stokes_fn(s.T, s_l.V, s_l.P)
+        assert float(mon.incompressibility) < 1e-2
