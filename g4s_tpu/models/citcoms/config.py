@@ -245,7 +245,12 @@ def config_from_table(table: Dict[str, str]) -> CitcomConfig:
         elif isinstance(cur, float):
             setattr(c, name, float(table[key]))
         elif isinstance(cur, list):
-            n = npert if name.startswith("perturb") else num_mat
+            if name.startswith("perturb"):
+                n = npert
+            elif name == "cdepv_ff":
+                n = len(cur)        # flavor count, not num_mat
+            else:
+                n = num_mat
             n = max(n, 1)
             cast = int if name in ("perturbl", "perturbm", "perturblayer") else float
             default = 1.0 if name in ("visc0", "sdepv_expt") else 0.0
