@@ -7,7 +7,9 @@ from g4s_tpu.models.cantera.thermo import (  # noqa: F401
     GasState, cp0_R, h0_RT, s0_R, rk_mix, rk_molar_volume, rk_pressure,
     pr_mix, pr_molar_volume, pr_pressure, pr_departures,
 )
-from g4s_tpu.models.cantera.reactor import IdealGasConstVolumeReactor  # noqa: F401
+from g4s_tpu.models.cantera.reactor import (  # noqa: F401
+    IdealGasConstPressureReactor, IdealGasConstVolumeReactor,
+)
 from g4s_tpu.models.cantera.network import (  # noqa: F401
     ReactorNet, Reservoir, Wall, MassFlowController, Valve,
 )

@@ -105,3 +105,52 @@ class IdealGasConstVolumeReactor:
         conc = jnp.maximum(y[1:], 0.0)
         rho = jnp.sum(conc * self.gas.W)
         return conc * self.gas.W / rho
+
+
+class IdealGasConstPressureReactor(IdealGasConstVolumeReactor):
+    """Constant-pressure adiabatic reactor (zeroD
+    IdealGasConstPressureReactor): state y = [T, x_k (mole fractions)]
+    at fixed P; the energy equation closes on enthalpy,
+        sum_k n_k cp_k dT/dt = - sum_k h_k dn_k/dt   (per mole basis)
+    and concentrations follow from the ideal-gas state c = x P/(R T).
+    Ideal gas only (the RK/PR benchmark path is constant-volume).
+    """
+
+    def __init__(self, mech: Mechanism, *, pressure: float = 101325.0):
+        super().__init__(mech, real_gas=False)
+        self.P = pressure
+
+    def initial_state(self, T, P, X):
+        self.P = float(P)
+        X = np.asarray(X, np.float64)
+        X = X / X.sum()
+        return jnp.concatenate([jnp.asarray([float(T)]), jnp.asarray(X)])
+
+    def _conc(self, T, x):
+        return x * (self.P / (R_GAS * T))
+
+    def rhs(self, t, y):
+        from g4s_tpu.models.cantera.thermo import cp0_R, h0_RT
+        T = y[0]
+        x = jnp.maximum(y[1:], 0.0)
+        x = x / jnp.sum(x)
+        conc = self._conc(T, x)
+        wdot = net_production_rates(self.kin, self.mech, T, conc)
+        ctot = jnp.sum(conc)
+        # per mole of mixture: dx/dt from dn/dt at constant P
+        xdot_raw = wdot / ctot
+        xdot = xdot_raw - x * jnp.sum(xdot_raw)
+        h = h0_RT(self.mech, T) * R_GAS * T
+        cp = jnp.sum(x * cp0_R(self.mech, T)) * R_GAS
+        dT = -jnp.dot(h, wdot) / (ctot * cp)
+        return jnp.concatenate([dT[None], xdot])
+
+    def pressure(self, y):
+        return jnp.asarray(self.P)
+
+    def temperature(self, y):
+        return y[0]
+
+    def mole_fractions(self, y):
+        x = jnp.maximum(y[1:], 0.0)
+        return x / jnp.sum(x)

@@ -568,3 +568,33 @@ class TestSolutionArray:
         s1 = SolutionArray(mech, T=np.array([1000.0]), P=101325.0,
                            X=X[:1]).equilibrate("TP")
         assert float(s1("H2O")[0]) > 0.999
+
+
+class TestConstPressureReactor:
+    def test_hp_conservation_and_cooler_flame(self):
+        """IdealGasConstPressureReactor (zeroD): specific enthalpy is
+        conserved through ignition and the constant-P flame temperature
+        is below the constant-V one."""
+        from g4s_tpu.models.cantera.mech import R_GAS
+        from g4s_tpu.models.cantera.reactor import (
+            IdealGasConstPressureReactor, IdealGasConstVolumeReactor)
+        from g4s_tpu.models.cantera.thermo import h0_RT
+        mech = load_mechanism(H2O2)
+        X = np.zeros(mech.nspec)
+        X[mech.species_index("H2")] = 2
+        X[mech.species_index("O2")] = 1
+        X[mech.species_index("AR")] = 3
+        rv = IdealGasConstVolumeReactor(mech)
+        rp = IdealGasConstPressureReactor(mech)
+        resv = rv.advance(rv.initial_state(1100.0, 101325.0, X), 1e-2)
+        resp = rp.advance(rp.initial_state(1100.0, 101325.0, X), 1e-2)
+        Tv, Tp = float(resv.y[0]), float(resp.y[0])
+        assert Tp < Tv and Tp > 2000.0
+        W = jnp.asarray(mech.mol_weights)
+        x0 = jnp.asarray(X / X.sum())
+        xf = rp.mole_fractions(resp.y)
+        h0 = jnp.sum(x0 * h0_RT(mech, 1100.0)) * R_GAS * 1100.0
+        hf = jnp.sum(xf * h0_RT(mech, resp.y[0])) * R_GAS * resp.y[0]
+        hm0 = float(h0 / jnp.sum(x0 * W))
+        hmf = float(hf / jnp.sum(xf * W))
+        assert abs(hmf - hm0) / abs(hm0) < 1e-6
