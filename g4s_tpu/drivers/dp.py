@@ -71,6 +71,12 @@ def cmd_train(args):
                          spec, bias_atom_e=data.energy_bias(ntypes))
     params["stats"]["davg"] = jnp.asarray(davg)
     params["stats"]["dstd"] = jnp.asarray(dstd)
+    if args.restart:
+        # `dp train --restart` (entrypoints/main.py restart/init-model):
+        # resume parameters (incl. stats/bias) from a saved checkpoint
+        tree, meta = ckpt.load_deepmd(args.restart, params)
+        params = tree["params"]
+        print(f"# restarted from {args.restart} (step {meta.get('step')})")
 
     trainer = Trainer(spec, loss, lr)
     disp = jdata["training"].get("disp_freq", 100)
@@ -185,6 +191,8 @@ def main():
     p = sub.add_parser("train")
     p.add_argument("input")
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--restart", default=None,
+                   help="checkpoint to resume parameters from")
     p.add_argument("--checkpoint", default="model.ckpt.npz")
     p.set_defaults(fn=cmd_train)
 
