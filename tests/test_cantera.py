@@ -598,3 +598,28 @@ class TestConstPressureReactor:
         hm0 = float(h0 / jnp.sum(x0 * W))
         hmf = float(hf / jnp.sum(xf * W))
         assert abs(hmf - hm0) / abs(hm0) < 1e-6
+
+
+class TestKineticsJacobian:
+    def test_autodiff_jacobian_vs_fd(self):
+        """test_jacobian.py role: the species-production Jacobian
+        d(wdot)/d(conc) from forward-mode autodiff matches central
+        finite differences (this is the matrix the BDF Newton uses)."""
+        from g4s_tpu.models.cantera.kinetics import (build_kinetics,
+                                                     net_production_rates)
+        mech = load_mechanism(H2O2)
+        kin = build_kinetics(mech)
+        T = 1200.0
+        rng = np.random.default_rng(0)
+        conc = jnp.asarray(rng.uniform(0.5, 2.0, mech.nspec))
+        J = jax.jacfwd(lambda c: net_production_rates(kin, mech, T, c))(conc)
+        J = np.asarray(J)
+        eps = 1e-6
+        for k in (0, 3, 7):
+            cp = conc.at[k].add(eps)
+            cm = conc.at[k].add(-eps)
+            col = (np.asarray(net_production_rates(kin, mech, T, cp))
+                   - np.asarray(net_production_rates(kin, mech, T, cm))) \
+                / (2 * eps)
+            scale = max(np.abs(col).max(), 1.0)
+            assert np.abs(J[:, k] - col).max() < 1e-5 * scale
