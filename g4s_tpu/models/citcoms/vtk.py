@@ -136,3 +136,48 @@ def read_vts_points(path: str) -> dict:
             arr = arr.reshape(-1, int(ncomp))
         out[name] = arr
     return out
+
+
+def output_vtu(model, state, path, *, fmt="binary") -> str:
+    """UnstructuredGrid snapshot for the 12-cap full-sphere mesh
+    (hexahedral cells from the global ien): the full-sphere analog of
+    output_vts — the reference writes one .vts per cap processor;
+    the merged global mesh is naturally a .vtu.
+    """
+    import numpy as np
+    m = model.mesh
+    sx = np.asarray(m.sx)
+    t, p, r = sx[:, 0], sx[:, 1], sx[:, 2]
+    xyz = np.column_stack([r * np.sin(t) * np.cos(p),
+                           r * np.sin(t) * np.sin(p),
+                           r * np.cos(t)])
+    ien = np.asarray(m.ien)
+    nel, nno = ien.shape[0], sx.shape[0]
+    with open(path, "w") as f:
+        f.write('<VTKFile type="UnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n  <UnstructuredGrid>\n')
+        f.write(f'    <Piece NumberOfPoints="{nno}" '
+                f'NumberOfCells="{nel}">\n')
+        f.write('      <PointData Scalars="temperature" '
+                'Vectors="velocity">\n')
+        _data_array(f, "temperature", np.asarray(state.T), fmt)
+        _data_array(f, "velocity",
+                    sphere_to_cart_velocity(sx, np.asarray(state.V)),
+                    fmt, ncomp=3)
+        f.write('      </PointData>\n      <Points>\n')
+        _data_array(f, "coordinate", xyz, fmt, ncomp=3)
+        f.write('      </Points>\n      <Cells>\n')
+        f.write('        <DataArray type="Int64" Name="connectivity" '
+                'format="ascii">\n')
+        np.savetxt(f, ien, fmt="%d")
+        f.write('        </DataArray>\n')
+        f.write('        <DataArray type="Int64" Name="offsets" '
+                'format="ascii">\n')
+        np.savetxt(f, 8 * np.arange(1, nel + 1)[:, None], fmt="%d")
+        f.write('        </DataArray>\n')
+        f.write('        <DataArray type="UInt8" Name="types" '
+                'format="ascii">\n')
+        np.savetxt(f, np.full((nel, 1), 12, np.uint8), fmt="%d")
+        f.write('        </DataArray>\n      </Cells>\n')
+        f.write('    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n')
+    return path

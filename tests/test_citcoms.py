@@ -1025,3 +1025,25 @@ class TestPDEPV:
         assert float(jnp.max(jnp.abs(eo / e0 - 1.0))) < 1e-10  # no-op
         V2, P2, mon = m._stokes_fn(s.T, s_l.V, s_l.P)
         assert float(mon.incompressibility) < 1e-2
+
+
+class TestFullSphereVTU:
+    def test_vtu_roundtrip(self, tmp_path):
+        """output_vtu: global hexahedral UnstructuredGrid for the 12-cap
+        mesh; fields round-trip exactly, connectivity covers every
+        element as a hexahedron."""
+        from g4s_tpu.models.citcoms.full_driver import FullSphereModel
+        from g4s_tpu.models.citcoms.vtk import output_vtu, read_vts_points
+        cfg = CitcomConfig(nodex=5, nodey=5, nodez=4, radius_inner=0.55,
+                           radius_outer=1.0, rayleigh=1e4, num_mat=1)
+        model = FullSphereModel(cfg)
+        s = model.init_state()
+        p = str(tmp_path / "sphere.vtu")
+        output_vtu(model, s, p)
+        d = read_vts_points(p)
+        assert d["temperature"].shape == (model.mesh.nno,)
+        assert np.abs(d["temperature"]
+                      - np.asarray(s.T).astype(np.float32)).max() == 0
+        txt = open(p).read()
+        assert f'NumberOfCells="{model.mesh.nel}"' in txt
+        assert "connectivity" in txt and "offsets" in txt
