@@ -36,7 +36,7 @@ class ModelSpec(NamedTuple):
     fit_neurons: Tuple[int, ...]        # e.g. (240, 240, 240)
     embed_resnet_dt: bool = False
     fit_resnet_dt: bool = True
-    descriptor_type: str = "se_e2_a"    # "se_e2_r"|"se_atten"|"se_t"|"hybrid"
+    descriptor_type: str = "se_e2_a"    # se_e2_r|se_atten|se_t|hybrid|loc_frame
     attn_layers: int = 2                # se_atten: attention layers
     attn_dim: int = 0                   # se_atten: Q/K/V width (0 -> m1)
     tebd_dim: int = 8                   # se_atten: type-embedding width
@@ -51,6 +51,8 @@ class ModelSpec(NamedTuple):
         if self.descriptor_type == "hybrid":
             return sum(self._replace(descriptor_type=t).descriptor_dim
                        for t in self.hybrid_types)
+        if self.descriptor_type == "loc_frame":
+            return 4 * self.descriptor.nnei
         if self.descriptor_type in ("se_e2_r", "se_t"):
             return self.m1
         return self.m1 * self.axis_neuron
@@ -59,6 +61,8 @@ class ModelSpec(NamedTuple):
 def _init_embed(key, spec: ModelSpec, dtype):
     """Embedding-side parameters for one descriptor type."""
     nt = spec.descriptor.ntypes
+    if spec.descriptor_type == "loc_frame":
+        return []            # no embedding nets: raw local coordinates
     if spec.descriptor_type == "hybrid":
         parts = []
         for t in spec.hybrid_types:
@@ -125,9 +129,37 @@ def init_params(key, spec: ModelSpec, *, bias_atom_e=None, dtype=jnp.float64):
 
 def atomic_descriptor(params, spec: ModelSpec, R, types, nlist=None):
     """R: (N, nnei, 4) raw env mat -> D: (N, descriptor_dim)."""
+    if spec.descriptor_type == "loc_frame":
+        return _descriptor_loc_frame(spec, R)
     Rn = normalize_env_mat(R, types, params["stats"]["davg"],
                            params["stats"]["dstd"])
     return _descr_dispatch(params["embed"], spec, Rn, types, nlist)
+
+
+def _descriptor_loc_frame(spec: ModelSpec, R):
+    """Local-frame descriptor (DescrptLocFrame,
+    deepmd/descriptor/loc_frame.py): build an orthonormal frame per atom
+    from two axis neighbors (first neighbor of the first two type
+    sections by default — the axis_rule "closest of type" convention)
+    and express every neighbor's (s, x, y, z) env-mat row in that frame.
+    Uses the smoothed env mat (channel directions are parallel to the
+    raw displacements, so frames and invariance are identical)."""
+    sel = spec.descriptor.sel
+    sec = np.concatenate([[0], np.cumsum(sel)])
+    nt = spec.descriptor.ntypes
+    t1, t2 = 0, min(1, nt - 1)
+    a1 = R[:, sec[t1], 1:4]                        # closest of type t1
+    idx2 = sec[t2] if t2 != t1 else sec[t1] + 1    # distinct axis atom
+    a2 = R[:, idx2, 1:4]
+    eps = 1e-12
+    e1 = a1 / (jnp.linalg.norm(a1, axis=1, keepdims=True) + eps)
+    a2p = a2 - jnp.sum(a2 * e1, axis=1, keepdims=True) * e1
+    e2 = a2p / (jnp.linalg.norm(a2p, axis=1, keepdims=True) + eps)
+    e3 = jnp.cross(e1, e2)
+    F = jnp.stack([e1, e2, e3], axis=1)            # (N, 3frame, 3global)
+    xyz_loc = jnp.einsum("nfg,nkg->nkf", F, R[:, :, 1:4])
+    D = jnp.concatenate([R[:, :, 0:1], xyz_loc], axis=2)
+    return D.reshape(R.shape[0], -1)
 
 
 def _descr_dispatch(embed, spec: ModelSpec, Rn, types, nlist):

@@ -471,3 +471,39 @@ class TestTensorFitting:
                                                  box, types))(
             jnp.asarray(pos))
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestLocFrame:
+    def test_invariance_and_forces(self):
+        """DescrptLocFrame: descriptor in the per-atom orthonormal frame
+        is exactly invariant under global rotation+translation; autodiff
+        forces match finite differences."""
+        from scipy.spatial.transform import Rotation
+        from g4s_tpu.models.deepmd.descriptor import DescriptorSpec
+        from g4s_tpu.models.deepmd.model import (ModelSpec,
+                                                 energy_force_virial,
+                                                 init_params, total_energy)
+        dspec = DescriptorSpec(rcut=6.0, rcut_smth=0.5, sel=(8, 12),
+                               ntypes=2)
+        spec = ModelSpec(descriptor=dspec, embed_neurons=(8, 16),
+                         axis_neuron=4, fit_neurons=(24, 24),
+                         descriptor_type="loc_frame")
+        params = init_params(jax.random.PRNGKey(0), spec)
+        rng = np.random.default_rng(0)
+        pos = rng.uniform(3.0, 6.0, (24, 3))
+        box = jnp.asarray(np.diag([30., 30., 30.]))
+        types = jnp.asarray((np.arange(24) % 3 == 0).astype(np.int32))
+        e = total_energy(params, spec, jnp.asarray(pos), box, types)
+        R = Rotation.from_euler("xyz", [0.4, -0.9, 1.3]).as_matrix()
+        e_rot = total_energy(params, spec, jnp.asarray(pos @ R.T + 12.0),
+                             box, types)
+        assert abs(float(e - e_rot)) < 1e-10
+        _, F, _ = energy_force_virial(params, spec, jnp.asarray(pos), box,
+                                      types)
+        eps = 1e-6
+        fd = -(total_energy(params, spec,
+                            jnp.asarray(pos).at[4, 0].add(eps), box, types)
+               - total_energy(params, spec,
+                              jnp.asarray(pos).at[4, 0].add(-eps), box,
+                              types)) / (2 * eps)
+        assert abs(float(F[4, 0] - fd)) < 1e-7
