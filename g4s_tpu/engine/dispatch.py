@@ -162,3 +162,49 @@ def reduce_vector(g: Graph, *, semiring: Semiring = PLUS_TIMES):
     else:
         vals = g.csr.data
     return semiring.reduce(vals)
+
+
+def vxm(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
+    """y = v (+.x) A — the GraphBLAS vxm dual of mxv (y_j = sum_i x_i A_ij).
+
+    This is the orientation relaxation-style vertex programs want
+    (propagate states ALONG edges); subsumes the reference's column-wise
+    engines (heap_mult.h walks CSC columns the same way).
+    """
+    if g.variant == "dia":
+        if semiring is not PLUS_TIMES:
+            raise NotImplementedError(
+                "DIA layout supports the plus_times semiring only")
+        # v^T A over diagonals: y[c] = sum_o vals[o][c-o] * x[c-o] — the
+        # mirror of spmv_dia with negated offsets
+        n = g.shape[0]
+        maxoff = max((abs(o) for o in g.dia.offsets), default=0)
+        acc = jnp.zeros((n,), jnp.result_type(g.dia.vals, x))
+        for i, o in enumerate(g.dia.offsets):
+            # row r stores A[r, r+o]; its contribution lands on column r+o
+            contrib = g.dia.vals[i] * x
+            shifted = jnp.zeros((n + 2 * maxoff,),
+                                contrib.dtype).at[
+                maxoff + o: maxoff + o + n].add(contrib)
+            acc = acc + shifted[maxoff:maxoff + n]
+        if mask is not None:
+            acc = jnp.where(mask, acc, jnp.asarray(semiring.zero, acc.dtype))
+        return acc
+    if g.variant == "ell":
+        ell = g.ell
+        prod = semiring.mul(ell.vals, x[:, None])
+        w = ell.cols.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g.shape[0], w), 1)
+        valid = lane < g.deg[:, None]
+        zero = jnp.asarray(semiring.zero, prod.dtype)
+        prod = jnp.where(valid, prod, zero)
+        y = segment_reduce(prod.reshape(-1), ell.cols.reshape(-1),
+                           g.shape[1], op=_ADD_OPS[semiring.name])
+    else:
+        csr = g.csr
+        prod = semiring.mul(csr.data, jnp.take(x, g.row_ids))
+        y = segment_reduce(prod, csr.indices, g.shape[1],
+                           op=_ADD_OPS[semiring.name])
+    if mask is not None:
+        y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
+    return y

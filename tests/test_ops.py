@@ -309,3 +309,41 @@ class TestBWELLRowMode:
             pl.pallas_call = orig
         ref = S @ np.asarray(x)
         assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+class TestVxm:
+    def test_vxm_all_layouts(self):
+        """vxm (GraphBLAS dual): y = v^T A matches scipy transpose on
+        DIA, ELL and CSR layouts; min_plus vxm performs the relaxation
+        step vertex programs use."""
+        import scipy.sparse as sp
+        from g4s_tpu.engine.dispatch import build_graph, vxm
+        from g4s_tpu.engine.semiring import MIN_PLUS
+        from g4s_tpu.sparse import dense_to_csr
+        rng = np.random.default_rng(0)
+        n = 300
+        offs = [-5, -2, 0, 3]
+        S = sp.diags([rng.standard_normal(n - abs(o)) for o in offs],
+                     offs, format="csr")
+        g = build_graph(dense_to_csr(S.toarray()))
+        assert g.variant == "dia"
+        x = rng.standard_normal(n)
+        assert np.abs(np.asarray(vxm(g, jnp.asarray(x)))
+                      - S.T @ x).max() < 1e-12
+        R = sp.random(200, 150, density=0.05, format="csr",
+                      random_state=1)
+        g2 = build_graph(dense_to_csr(R.toarray()))
+        x2 = rng.standard_normal(200)
+        assert np.abs(np.asarray(vxm(g2, jnp.asarray(x2)))
+                      - R.T @ x2).max() < 1e-12
+        g3 = build_graph(dense_to_csr(R.toarray()), variant="csr")
+        assert np.abs(np.asarray(vxm(g3, jnp.asarray(x2)))
+                      - R.T @ x2).max() < 1e-12
+        # SSSP relaxation: d <- min(d, vxm_minplus(d))
+        A = np.zeros((4, 4))
+        A[0, 1], A[1, 2], A[0, 2] = 1.0, 2.0, 5.0
+        gm = build_graph(dense_to_csr(A), variant="ell")
+        d = jnp.asarray([0.0, np.inf, np.inf, np.inf])
+        for _ in range(2):
+            d = jnp.minimum(d, vxm(gm, d, semiring=MIN_PLUS))
+        assert np.allclose(np.asarray(d)[:3], [0.0, 1.0, 3.0])
