@@ -187,3 +187,30 @@ class TestDistSpMV:
         ref = A.to_scipy() @ np.asarray(x)
         np.testing.assert_allclose(np.asarray(y).reshape(-1)[:100], ref,
                                    rtol=1e-10)
+
+
+class TestDistSpGEMM:
+    def test_row_sharded_matches_scipy(self):
+        """Multi-chip SpGEMM (BIN.h row-partition strategy on devices):
+        per-block plans + shard_map numeric reproduce scipy exactly,
+        including skewed inputs with empty blocks."""
+        import scipy.sparse as sp
+        from jax.sharding import Mesh
+        from g4s_tpu.ops.dist_spgemm import dist_spgemm
+        from g4s_tpu.sparse import dense_to_csr
+        A = sp.random(500, 400, density=0.03, format="csr", random_state=0)
+        B = sp.random(400, 300, density=0.03, format="csr", random_state=1)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("r",))
+        C = dist_spgemm(dense_to_csr(A.toarray()),
+                        dense_to_csr(B.toarray()), mesh, "r")
+        Cs = sp.csr_matrix((np.asarray(C.data), np.asarray(C.indices),
+                            np.asarray(C.indptr)), shape=C.shape)
+        assert abs((Cs - A @ B).toarray()).max() == 0.0
+        A2 = sp.vstack([sp.random(10, 400, density=0.2, format="csr",
+                                  random_state=2),
+                        sp.csr_matrix((490, 400))]).tocsr()
+        C2 = dist_spgemm(dense_to_csr(A2.toarray()),
+                         dense_to_csr(B.toarray()), mesh, "r")
+        C2s = sp.csr_matrix((np.asarray(C2.data), np.asarray(C2.indices),
+                             np.asarray(C2.indptr)), shape=C2.shape)
+        assert abs((C2s - A2 @ B).toarray()).max() == 0.0
