@@ -229,3 +229,21 @@ def spgemm_via_csc(a: CSR, b: CSR) -> CSR:
     c = csc_to_csr(CSC(cc.indptr, cc.indices, cc.data,
                        (a.shape[0], b.shape[1])))
     return c
+
+
+def spgemm_device_csr(a: CSR, b: CSR) -> CSR:
+    """One-shot SpGEMM with DEVICE-side structure discovery: the
+    expand/sort/merge kernel (spgemm_device_merge) finds C's sorted
+    (row, col) keys and merged values on the TPU; only the final
+    indptr/indices split happens on host. Use when the sparsity pattern
+    is NOT reused (otherwise spgemm_plan amortizes the symbolic phase)."""
+    keys, vals, nnz = spgemm_device_merge(a, b)
+    keys = np.asarray(keys)[: int(nnz)]
+    vals = np.asarray(vals)[: int(nnz)]
+    m, n = a.shape[0], b.shape[1]
+    rows = keys // n
+    cols = keys % n
+    indptr = np.zeros(m + 1, np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return CSR(indptr, cols.astype(np.int64), vals, (m, n))

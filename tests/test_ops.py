@@ -347,3 +347,19 @@ class TestVxm:
         for _ in range(2):
             d = jnp.minimum(d, vxm(gm, d, semiring=MIN_PLUS))
         assert np.allclose(np.asarray(d)[:3], [0.0, 1.0, 3.0])
+
+
+class TestDeviceSymbolicCSR:
+    def test_one_shot_structure_on_device(self):
+        """spgemm_device_csr: device expand/sort/merge discovers C's
+        structure; host only splits keys into indptr/indices."""
+        import scipy.sparse as sp
+        from g4s_tpu.ops.spgemm import spgemm_device_csr
+        from g4s_tpu.sparse import dense_to_csr
+        A = sp.random(300, 250, density=0.04, format="csr", random_state=0)
+        B = sp.random(250, 200, density=0.04, format="csr", random_state=1)
+        C = spgemm_device_csr(dense_to_csr(A.toarray()),
+                              dense_to_csr(B.toarray()))
+        Cs = sp.csr_matrix((np.asarray(C.data), np.asarray(C.indices),
+                            np.asarray(C.indptr)), shape=C.shape)
+        assert abs((Cs - A @ B).toarray()).max() == 0.0
