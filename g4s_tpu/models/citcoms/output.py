@@ -107,3 +107,42 @@ def output_h5(model, state, step: int) -> str:
         f.create_dataset("pressure", data=np.asarray(state.P))
         f.create_dataset("viscosity", data=nodal_viscosity(model, state))
     return p
+
+
+def output_surf_botm(model, state, ops, step: int, rank: int = 0) -> list:
+    """surf/botm files (Output.c output_surf_botm:394-440): 4 columns per
+    surface node — topography, heat flux, V_theta, V_fi — at the top and
+    bottom boundaries."""
+    from g4s_tpu.models.citcoms.observables import (dynamic_topography,
+                                                    surface_heat_flux)
+    cfg = model.cfg
+    noz = cfg.nodez
+    V = np.asarray(state.V)
+    files = []
+    for tag, top in (("surf", True), ("botm", False)):
+        p = _path(model.cfg, tag, step, rank)
+        hf = np.asarray(surface_heat_flux(model, state.T, top=top)[0]).ravel()
+        if top:
+            topo = np.asarray(dynamic_topography(model, state, ops)).ravel()
+        else:
+            # bottom radial stress analog: element-constant pressure of
+            # the bottom layer scaled like the top writer
+            P = np.asarray(state.P).reshape(cfg.nodey - 1, cfg.nodex - 1,
+                                            cfg.nodez - 1)[:, :, 0]
+            pn = np.zeros((cfg.nodey, cfg.nodex))
+            cnt = np.zeros((cfg.nodey, cfg.nodex))
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    pn[dy:cfg.nodey - 1 + dy, dx:cfg.nodex - 1 + dx] += P
+                    cnt[dy:cfg.nodey - 1 + dy, dx:cfg.nodex - 1 + dx] += 1
+            topo = (pn / np.maximum(cnt, 1)).ravel() \
+                / max(cfg.rayleigh, 1.0)
+        k = noz - 1 if top else 0
+        Vs = V.reshape(cfg.nodey, cfg.nodex, noz, 3)[:, :, k, :]
+        with _open(p) as f:
+            f.write(f"{rank} {cfg.nodex * cfg.nodey}\n")
+            np.savetxt(f, np.column_stack(
+                [topo, hf, Vs[..., 0].ravel(), Vs[..., 1].ravel()]),
+                fmt="%.4e")
+        files.append(p)
+    return files

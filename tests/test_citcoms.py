@@ -1047,3 +1047,25 @@ class TestFullSphereVTU:
         txt = open(p).read()
         assert f'NumberOfCells="{model.mesh.nel}"' in txt
         assert "connectivity" in txt and "offsets" in txt
+
+
+class TestSurfBotmOutput:
+    def test_surf_botm_files(self, tmp_path):
+        """output_surf_botm (Output.c:394-440): 4-column surf/botm files
+        (topo, heat flux, Vt, Vf) with the conduction heat flux of the
+        initial state matching the spherical-shell analytic value."""
+        from g4s_tpu.models.citcoms.output import output_surf_botm
+        cfg = small_cfg(rayleigh=1e4, nodez=9, datadir=str(tmp_path))
+        m = CitcomModel(cfg)
+        s = m.init_state()
+        ops = m._build_ops(s.T)
+        files = output_surf_botm(m, s, ops, 0)
+        assert len(files) == 2
+        for f in files:
+            d = np.loadtxt(f, skiprows=1)
+            assert d.shape == (cfg.nodex * cfg.nodey, 4)
+            assert np.isfinite(d).all()
+        # linear initial profile: q = dT/(ro - ri) everywhere
+        surf = np.loadtxt(files[0], skiprows=1)
+        q_expect = 1.0 / (cfg.radius_outer - cfg.radius_inner)
+        assert abs(surf[:, 1].mean() - q_expect) / q_expect < 0.01
