@@ -146,3 +146,28 @@ def output_surf_botm(model, state, ops, step: int, rank: int = 0) -> list:
                 fmt="%.4e")
         files.append(p)
     return files
+
+
+def output_horiz_avg(model, state, step: int, rank: int = 0) -> str:
+    """Layer horizontal averages (Output.c output_horiz_avg +
+    Process_buoyancy.c compute_horiz_avg): r, <T>, <|Vxy|>, <|Vr|> per
+    z-layer, surface-area weighted."""
+    import jax.numpy as jnp
+    cfg = model.cfg
+    noz = cfg.nodez
+    layer = np.arange(model.mesh.nno) % noz
+    w = np.asarray(model._layer_weights)
+    wsum = np.bincount(layer, weights=w, minlength=noz)
+
+    def ave(f):
+        return np.bincount(layer, weights=np.asarray(f) * w,
+                           minlength=noz) / wsum
+
+    V = np.asarray(state.V)
+    vxy = np.sqrt(V[:, 0] ** 2 + V[:, 1] ** 2)
+    p = _path(model.cfg, "horiz_avg", step, rank)
+    with _open(p) as f:
+        np.savetxt(f, np.column_stack(
+            [np.asarray(model.mesh.r), ave(state.T), ave(vxy),
+             ave(np.abs(V[:, 2]))]), fmt="%.6e")
+    return p

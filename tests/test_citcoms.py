@@ -1069,3 +1069,17 @@ class TestSurfBotmOutput:
         surf = np.loadtxt(files[0], skiprows=1)
         q_expect = 1.0 / (cfg.radius_outer - cfg.radius_inner)
         assert abs(surf[:, 1].mean() - q_expect) / q_expect < 0.01
+
+
+class TestHorizAvgOutput:
+    def test_layer_averages(self, tmp_path):
+        """output_horiz_avg: per-layer surface-weighted averages; the
+        linear conduction profile gives exactly monotone <T>(r)."""
+        from g4s_tpu.models.citcoms.output import output_horiz_avg
+        cfg = small_cfg(rayleigh=1e4, nodez=9, datadir=str(tmp_path))
+        m = CitcomModel(cfg)
+        s = m.init_state()
+        d = np.loadtxt(output_horiz_avg(m, s, 0))
+        assert d.shape == (cfg.nodez, 4)
+        assert abs(d[0, 1] - 1.0) < 1e-12 and abs(d[-1, 1]) < 1e-12
+        assert (np.diff(d[:, 1]) < 0).all()
