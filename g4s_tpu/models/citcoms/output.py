@@ -171,3 +171,51 @@ def output_horiz_avg(model, state, step: int, rank: int = 0) -> str:
             [np.asarray(model.mesh.r), ave(state.T), ave(vxy),
              ave(np.abs(V[:, 2]))]), fmt="%.6e")
     return p
+
+
+def output_pressure(model, state, step: int, rank: int = 0) -> str:
+    """Element pressures (Output.c output_pressure)."""
+    p = _path(model.cfg, "pressure", step, rank)
+    P = np.asarray(state.P)
+    with _open(p) as f:
+        f.write(f"{float(state.time):.6e} {P.shape[0]}\n")
+        np.savetxt(f, P[:, None], fmt="%.6e")
+    return p
+
+
+def output_tracer(model, pos, flavors, step: int, rank: int = 0) -> str:
+    """Tracer positions + flavors (Output.c output_tracer)."""
+    p = _path(model.cfg, "tracer", step, rank)
+    pos = np.asarray(pos)
+    with _open(p) as f:
+        f.write(f"{pos.shape[0]}\n")
+        np.savetxt(f, np.column_stack([pos, np.asarray(flavors)]),
+                   fmt="%.6e %.6e %.6e %d")
+    return p
+
+
+def output_stress(model, state, ops, step: int, rank: int = 0) -> str:
+    """Nodal deviatoric stress, 6 Voigt components (Output.c
+    output_stress / get_STD_topo's stress assembly): sigma = 2 eta eps
+    from the B tensor, vpt-averaged per element, volume-weighted to
+    nodes."""
+    import jax.numpy as jnp
+    from g4s_tpu.models.citcoms.viscosity import viscosity_at_vpts
+    u_el = jnp.take(state.V, model.ien, axis=0)
+    eps = jnp.einsum("egsai,eai->egs", model.B, u_el)      # (nel, 8g, 6)
+    evisc = viscosity_at_vpts(model.cfg, model.mat, state.T, model.ien,
+                              model.N)
+    sig = (2.0 * evisc[:, :, None] * eps).mean(axis=1)     # (nel, 6)
+    ien = np.asarray(model.ien)
+    nno = model.mesh.nno
+    acc = np.zeros((nno, 6))
+    cnt = np.zeros(nno)
+    np.add.at(acc, ien.ravel(),
+              np.repeat(np.asarray(sig), 8, axis=0))
+    np.add.at(cnt, ien.ravel(), 1.0)
+    snode = acc / np.maximum(cnt, 1.0)[:, None]
+    p = _path(model.cfg, "stress", step, rank)
+    with _open(p) as f:
+        f.write(f"{float(state.time):.6e} {nno}\n")
+        np.savetxt(f, snode, fmt="%.6e")
+    return p

@@ -1083,3 +1083,31 @@ class TestHorizAvgOutput:
         assert d.shape == (cfg.nodez, 4)
         assert abs(d[0, 1] - 1.0) < 1e-12 and abs(d[-1, 1]) < 1e-12
         assert (np.diff(d[:, 1]) < 0).all()
+
+
+class TestMoreOutputWriters:
+    def test_pressure_tracer_stress(self, tmp_path):
+        """output_pressure / output_tracer / output_stress (Output.c):
+        file shapes and the driven-lid stress pattern (s_tr shear largest
+        near the moving surface)."""
+        from g4s_tpu.models.citcoms.output import (output_pressure,
+                                                   output_stress,
+                                                   output_tracer)
+        from g4s_tpu.models.citcoms.tracers import seed_tracers
+        cfg = small_cfg(rayleigh=1e4, nodez=9, topvbc=1, topvbxval=100.0,
+                        datadir=str(tmp_path))
+        m = CitcomModel(cfg)
+        s = m.init_state()
+        s, _ = m.initial_solve(s)
+        ops = m._build_ops(s.T)
+        dP = np.loadtxt(output_pressure(m, s, 0), skiprows=1)
+        assert dP.shape[0] == m.mesh.nel
+        pos, fl = seed_tracers(m.mesh, 2)
+        dT = np.loadtxt(output_tracer(m, pos, fl, 0), skiprows=1)
+        assert dT.shape == (pos.shape[0], 4)
+        dS = np.loadtxt(output_stress(m, s, ops, 0), skiprows=1)
+        assert dS.shape == (m.mesh.nno, 6)
+        # driven lid: the r-theta shear dominates at the top layer
+        grid = dS.reshape(cfg.nodey, cfg.nodex, cfg.nodez, 6)
+        assert np.abs(grid[:, :, -1, 4]).mean() > \
+            5 * np.abs(grid[:, :, 0, 4]).mean()
