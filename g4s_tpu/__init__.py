@@ -15,6 +15,16 @@ Top-level layout:
   g4s_tpu.obs       — stage timers, metrics, profiling hooks
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+import jax as _jax
+
+# TPU matmul units round f32 inputs to bf16 (~3 significant digits) at the
+# default precision; for a scientific-computing framework whose correctness
+# tier is 1e-6 (f32) that silent rounding corrupts physics (CG dot products,
+# B^T D B element stiffness, nu @ log(c) exponentiated in kinetics). Make
+# full-precision the framework default; bf16 fast paths are per-call opt-in
+# (e.g. engine.dense_matmul(precision=...)).
+_jax.config.update("jax_default_matmul_precision", "highest")
 
 from g4s_tpu.sparse import COO, CSR, CSC, ELL  # noqa: F401

@@ -17,12 +17,18 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def dense_matmul(x, w, *, accum_dtype=None):
-    """The engine's OptMatmul-equivalent entry: x @ w on the MXU."""
+def dense_matmul(x, w, *, accum_dtype=None, precision="highest"):
+    """The engine's OptMatmul-equivalent entry: x @ w on the MXU.
+
+    `precision="highest"` keeps f32 inputs at full f32 on the MXU (the
+    hardware's default silently rounds them to bf16); pass
+    `precision="default"` to opt in to the bf16 fast path per call site.
+    """
     pet = accum_dtype
     if pet is None:
         pet = jnp.promote_types(x.dtype, w.dtype)
         if pet == jnp.bfloat16:
             pet = jnp.float32
-    return jnp.matmul(x, w, preferred_element_type=pet).astype(
+    return jnp.matmul(x, w, preferred_element_type=pet,
+                      precision=precision).astype(
         jnp.promote_types(x.dtype, w.dtype))

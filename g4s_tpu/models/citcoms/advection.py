@@ -63,10 +63,13 @@ def build_advection_geometry(geo, mesh, tmass) -> AdvectionGeometry:
         gnx[:, :, :, 2].transpose(0, 2, 1),
     ], axis=2)                                             # (nel, 8g, 3, 8a)
     diff_dt = 0.5 * float((mesh.e_size ** 2).min())
+    # adopt the model dtype from tmass so the f32 production path stays f32
+    dt = jnp.asarray(tmass).dtype
     return AdvectionGeometry(
-        jnp.asarray(geo.N), jnp.asarray(shape_n(_PPOINT)),
-        jnp.asarray(geo.gweight), jnp.asarray(geo.gda), jnp.asarray(grad),
-        jnp.asarray(mesh.e_size), tmass, jnp.asarray(diff_dt))
+        jnp.asarray(geo.N, dt), jnp.asarray(shape_n(_PPOINT), dt),
+        jnp.asarray(geo.gweight, dt), jnp.asarray(geo.gda, dt),
+        jnp.asarray(grad, dt), jnp.asarray(mesh.e_size, dt), tmass,
+        jnp.asarray(diff_dt, dt))
 
 
 def element_velocities(adv: AdvectionGeometry, ien, V):

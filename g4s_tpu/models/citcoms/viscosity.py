@@ -46,15 +46,18 @@ def viscosity_at_vpts(cfg: CitcomConfig, mat, T_nodes, ien, N,
     mat: (nel,) int32; T_nodes: (nno,); N: (8a, 8g). With C_nodes and
     cfg.CDEPV the compositional prefactor multiplies in.
     """
-    n0 = jnp.asarray(cfg.visc0)[mat]                       # (nel,)
+    dt = jnp.asarray(T_nodes).dtype
+    # config constants adopt the state dtype so the f32 production path
+    # stays f32 end-to-end (TPU f64 is emulated; see ADVICE.md round 1)
+    n0 = jnp.asarray(cfg.visc0, dt)[mat]                   # (nel,)
     if not cfg.TDEPV:
         eta = jnp.broadcast_to(n0[:, None], (mat.shape[0], N.shape[1]))
     else:
         T_el = jnp.clip(jnp.take(T_nodes, ien, axis=0), 0.0, 1.0)  # (nel, 8a)
         T_g = jnp.einsum("ea,ag->eg", T_el, N)             # (nel, 8g)
-        eE = jnp.asarray(cfg.viscE)[mat][:, None]
-        tT = jnp.asarray(cfg.viscT)[mat][:, None]
-        zZ = jnp.asarray(cfg.viscZ)[mat][:, None]
+        eE = jnp.asarray(cfg.viscE, dt)[mat][:, None]
+        tT = jnp.asarray(cfg.viscT, dt)[mat][:, None]
+        zZ = jnp.asarray(cfg.viscZ, dt)[mat][:, None]
         if cfg.rheol == 0:
             # eta = N0 exp(E*(1-T))  (case 0, :443-470 variant)
             eta = n0[:, None] * jnp.exp(eE * (1.0 - T_g))
@@ -77,7 +80,7 @@ def viscosity_at_vpts(cfg: CitcomConfig, mat, T_nodes, ien, N,
                 jnp.where(eE == 0.0, 0.0,
                           eE / (T_g + tT) - eE / (1.0 + tT)))
     if cfg.SDEPV and strain_rate_II is not None:
-        n = jnp.asarray(cfg.sdepv_expt)[mat][:, None]
+        n = jnp.asarray(cfg.sdepv_expt, dt)[mat][:, None]
         eta = eta * jnp.power(eta / jnp.maximum(strain_rate_II, 1e-32),
                               (n - 1.0) / n)
     if getattr(cfg, "CDEPV", False) and C_nodes is not None:
@@ -87,11 +90,11 @@ def viscosity_at_vpts(cfg: CitcomConfig, mat, T_nodes, ien, N,
         # plasticity (visc_from_P, Viscosity_structures.c:951):
         # sigma_y = min(a + b (1-r), y); eta_y = sigma_y / (2 epsII);
         # eta_eff = harmonic(eta, eta_y) or min(eta, eta_y)
-        r_g = jnp.einsum("ea,ag->eg", jnp.take(jnp.asarray(r_nodes), ien,
-                                               axis=0), N)
-        a = jnp.asarray(cfg.pdepv_a)[mat][:, None]
-        b = jnp.asarray(cfg.pdepv_b)[mat][:, None]
-        y = jnp.asarray(cfg.pdepv_y)[mat][:, None]
+        r_g = jnp.einsum("ea,ag->eg",
+                     jnp.take(jnp.asarray(r_nodes, dt), ien, axis=0), N)
+        a = jnp.asarray(cfg.pdepv_a, dt)[mat][:, None]
+        b = jnp.asarray(cfg.pdepv_b, dt)[mat][:, None]
+        y = jnp.asarray(cfg.pdepv_y, dt)[mat][:, None]
         sigma_y = jnp.minimum(a + b * (cfg.radius_outer - r_g), y)
         eta_y = sigma_y / jnp.maximum(2.0 * strain_rate_II, 1e-32)
         if cfg.pdepv_eff:

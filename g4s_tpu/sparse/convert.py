@@ -78,11 +78,11 @@ def crop(m: CSR, n_rows: int, n_cols: int) -> CSR:
     data = _as_np(m.data)[: indptr[-1]]
     keep = indices < n_cols
     if not keep.all():
-        counts = np.diff(indptr)
-        kept_counts = np.add.reduceat(
-            keep.astype(np.int64), indptr[:-1].astype(np.int64)
-        ) if indices.size else np.zeros(n_rows, dtype=np.int64)
-        kept_counts = np.where(counts == 0, 0, kept_counts)
+        # cumsum-at-boundaries handles trailing empty rows, where reduceat
+        # would receive an out-of-range offset (reference handles this in
+        # the submatrix ctor, CSR.h:692-733).
+        cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        kept_counts = cum[indptr[1:]] - cum[indptr[:-1]]
         new_indptr = np.zeros(n_rows + 1, dtype=np.int32)
         np.cumsum(kept_counts, out=new_indptr[1:])
         indices, data, indptr = indices[keep], data[keep], new_indptr
@@ -180,5 +180,7 @@ def csr_to_dia(m: CSR, *, max_diags: Optional[int] = None) -> DIA:
                          f"{max_diags}")
     vals = np.zeros((offs.size, m.n_rows), val.dtype)
     idx = np.searchsorted(offs, col - row)
-    vals[idx, row] += val
+    # np.add.at accumulates duplicate (row, col) entries; fancy-indexed +=
+    # would keep only the last duplicate (same semantics as csr_to_dense).
+    np.add.at(vals, (idx, row), val)
     return DIA(vals, tuple(int(o) for o in offs), m.shape)

@@ -44,6 +44,9 @@ def read_mtx(path) -> COO:
             raise ValueError("hermitian matrices are not supported")
         line = f.readline()
         while line.startswith("%") or not line.strip():
+            if line == "":  # EOF before the size line
+                raise ValueError(f"truncated MatrixMarket file {path}: "
+                                 "no size line found")
             line = f.readline()
         rows, cols, nnz = (int(t) for t in line.split())
         body = f.read()

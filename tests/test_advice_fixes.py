@@ -1,0 +1,114 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md).
+
+Covers: DIA duplicate accumulation, crop with trailing empty rows +
+column filtering, truncated Matrix-Market EOF, matmul precision default,
+and a representative f32 (production-dtype) numerics subset — the suite
+otherwise runs f64-on-CPU, which hid the TPU bf16-rounding hazard.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from g4s_tpu.engine import build_graph, mxv, dense_matmul
+from g4s_tpu.sparse import CSR
+from g4s_tpu.sparse.containers import COO
+from g4s_tpu.sparse.convert import coo_to_csr, crop, csr_to_dia
+from g4s_tpu.sparse.io_mtx import read_mtx
+
+
+def test_dia_sums_duplicates():
+    # duplicate (0,1) entries 2.0 + 3.0 must land as 5.0 on the DIA path,
+    # identical to the CSR/ELL paths (ADVICE.md item 2).
+    coo = COO(np.array([0, 0, 1]), np.array([1, 1, 1]),
+              np.array([2.0, 3.0, 7.0]), (3, 3))
+    m = coo_to_csr(coo, sort=True, sum_duplicates=False)  # duplicates kept
+    dia = csr_to_dia(m)
+    dense = np.zeros((3, 3))
+    dense[0, 1], dense[1, 1] = 5.0, 7.0
+    for k, off in enumerate(dia.offsets):
+        for r in range(3):
+            c = r + off
+            if 0 <= c < 3:
+                assert dia.vals[k, r] == dense[r, c]
+
+
+def test_crop_trailing_empty_row_with_column_filter():
+    # 3x4 CSR with empty row 2, cropped to (3,2): reduceat used to raise
+    # IndexError on the trailing offset (ADVICE.md item 3).
+    coo = COO(np.array([0, 0, 1]), np.array([1, 3, 0]),
+              np.array([1.0, 2.0, 3.0]), (3, 4))
+    m = coo_to_csr(coo)
+    c = crop(m, 3, 2)
+    ref = m.to_scipy().toarray()[:3, :2]
+    np.testing.assert_array_equal(c.to_scipy().toarray(), ref)
+    # empty result rows stay consistent
+    assert c.indptr[-1] == c.indices.size == c.data.size
+
+
+def test_truncated_mtx_raises(tmp_path):
+    p = tmp_path / "trunc.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n%only comments\n")
+    with pytest.raises(ValueError, match="truncated"):
+        read_mtx(p)
+
+
+def test_matmul_precision_default_is_highest():
+    # Framework import must set full f32 precision on the MXU (ADVICE item 1).
+    assert jax.config.jax_default_matmul_precision == "highest"
+
+
+class TestFloat32Numerics:
+    """Production-dtype (f32) sanity at 1e-5-ish tolerances."""
+
+    def test_spmv_f32(self):
+        m = sp.random(200, 200, density=0.05,
+                      random_state=np.random.RandomState(3), format="csr")
+        m.data = m.data.astype(np.float32)
+        g = build_graph(CSR.from_scipy(m))
+        x = np.random.default_rng(0).normal(size=200).astype(np.float32)
+        y = np.asarray(mxv(g, jnp.asarray(x)))
+        assert y.dtype == np.float32
+        np.testing.assert_allclose(y, m @ x, rtol=2e-5, atol=2e-5)
+
+    def test_dense_matmul_f32(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(64, 96)).astype(np.float32)
+        b = rng.normal(size=(96, 32)).astype(np.float32)
+        c = np.asarray(dense_matmul(jnp.asarray(a), jnp.asarray(b)))
+        assert c.dtype == np.float32
+        np.testing.assert_allclose(c, a @ b, rtol=1e-5, atol=1e-5)
+
+    def test_kinetics_rop_f32_matches_f64(self):
+        from g4s_tpu.models.cantera import (load_mechanism, build_kinetics,
+                                            net_production_rates)
+        mech = load_mechanism("/root/reference/cantera/data/h2o2.yaml")
+        n = mech.nspec
+        rng = np.random.default_rng(2)
+        conc = (0.1 + rng.random(n)) * 1e-3
+        T = 1200.0
+        w64 = np.asarray(net_production_rates(
+            build_kinetics(mech, jnp.float64), mech,
+            jnp.asarray(T, jnp.float64), jnp.asarray(conc, jnp.float64)))
+        w32 = np.asarray(net_production_rates(
+            build_kinetics(mech, jnp.float32), mech,
+            jnp.asarray(T, jnp.float32), jnp.asarray(conc, jnp.float32)))
+        scale = np.abs(w64).max()
+        np.testing.assert_allclose(w32 / scale, w64 / scale, atol=2e-4)
+
+    def test_citcoms_step_f32(self):
+        from g4s_tpu.models.citcoms import (CitcomModel, config_from_table,
+                                            parse_flat_config)
+        cfg = config_from_table(parse_flat_config(
+            "maxstep=2 rayleigh=100000 nodex=9 nodey=9 nodez=5 "
+            "theta_max=1.5708 theta_min=0.7854 fi_max=0.7854 fi_min=0.0 "
+            "radius_inner=0.55 radius_outer=1.0 num_mat=4"))
+        model = CitcomModel(cfg, dtype=jnp.float32)
+        s = model.init_state()
+        s, _ = model.initial_solve(s)
+        s, d = model.step(s)
+        assert s.T.dtype == jnp.float32
+        assert np.isfinite(np.asarray(s.T)).all()
+        assert np.isfinite(np.asarray(s.V)).all()
