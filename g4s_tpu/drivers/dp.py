@@ -35,6 +35,10 @@ def cmd_train(args):
                                                   compute_stats, env_mat)
     from g4s_tpu import ckpt
 
+    if getattr(args, "dtype", "f32") == "f64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if getattr(args, "dtype", "f32") == "f64" \
+        else jnp.float32
     jdata = _load_input(args.input)
     desc = jdata["model"]["descriptor"]
     fit = jdata["model"]["fitting_net"]
@@ -51,8 +55,12 @@ def cmd_train(args):
                       seed=jdata["training"].get("seed", 10))
     lr_j = jdata.get("learning_rate", {})
     numb_steps = args.steps or jdata["training"]["numb_steps"]
+    # the decay horizon follows the input file's numb_steps, NOT a --steps
+    # override: a short smoke run must see the same lr trajectory the full
+    # run would (reference: utils/learning_rate.py decay from stop_step)
     lr = LRConfig(lr_j.get("start_lr", 1e-3), lr_j.get("stop_lr", 3.51e-8),
-                  lr_j.get("decay_steps", 5000), numb_steps)
+                  lr_j.get("decay_steps", 5000),
+                  jdata["training"]["numb_steps"])
     lo = jdata.get("loss", {})
     loss = LossConfig(lo.get("start_pref_e", 0.02), lo.get("limit_pref_e", 1),
                       lo.get("start_pref_f", 1000), lo.get("limit_pref_f", 1),
@@ -68,7 +76,8 @@ def cmd_train(args):
     davg, dstd = compute_stats(Rs, [sys0.types] * n_stat, ntypes,
                                spec.descriptor.nnei)
     params = init_params(jax.random.PRNGKey(jdata["training"].get("seed", 10)),
-                         spec, bias_atom_e=data.energy_bias(ntypes))
+                         spec, bias_atom_e=data.energy_bias(ntypes),
+                         dtype=dtype)
     params["stats"]["davg"] = jnp.asarray(davg)
     params["stats"]["dstd"] = jnp.asarray(dstd)
     if args.restart:
@@ -194,6 +203,9 @@ def main():
     p.add_argument("--restart", default=None,
                    help="checkpoint to resume parameters from")
     p.add_argument("--checkpoint", default="model.ckpt.npz")
+    p.add_argument("--dtype", choices=["f32", "f64"], default="f32",
+                   help="f32 is the TPU production dtype; f64 matches the "
+                        "reference TF default (CPU only)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("freeze")

@@ -90,3 +90,35 @@ class ShockTubeBenchmark:
             out["tau_RG"].append(ignition_delay(self.r_rk, T0, P0, X_rk, **kw)[0])
             out["tau_IG"].append(ignition_delay(self.r_ig, T0, P0, X_ig, **kw)[0])
         return out
+
+    def run_ntc_sweep_batched(self,
+                              temperatures: Sequence[float] = NTC_TEMPERATURES,
+                              P0: float = 40 * 101325.0, *,
+                              t_end: float = 0.005,
+                              rtol=1e-9, atol=1e-15):
+        """All NTC cases of one phase integrated together with jax.vmap.
+
+        The reference distributes the 22 temperature cases over MPI ranks
+        (NonIdealShockTube.py:229-231 rank-gates `if counter % nprocs ==
+        rank`); the TPU-native equivalent is batching the independent ODEs
+        into one lockstep BDF integration — one compiled program, every
+        case a batch lane.
+        """
+        out = {"T": [float(t) for t in temperatures]}
+        for name, mech, reactor in (("RG", self.mech_rk, self.r_rk),
+                                    ("IG", self.mech_ig, self.r_ig)):
+            X = stoich_mixture(mech, self.fuel)
+            k_oh = mech.species_index("oh")
+            y0 = jnp.stack([reactor.initial_state(float(T0), P0, X)
+                            for T0 in temperatures])
+            from g4s_tpu.ops.odeint import bdf_solve
+            solve = jax.jit(jax.vmap(lambda y: bdf_solve(
+                reactor.rhs, y, 0.0, t_end, rtol=rtol, atol=atol,
+                record_fn=lambda yy: jnp.stack([yy[0], yy[1 + k_oh]]),
+                record_size=20000, max_steps=200000)))
+            res = solve(y0)
+            oh = np.asarray(res.record[:, :, 1])
+            ts = np.asarray(res.record_t)
+            out[f"tau_{name}"] = [float(ts[i, np.argmax(oh[i])])
+                                  for i in range(len(temperatures))]
+        return out

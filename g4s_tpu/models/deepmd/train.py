@@ -118,7 +118,8 @@ class Trainer:
             raw = data.sample_batch()
             batch = {k: jnp.asarray(v) for k, v in raw.items()}
             params, opt_state, loss, aux = self._update(
-                params, opt_state, batch, jnp.asarray(step, jnp.float64))
+                params, opt_state, batch,
+                jnp.asarray(step, jnp.result_type(float)))
             if step % disp_freq == 0 or step == numb_steps - 1:
                 line = (f"{step} {float(aux['rmse_e']):.6e} "
                         f"{float(aux['rmse_f']):.6e} {float(aux['lr']):.3e} "

@@ -264,13 +264,15 @@ def bdf_solve(f: Callable, y0, t0, t1, *, rtol=1e-6, atol=1e-9,
             accept, accepted, rejected)
         fail = (h_nxt <= jnp.abs(t1 - t0) * 1e-14) | \
                (st.steps + 1 >= max_steps)
+        # Always write one masked row: a lax.cond over the whole buffer
+        # would force XLA to copy the (rec_size, m) carry every step
+        # (measured 6x the entire step cost); the row-wise
+        # dynamic-update-slice is updated in place inside the while_loop.
         slot = jnp.minimum(st.rec, rec_size - 1)
-        buf = jax.lax.cond(
-            accept,
-            lambda: st.buf.at[slot].set(_rec_fn(y_pred + d)),
-            lambda: st.buf)
-        buf_t = jax.lax.cond(
-            accept, lambda: st.buf_t.at[slot].set(t_new), lambda: st.buf_t)
+        row = jnp.where(accept, _rec_fn(y_pred + d), st.buf[slot])
+        buf = st.buf.at[slot].set(row)
+        buf_t = st.buf_t.at[slot].set(jnp.where(accept, t_new,
+                                                st.buf_t[slot]))
         rec = st.rec + jnp.where(accept, 1, 0)
         return _S(t_nxt, h_nxt, ord_nxt, D_nxt, neq_nxt, J, lu, c,
                   st.steps + 1, st.n_fev + nf1 + nf2 + 1,
