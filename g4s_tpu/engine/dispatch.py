@@ -56,7 +56,8 @@ class Graph:
     dia: Optional[DIA]            # banded layout (shifted-multiply variant)
     row_ids: Optional[jax.Array]  # (nnz,) row of each stored entry (CSR path)
     deg: jax.Array                # (n_rows,) true row degrees
-    variant: str = _static()      # 'ell' | 'csr' | 'dia'
+    dense: Optional[jax.Array]    # materialized (n_rows, n_cols) (MXU)
+    variant: str = _static()      # 'ell' | 'csr' | 'dia' | 'dense'
     shape: Tuple[int, int] = _static()
 
     @property
@@ -70,17 +71,22 @@ class Graph:
 
 def build_graph(a: CSR, *, variant: str | None = None,
                 max_padding_waste: float = 1.5, pad_to: int = 8,
-                max_diags: int = 48) -> Graph:
+                max_diags: int = 48,
+                dense_threshold: int = 1 << 21, dtype=None) -> Graph:
     """Static strategy exploration: choose the execution layout from row
     statistics (host-side, once — like the reference engine's per-matrix
     strategy search, but resolved at trace time).
 
     Order of preference: DIA (banded, gather-free — runs at HBM roofline),
-    ELL (uniform degrees), CSR (extreme skew)."""
+    DENSE (small or dense-ish operators — one MXU matmul beats any gather
+    at this size; this is what makes the Cantera StoichManager contraction
+    an engine choice, StoichManager.h:63-121), ELL (uniform degrees), CSR
+    (extreme skew)."""
     deg = np.diff(np.asarray(a.indptr)).astype(np.int32)
     nnz = max(int(deg.sum()), 1)
     width = int(deg.max()) if deg.size else 0
     waste = (width * a.shape[0] - nnz) / nnz if nnz else 0.0
+    size = a.shape[0] * a.shape[1]
     if variant is None:
         if a.shape[0] == a.shape[1] and nnz > 1:
             offs = np.unique(np.asarray(a.indices).astype(np.int64)
@@ -89,18 +95,28 @@ def build_graph(a: CSR, *, variant: str | None = None,
             dia_waste = offs.size * a.shape[0] / nnz
             if offs.size <= max_diags and dia_waste <= 2.0 + max_padding_waste:
                 variant = "dia"
+        if variant is None and 0 < size <= dense_threshold and (
+                nnz / size >= 0.05 or size <= 1 << 18):
+            variant = "dense"
         if variant is None:
             variant = "ell" if waste <= max_padding_waste else "csr"
+    if variant == "dense":
+        from g4s_tpu.sparse.convert import csr_to_dense
+        d = jnp.asarray(csr_to_dense(a), dtype)
+        return Graph(None, None, None, None, jnp.asarray(deg), d,
+                     "dense", a.shape)
     if variant == "dia":
         dia = csr_to_dia(a).to_device()
-        return Graph(None, None, dia, None, jnp.asarray(deg), "dia", a.shape)
+        return Graph(None, None, dia, None, jnp.asarray(deg), None, "dia",
+                     a.shape)
     if variant == "ell":
         ell = csr_to_ell(a, pad_to=pad_to).to_device()
-        return Graph(ell, None, None, None, jnp.asarray(deg), "ell", a.shape)
+        return Graph(ell, None, None, None, jnp.asarray(deg), None, "ell",
+                     a.shape)
     row_ids = np.repeat(np.arange(a.shape[0], dtype=np.int32), deg)
     d = a.to_device()
     return Graph(None, d, None, jnp.asarray(row_ids), jnp.asarray(deg),
-                 "csr", a.shape)
+                 None, "csr", a.shape)
 
 
 def mxv(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
@@ -110,6 +126,16 @@ def mxv(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
     (deepmd/source/op/graph.h:21-31: for each vertex, combine over neighbors,
     then apply).
     """
+    if g.variant == "dense":
+        if semiring is not PLUS_TIMES:
+            raise NotImplementedError(
+                "dense layout supports the plus_times semiring only; "
+                "build the graph with variant='ell' or 'csr'")
+        from g4s_tpu.engine.matmul import dense_matmul
+        y = dense_matmul(g.dense, x)
+        if mask is not None:
+            y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
+        return y
     if g.variant == "dia":
         if semiring is not PLUS_TIMES:
             raise NotImplementedError(
@@ -155,7 +181,9 @@ def mxm(a: CSR, b: CSR, *, semiring: Semiring = PLUS_TIMES,
 
 def reduce_vector(g: Graph, *, semiring: Semiring = PLUS_TIMES):
     """Reduce all stored values of the operator (GraphBLAS reduce)."""
-    if g.variant == "ell":
+    if g.variant == "dense":
+        vals = g.dense
+    elif g.variant == "ell":
         vals = g.ell.vals
     elif g.variant == "dia":
         vals = g.dia.vals
@@ -171,6 +199,15 @@ def vxm(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
     (propagate states ALONG edges); subsumes the reference's column-wise
     engines (heap_mult.h walks CSC columns the same way).
     """
+    if g.variant == "dense":
+        if semiring is not PLUS_TIMES:
+            raise NotImplementedError(
+                "dense layout supports the plus_times semiring only")
+        from g4s_tpu.engine.matmul import dense_matmul
+        y = dense_matmul(x, g.dense)
+        if mask is not None:
+            y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
+        return y
     if g.variant == "dia":
         if semiring is not PLUS_TIMES:
             raise NotImplementedError(

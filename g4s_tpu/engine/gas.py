@@ -34,6 +34,11 @@ def gather_apply(g: Graph, x, gather: Callable,
     zero contribution (true for every multiplicative gather, including all
     three reference callbacks).
     """
+    if g.variant == "dense":
+        # small operator: fold the whole dense neighbor grid at once; the
+        # zero entries contribute nothing for multiplicative gathers
+        acc = jnp.sum(gather(g.dense, x[None, :]), axis=1)
+        return apply(acc) if apply is not None else acc
     if g.variant == "dia":
         # banded layout: fold each diagonal's edges with the gather callback
         import jax

@@ -28,7 +28,13 @@ _LOG_FLOOR = 1e-300
 
 
 class KineticsArrays(NamedTuple):
-    """Device-resident mechanism arrays (built once)."""
+    """Device-resident mechanism arrays (built once).
+
+    The three stoichiometric operators are staged through the graph
+    engine (engine.build_graph) so the StoichManager contraction
+    (StoichManager.h:63-121) executes whatever layout the dispatcher
+    chose — dense/MXU at benchmark mechanism sizes.
+    """
     nu_reac: jnp.ndarray
     nu_prod: jnp.ndarray
     nu_net: jnp.ndarray
@@ -52,11 +58,17 @@ class KineticsArrays(NamedTuple):
     cheb_coeffs: jnp.ndarray
     cheb_Tlim: jnp.ndarray
     cheb_Plim: jnp.ndarray
+    g_reac: object = None       # engine Graph of nu_reac
+    g_prod: object = None       # engine Graph of nu_prod
+    g_net: object = None        # engine Graph of nu_net
 
 
 def build_kinetics(mech: Mechanism, dtype=jnp.float64) -> KineticsArrays:
     to = lambda x: jnp.asarray(x, dtype)
     nu_net = mech.nu_prod - mech.nu_reac
+    from g4s_tpu.engine import build_graph
+    from g4s_tpu.sparse.convert import dense_to_csr
+    mk = lambda m: build_graph(dense_to_csr(m), dtype=dtype)
     return KineticsArrays(
         to(mech.nu_reac), to(mech.nu_prod), to(nu_net),
         to(nu_net.sum(axis=1)),
@@ -67,7 +79,8 @@ def build_kinetics(mech: Mechanism, dtype=jnp.float64) -> KineticsArrays:
         to(mech.troe), jnp.asarray(mech.has_troe),
         jnp.asarray(mech.is_plog), to(mech.plog_logP), to(mech.plog_arr),
         jnp.asarray(mech.is_cheb), to(mech.cheb_coeffs),
-        to(mech.cheb_Tlim), to(mech.cheb_Plim))
+        to(mech.cheb_Tlim), to(mech.cheb_Plim),
+        mk(mech.nu_reac), mk(mech.nu_prod), mk(nu_net))
 
 
 def _arrhenius(A, b, Ea, T, logT):
@@ -157,23 +170,31 @@ def forward_rate_constants(kin: KineticsArrays, mech: Mechanism, T, conc):
 
 def equilibrium_constants(kin: KineticsArrays, mech: Mechanism, T):
     """Kc in concentration units (mol/m^3)^dnu."""
+    from g4s_tpu.engine import mxv
     g_RT = h0_RT(mech, T) - s0_R(mech, T)            # mu0/(RT) per species
-    dG_RT = kin.nu_net @ g_RT
+    dG_RT = mxv(kin.g_net, g_RT)                     # engine mxv
     return jnp.exp(-dG_RT) * jnp.power(P_REF / (R_GAS * T), kin.dnu)
 
 
 def rates_of_progress(kin: KineticsArrays, mech: Mechanism, T, conc):
     """(rop_f, rop_r) for all reactions; conc (nspec,) mol/m^3 >= 0."""
+    from g4s_tpu.engine import mxv
     logc = jnp.log(jnp.maximum(conc, _LOG_FLOOR))
     kf = forward_rate_constants(kin, mech, T, conc)
-    rop_f = kf * jnp.exp(kin.nu_reac @ logc)
+    # concentration products via the engine's layout choice (mxv in log
+    # space) — the StoichManager multiply() role
+    rop_f = kf * jnp.exp(mxv(kin.g_reac, logc))
     Kc = equilibrium_constants(kin, mech, T)
     kr = jnp.where(kin.reversible, kf / jnp.maximum(Kc, 1e-300), 0.0)
-    rop_r = kr * jnp.exp(kin.nu_prod @ logc)
+    rop_r = kr * jnp.exp(mxv(kin.g_prod, logc))
     return rop_f, rop_r
 
 
 def net_production_rates(kin: KineticsArrays, mech: Mechanism, T, conc):
-    """wdot (nspec,) mol/m^3/s — getNetProductionRates."""
+    """wdot (nspec,) mol/m^3/s — getNetProductionRates.
+
+    The increment/decrementSpecies contraction (Kinetics.cpp:489-492) as
+    the engine's vxm: wdot_k = sum_r rop_r nu_net[r, k]."""
+    from g4s_tpu.engine import vxm
     rop_f, rop_r = rates_of_progress(kin, mech, T, conc)
-    return (rop_f - rop_r) @ kin.nu_net
+    return vxm(kin.g_net, rop_f - rop_r)

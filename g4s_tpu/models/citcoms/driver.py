@@ -37,6 +37,15 @@ def _static():
     return field(metadata=dict(static=True))
 
 
+# register CitcomS's two stiffness-matvec forms with the engine's operator
+# dispatcher (the assemble_del2_u dispatch seam, see engine/operator.py)
+from g4s_tpu.engine import register_operator_variant as _reg_op
+from g4s_tpu.models.citcoms.nodal import nodal_matvec as _nodal_matvec
+_reg_op("stencil",
+        lambda d, u: _nodal_matvec(d["W"], u, d["mask"], strip=True))
+_reg_op("eltk", lambda d, u: asm.assemble_del2_u(d["ops"], u, strip=True))
+
+
 @partial(jax.tree_util.register_dataclass)
 @dataclasses.dataclass(frozen=True)
 class State:
@@ -108,6 +117,13 @@ class CitcomModel:
         self.uzawa_params = sol.UzawaParams(
             cfg.accuracy, cfg.inner_accuracy_scale, cfg.piterations,
             cfg.vlowstep, cfg.check_pressure_convergence)
+        self.mg = None
+        if cfg.solver_type == "multigrid":
+            # Solver=multigrid: inner velocity solves run V-cycles with the
+            # colored-GS smoother (General_matrix_functions.c:97-120)
+            from g4s_tpu.models.citcoms.multigrid import MGHierarchy
+            self.mg = MGHierarchy(cfg, levels=max(cfg.levels, 2),
+                                  dtype=dtype)
         self._step_fn = jax.jit(self._timestep)
         self._stokes_fn = jax.jit(self._stokes)
 
@@ -209,16 +225,36 @@ class CitcomModel:
         V = asm.apply_vbc(V, self.vbc_mask, self.vbc_val)
         prob = sol.local_problem(ops, self.nmass, self.e_area,
                                  self.total_volume)
-        # swap the element-by-element matvec for the 27-point nodal stencil
-        # (n_assemble path): identical operator, no gather/scatter per
-        # iteration — built once per viscosity update.
-        from g4s_tpu.models.citcoms.nodal import build_stencil, nodal_matvec
+        # the velocity stiffness matvec is an ENGINE choice between the
+        # element-by-element form and the 27-point nodal stencil
+        # (assemble_del2_u's dispatch, Element_calculations.c:428-443);
+        # on this regular grid the dispatcher picks the stencil — built
+        # once per viscosity update, gather/scatter-free per iteration.
+        from g4s_tpu import engine
+        from g4s_tpu.models.citcoms.nodal import build_stencil
         W = build_stencil(ops.elt_k, self.stencil_plan)
-        prob = prob._replace(
-            A=lambda u: nodal_matvec(W, u, self.vbc_mask, strip=True))
+        og = engine.build_operator(
+            {"stencil": {"W": W, "mask": self.vbc_mask},
+             "eltk": {"ops": ops}},
+            stats={"regular_grid": True, "nel": self.mesh.nel})
+        prob = prob._replace(A=lambda u: engine.apply_operator(og, u))
         if self.cfg.solver_type in ("bicg", "bicgstab"):
             V, P, mon = sol.uzawa_bicgstab(prob, V, P, F, fdotf,
                                            self.uzawa_params)
+        elif self.cfg.solver_type == "multigrid":
+            ops_all = self.mg.build_ops(T)
+            # share the already-built finest-level operators (they carry
+            # C/strain-rate viscosity effects the hierarchy recomputes
+            # from T alone on coarse levels)
+            ops_all = [ops] + list(ops_all[1:])
+
+            def inner_solve(F_, acc_):
+                u, res, it = self.mg.solve(ops_all, F_, acc=acc_)
+                return sol.CGResult(u, res, it)
+
+            V, P, mon = sol.uzawa_cg(prob, V, P, F, fdotf,
+                                     self.uzawa_params,
+                                     inner_solve=inner_solve)
         else:   # 'cgrad' (default)
             V, P, mon = sol.uzawa_cg(prob, V, P, F, fdotf, self.uzawa_params)
         return V, P, mon

@@ -8,11 +8,13 @@ two global dots per level), plus the level-transfer operators of
 Solver_multigrid.c (interp_vector:187, project_vector:479) and the
 gauss_seidel smoother (:606).
 
-TPU-first deviations (documented, not accidental):
-  - the smoother is damped Jacobi (omega=0.6) instead of colored
-    Gauss-Seidel: GS's sequential sweeps serialize on TPU, while Jacobi is
-    one engine matvec + axpy; the CUDA port of the reference already had
-    to 4-color GS for the same reason (multigrid_kernel.cu:236-478);
+TPU-first notes:
+  - the default smoother is 8-color block Gauss-Seidel on the 27-point
+    nodal stencil (nodal.gauss_seidel_colored) — the TPU realization of
+    the reference's gauss_seidel (:606) via the same coloring idea its
+    CUDA port uses (multigrid_kernel.cu:236-478); colors update
+    simultaneously, the color sequence preserves GS's sweep ordering.
+    Damped Jacobi (omega=0.6) remains as the `smoother='jacobi'` fallback;
   - the coarsest level is solved with a fixed number of CG iterations
     rather than many GS sweeps;
   - restriction = transpose of trilinear interpolation (scaled), the
@@ -114,10 +116,11 @@ class MGHierarchy:
     """Nested-level FE operators + the V-cycle solver."""
 
     def __init__(self, cfg: CitcomConfig, *, levels: int = None,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, smoother: str = "gs"):
         if levels is None:
             levels = max(cfg.levels, 2)
         self.dtype = dtype
+        self.smoother = smoother
         cfgs = [cfg]
         for _ in range(levels - 1):
             prev = cfgs[-1]
@@ -129,7 +132,10 @@ class MGHierarchy:
                 break
             cfgs.append(nxt)
         self.levels: List[MGLevel] = []
+        self.stencil_plans = []
+        self.gs_plans = []
         to = lambda x: jnp.asarray(x, dtype)
+        from g4s_tpu.models.citcoms.nodal import GSPlan, StencilPlan
         for li, c in enumerate(cfgs):
             m = build_regional_mesh(c)
             g = build_geometry(m)
@@ -142,6 +148,8 @@ class MGHierarchy:
                 jnp.asarray(element_materials(c, m.e_center[:, 2],
                                               c.radius_outer)),
                 interp))
+            self.stencil_plans.append(StencilPlan.build(c))
+            self.gs_plans.append(GSPlan.build((c.nodey, c.nodex, c.nodez)))
 
     def build_ops(self, T_fine):
         """Element stiffness at every level; coarse-level viscosity comes
@@ -167,23 +175,47 @@ class MGHierarchy:
         return ops
 
     # ------------------------------------------------------------------
-    def _smooth(self, ops, F, u, n_sweeps: int, omega: float = 0.6):
-        """Damped-Jacobi smoother (gauss_seidel role)."""
+    def build_smoothers(self, ops):
+        """Per-level GS ingredients (stencil W + 3x3 block Dinv), built
+        once per viscosity update like Eqn_k (Construct_arrays.c:740)."""
+        if self.smoother != "gs":
+            return [None] * len(self.levels)
+        from g4s_tpu.models.citcoms.nodal import (build_stencil,
+                                                  stencil_block_dinv)
+        out = []
+        for li, lv in enumerate(self.levels):
+            W = build_stencil(ops[li].elt_k, self.stencil_plans[li])
+            grid = (lv.cfg.nodey, lv.cfg.nodex, lv.cfg.nodez)
+            vg = lv.vbc_mask.reshape(*grid, 3)
+            out.append((W, stencil_block_dinv(W, vg)))
+        return out
+
+    def _smooth(self, li, ops, F, u, n_sweeps: int, smooth_data=None,
+                omega: float = 0.6):
+        """gauss_seidel role: 8-color block GS (default) or damped
+        Jacobi."""
+        if smooth_data is not None:
+            from g4s_tpu.models.citcoms.nodal import gauss_seidel_colored
+            W, Dinv = smooth_data
+            return gauss_seidel_colored(W, Dinv, F, u,
+                                        self.levels[li].vbc_mask, n_sweeps,
+                                        self.gs_plans[li])
         def body(i, u):
             r = F - asm.assemble_del2_u(ops, u, strip=True)
             return u + omega * ops.BI * r
         return jax.lax.fori_loop(0, n_sweeps, body, u)
 
     def v_cycle(self, ops, F, u, *, down: int = 2, up: int = 2,
-                coarse_iters: int = 30):
+                coarse_iters: int = 30, smooth_data=None):
         """One V-cycle with line-search-scaled corrections
         (mg_cycle, General_matrix_functions.c:214-280)."""
         levels = self.levels
         n = len(levels)
+        sm = smooth_data if smooth_data is not None else [None] * n
         residuals = []
         # down-stroke
         for li in range(n - 1):
-            u = self._smooth(ops[li], F, u, down)
+            u = self._smooth(li, ops[li], F, u, down, sm[li])
             r = asm.strip_bcs(F - asm.assemble_del2_u(ops[li], u, strip=True),
                               levels[li].vbc_mask)
             residuals.append((F, u))
@@ -208,7 +240,7 @@ class MGHierarchy:
             denom = jnp.vdot(Adu, Adu)
             alpha = jnp.where(denom > 0, jnp.vdot(Adu, res) / denom, 1.0)
             u = u_f + alpha * du
-            u = self._smooth(ops[li], F_f, u, up)
+            u = self._smooth(li, ops[li], F_f, u, up, sm[li])
             F = F_f
         return u
 
@@ -216,6 +248,7 @@ class MGHierarchy:
               down: int = 2, up: int = 2):
         """Repeated V-cycles until ||r|| < acc (solve_del2_u MG branch)."""
         u0 = jnp.zeros_like(F)
+        smooth_data = self.build_smoothers(ops)
 
         def cond(state):
             u, res, it = state
@@ -223,7 +256,8 @@ class MGHierarchy:
 
         def body(state):
             u, res, it = state
-            u = self.v_cycle(ops, F, u, down=down, up=up)
+            u = self.v_cycle(ops, F, u, down=down, up=up,
+                             smooth_data=smooth_data)
             r = F - asm.assemble_del2_u(ops[0], u, strip=True)
             r = asm.strip_bcs(r, self.levels[0].vbc_mask)
             return u, jnp.sqrt(jnp.vdot(r, r)), it + 1

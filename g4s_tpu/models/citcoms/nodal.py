@@ -93,3 +93,99 @@ def nodal_matvec(W, u, vbc_mask, *, strip: bool = True):
     if strip:
         au = jnp.where(vbc_mask, 0.0, au)
     return au
+
+
+# ---------------------------------------------------------------------------
+# Colored Gauss-Seidel smoother (gauss_seidel, General_matrix_functions.c:606;
+# the CUDA port's colored split, multigrid_kernel.cu:236-478, is the direct
+# recipe). On the 27-point stencil the 2x2x2 node coloring gives 8 colors
+# whose members never neighbor each other, so each color updates
+# simultaneously and the color sequence is an exact Gauss-Seidel sweep.
+# Each color's residual is evaluated ONLY on its own strided subgrid, so a
+# full 8-color sweep costs about one full stencil matvec — the TPU answer
+# to GS's sequential dependence.
+# ---------------------------------------------------------------------------
+
+_COLORS = [(cy, cx, cz) for cy in (0, 1) for cx in (0, 1) for cz in (0, 1)]
+
+
+class GSPlan(NamedTuple):
+    """Static per-color gather plans for the 8-color GS sweep."""
+    idx: Tuple[jax.Array, ...]     # per color: (sy*sx*sz, 27) flat padded ids
+    sizes: Tuple[Tuple[int, int, int], ...]
+    grid: Tuple[int, int, int]
+
+    @staticmethod
+    def build(grid) -> "GSPlan":
+        noy, nox, noz = grid
+        py, px, pz = noy + 2, nox + 2, noz + 2
+        idxs, sizes = [], []
+        for cy, cx, cz in _COLORS:
+            ys = np.arange(cy, noy, 2)
+            xs = np.arange(cx, nox, 2)
+            zs = np.arange(cz, noz, 2)
+            Y, X, Z = np.meshgrid(ys, xs, zs, indexing="ij")
+            base = np.stack([Y.ravel(), X.ravel(), Z.ravel()], 1)  # (m, 3)
+            offs = np.asarray(_OFFSETS)                            # (27, 3)
+            nb = base[:, None, :] + offs[None, :, :] + 1           # padded
+            flat = (nb[..., 0] * px + nb[..., 1]) * pz + nb[..., 2]
+            idxs.append(jnp.asarray(flat.astype(np.int32)))
+            sizes.append((ys.size, xs.size, zs.size))
+        return GSPlan(tuple(idxs), tuple(sizes), (noy, nox, noz))
+
+
+def stencil_block_dinv(W, vbc_grid):
+    """Per-node inverse of the 3x3 diagonal block (slot 13 = zero offset).
+
+    BC-constrained dofs get identity rows/cols so the update there is the
+    plain (masked-to-zero) residual.
+    """
+    D = W[:, :, :, 13]                                   # (noy,nox,noz,3,3)
+    eye = jnp.eye(3, dtype=W.dtype)
+    m = vbc_grid                                         # (noy,nox,noz,3) bool
+    free = ~m
+    D = jnp.where(free[..., :, None] & free[..., None, :], D, 0.0)
+    D = D + jnp.where(m[..., :, None] & (eye > 0), 1.0, 0.0) * eye
+    det = jnp.linalg.det(D)
+    D = jnp.where((jnp.abs(det) > 1e-30)[..., None, None], D, eye)
+    return jnp.linalg.inv(D)
+
+
+def gauss_seidel_colored(W, Dinv, F, u, vbc_mask, n_sweeps: int,
+                         plan: GSPlan | None = None):
+    """n_sweeps of 8-color block Gauss-Seidel on K u = F.
+
+    Colors update simultaneously (2x2x2 coloring has no intra-color
+    neighbors on the 27-point stencil); the color sequence is an exact
+    Gauss-Seidel sweep. Each color evaluates its residual with ONE gather
+    over its own subgrid, so a full sweep costs about one stencil matvec.
+    """
+    noy, nox, noz = W.shape[:3]
+    if plan is None:
+        plan = GSPlan.build((noy, nox, noz))
+    Fg = F.reshape(noy, nox, noz, 3)
+    mg = vbc_mask.reshape(noy, nox, noz, 3)
+    ug = u.reshape(noy, nox, noz, 3)
+    Wc_all = [W[cy::2, cx::2, cz::2].reshape(-1, 27, 3, 3)
+              for (cy, cx, cz) in _COLORS]
+    Dc_all = [Dinv[cy::2, cx::2, cz::2].reshape(-1, 3, 3)
+              for (cy, cx, cz) in _COLORS]
+
+    def sweep(i, ug):
+        for ci, (cy, cx, cz) in enumerate(_COLORS):
+            sy, sx, sz = plan.sizes[ci]
+            up = jnp.pad(ug, ((1, 1), (1, 1), (1, 1), (0, 0))).reshape(-1, 3)
+            nb = jnp.take(up, plan.idx[ci], axis=0)        # (m, 27, 3)
+            au = jnp.einsum("moij,moj->mi", Wc_all[ci], nb,
+                            precision=jax.lax.Precision.HIGHEST)
+            r = Fg[cy::2, cx::2, cz::2].reshape(-1, 3) - au
+            mcol = mg[cy::2, cx::2, cz::2].reshape(-1, 3)
+            r = jnp.where(mcol, 0.0, r)
+            du = jnp.einsum("mij,mj->mi", Dc_all[ci], r,
+                            precision=jax.lax.Precision.HIGHEST)
+            du = jnp.where(mcol, 0.0, du).reshape(sy, sx, sz, 3)
+            ug = ug.at[cy::2, cx::2, cz::2].add(du)
+        return ug
+
+    ug = jax.lax.fori_loop(0, n_sweeps, sweep, ug)
+    return ug.reshape(-1, 3)

@@ -125,20 +125,27 @@ class UzawaParams(NamedTuple):
     check_pressure_convergence: bool
 
 
-def uzawa_cg(prob: StokesProblem, V, P, F, fdotf, params: UzawaParams):
+def uzawa_cg(prob: StokesProblem, V, P, F, fdotf, params: UzawaParams,
+             inner_solve=None):
     """Uzawa pressure CG (solve_Ahat_p_fhat_CG).
 
     V: (nno,3) initial velocity (BC values imposed); P: (nel,) pressure;
     F: (nno,3) momentum RHS (stripped); fdotf: ||F||.
+    `inner_solve(F, acc) -> CGResult` overrides the inner velocity solver
+    (the solve_del2_u dispatch: CG by default, multigrid when
+    Solver=multigrid, General_matrix_functions.c:91-120).
     Returns (V, P, UzawaMonitor).
     """
     imp = params.accuracy
     inner_imp = imp * params.inner_accuracy_scale
     inner_acc = inner_imp * fdotf
+    if inner_solve is None:
+        inner_solve = lambda F_, acc_: conj_grad(prob, F_, acc_,
+                                                 params.max_inner)
 
     # --- initial velocity residual: solve K u1 = F - G P - K V ---
     F1 = prob.strip(F - prob.grad_p(P) - prob.A(V))
-    cg0 = conj_grad(prob, F1, inner_acc, params.max_inner)
+    cg0 = inner_solve(F1, inner_acc)
     V = V + cg0.x
 
     r1 = prob.div(V)
@@ -157,7 +164,7 @@ def uzawa_cg(prob: StokesProblem, V, P, F, fdotf, params: UzawaParams):
                           r1dotz1 / jnp.where(r0dotz0 == 0, 1.0, r0dotz0))
         s2 = z1 + delta * s1
         F2 = prob.grad_p(s2)
-        cg = conj_grad(prob, F2, inner_acc, params.max_inner)
+        cg = inner_solve(F2, inner_acc)
         u1 = cg.x
         F3 = prob.div(u1)
         alpha = r1dotz1 / prob.dot_p(s2, F3)

@@ -112,3 +112,52 @@ class TestFloat32Numerics:
         assert s.T.dtype == jnp.float32
         assert np.isfinite(np.asarray(s.T)).all()
         assert np.isfinite(np.asarray(s.V)).all()
+
+
+class TestEngineRouting:
+    """VERDICT #4: the hot paths run through the engine for real."""
+
+    def test_kinetics_contraction_is_engine_dispatch(self):
+        from g4s_tpu.models.cantera import load_mechanism, build_kinetics
+        mech = load_mechanism("/root/reference/cantera/data/h2o2.yaml")
+        kin = build_kinetics(mech)
+        # dispatcher stages the nu operators (dense/MXU at this size)
+        assert kin.g_net is not None and kin.g_net.variant == "dense"
+        # and the engine result equals the direct contraction
+        from g4s_tpu.engine import mxv, vxm
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.normal(size=mech.nspec))
+        np.testing.assert_allclose(np.asarray(mxv(kin.g_net, v)),
+                                   np.asarray(kin.nu_net @ v), rtol=1e-12)
+        r = jnp.asarray(rng.normal(size=mech.nrxn))
+        np.testing.assert_allclose(np.asarray(vxm(kin.g_net, r)),
+                                   np.asarray(r @ kin.nu_net), rtol=1e-12)
+
+    def test_stokes_matvec_is_operator_dispatch(self):
+        """The driver's A(u) is the engine's operator choice; stencil and
+        eltk forms agree on the same assembled operator."""
+        from g4s_tpu import engine
+        from g4s_tpu.models.citcoms import (CitcomModel, config_from_table,
+                                            parse_flat_config)
+        from g4s_tpu.models.citcoms.nodal import build_stencil
+        cfg = config_from_table(parse_flat_config(
+            "maxstep=1 rayleigh=100000 nodex=9 nodey=9 nodez=5 "
+            "theta_max=1.5708 theta_min=0.7854 fi_max=0.7854 fi_min=0.0 "
+            "radius_inner=0.55 radius_outer=1.0 num_mat=4"))
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        ops = model._build_ops(s.T, None, s.V)
+        W = build_stencil(ops.elt_k, model.stencil_plan)
+        og = engine.build_operator(
+            {"stencil": {"W": W, "mask": model.vbc_mask},
+             "eltk": {"ops": ops}},
+            stats={"regular_grid": True})
+        assert og.variant == "stencil"
+        og2 = engine.build_operator({"eltk": {"ops": ops}},
+                                    stats={"regular_grid": False})
+        assert og2.variant == "eltk"
+        rng = np.random.default_rng(3)
+        u = jnp.asarray(rng.normal(size=(model.mesh.nno, 3)))
+        np.testing.assert_allclose(np.asarray(engine.apply_operator(og, u)),
+                                   np.asarray(engine.apply_operator(og2, u)),
+                                   rtol=1e-9, atol=1e-9)

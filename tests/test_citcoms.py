@@ -309,6 +309,47 @@ class TestAltSolvers:
         rel = float(jnp.max(jnp.abs(u_mg - cg.x)) / jnp.max(jnp.abs(cg.x)))
         assert rel < 1e-4, rel
 
+    def test_gs_multigrid_beats_jacobi_on_viscosity_contrast(self):
+        """VERDICT r1 #5: with a 1e4 viscosity jump the colored-GS smoother
+        (gauss_seidel, General_matrix_functions.c:606; colored split of
+        multigrid_kernel.cu:236-478) must keep MG converging where damped
+        Jacobi visibly degrades."""
+        from g4s_tpu.models.citcoms import assembly as asm
+        from g4s_tpu.models.citcoms.multigrid import MGHierarchy
+        import dataclasses as dc
+        cfg = small_cfg(nodex=9, nodey=9, nodez=5, rayleigh=1e5)
+        cfg = dc.replace(cfg, visc0=(1.0, 1.0, 1e4, 1e4), num_mat=4)
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        hier_gs = MGHierarchy(cfg, levels=2, smoother="gs")
+        hier_j = MGHierarchy(cfg, levels=2, smoother="jacobi")
+        ops_all = hier_gs.build_ops(s.T)
+        rng = np.random.default_rng(5)
+        F = jnp.asarray(rng.normal(size=(model.mesh.nno, 3)))
+        F = asm.strip_bcs(F, model.vbc_mask)
+        acc = 1e-6 * float(jnp.sqrt(jnp.vdot(F, F)))
+        u_gs, res_gs, it_gs = hier_gs.solve(ops_all, F, acc=acc,
+                                            max_cycles=60)
+        u_j, res_j, it_j = hier_j.solve(ops_all, F, acc=acc, max_cycles=60)
+        assert float(res_gs) <= acc * 1.01, (float(res_gs), acc)
+        # Jacobi needs dramatically more cycles (or stalls entirely)
+        assert int(it_gs) * 2 <= int(it_j), (int(it_gs), int(it_j))
+
+    def test_solver_multigrid_end_to_end(self):
+        """Solver=multigrid wired through the config: a full timestep runs
+        and matches the CG-solver step."""
+        import dataclasses as dc
+        cfg = small_cfg(nodex=9, nodey=9, nodez=5, rayleigh=1e5,
+                        topvbc=1, topvbxval=100.0)
+        m_cg = CitcomModel(cfg)
+        m_mg = CitcomModel(dc.replace(cfg, solver_type="multigrid", levels=2))
+        s_cg = m_cg.init_state(); s_mg = m_mg.init_state()
+        s_cg, _ = m_cg.initial_solve(s_cg)
+        s_mg, _ = m_mg.initial_solve(s_mg)
+        v1, v2 = np.asarray(s_cg.V), np.asarray(s_mg.V)
+        rel = np.max(np.abs(v1 - v2)) / np.max(np.abs(v1))
+        assert rel < 1e-3, rel
+
 
 class TestTracers:
     def _setup(self):
