@@ -148,6 +148,7 @@ def bench_shocktube():
         # against 2x the scipy ideal-phase time (RG RHS is strictly more
         # work, so this also favors the baseline).
         ref_wall = 2 * scipy_wall_ig
+    jax.config.update("jax_enable_x64", False)   # restore production dtype
     return {"metric": "shocktube_1000K_40atm", "value": round(wall, 2),
             "unit": "s (RG+IG pair)",
             "vs_baseline": round(ref_wall / wall, 3),

@@ -222,6 +222,37 @@ class FullSphereModel:
     def step(self, s: State):
         return self._step_fn(s)
 
+    # -------- tracers (Full_tracer_advection.c capability) --------
+
+    def step_tracers(self, s: State, pos, flavors):
+        """Thermochemical full-sphere timestep: advect Cartesian tracers
+        with the step's dt and form the ratio-method composition
+        (Full_tracer_advection.c + Composition_related.c capability).
+
+        Returns (state, diag, new_pos, C_nodes); C_nodes is the dense
+        flavor's nodal fraction for compositional buoyancy. pos: (n, 3)
+        Cartesian."""
+        from g4s_tpu.models.citcoms import full_tracers as ft
+        if not hasattr(self, "_tracer_field"):
+            self._tracer_field = ft.FullTracerField.build(self.mesh)
+            self._tracer_step = jax.jit(self._timestep_tracers)
+        return self._tracer_step(s, pos, flavors)
+
+    def _timestep_tracers(self, s: State, pos, flavors):
+        from g4s_tpu.models.citcoms import full_tracers as ft
+        tf = self._tracer_field
+        new_s, diag = self._timestep(s)
+        pos = ft.advect_tracers(tf, s.V, pos, new_s.dt)
+        comp_el, _ = ft.element_composition(tf, self.mesh, pos, flavors, 2)
+        # composition -> nodes (volume-agnostic average, like the
+        # regional composition_to_nodes)
+        contrib = jnp.broadcast_to(comp_el[1][:, None],
+                                   (self.mesh.nel, 8))
+        num = self.plan.scatter(contrib[:, :, None])[:, 0]
+        den = self.plan.scatter(jnp.ones_like(contrib)[:, :, None])[:, 0]
+        C_nodes = num / jnp.maximum(den, 1.0)
+        return new_s, diag, pos, C_nodes
+
 
 def shard_full_sphere(model: FullSphereModel, mesh, axis: str = "e"):
     """Multi-chip execution of the full-sphere solve by ELEMENT sharding.

@@ -153,6 +153,9 @@ class FullSphereMesh(NamedTuple):
     nel: int
     surf_ids: np.ndarray  # (n_surf_nodes,) global ids on the top surface
     bot_ids: np.ndarray
+    surf_inverse: np.ndarray = None  # (12, noy, nox) cap grid -> surf node
+    nodex: int = 0        # per-cap surface grid (for tracers/VTK)
+    nodey: int = 0
 
 
 def build_full_sphere_mesh(nodex: int, nodey: int, nodez: int,
@@ -206,5 +209,6 @@ def build_full_sphere_mesh(nodex: int, nodey: int, nodez: int,
 
     surf_ids = np.arange(n_surf) * nodez + (nodez - 1)
     bot_ids = np.arange(n_surf) * nodez
+    surf_inverse = inverse.reshape(12, nodey, nodex).astype(np.int32)
     return FullSphereMesh(sx, ien, cap_of_element, r, nno, ien.shape[0],
-                          surf_ids, bot_ids)
+                          surf_ids, bot_ids, surf_inverse, nodex, nodey)

@@ -223,11 +223,13 @@ def uzawa_bicgstab(prob: StokesProblem, V, P, F, fdotf,
     r0 = prob.div(V)
 
     def cond(st):
-        (P, V, r, rhat, p_dir, v_dir, rho, alpha, omega, it, inner, done) = st
+        (P, V, r, rhat, p_dir, v_dir, rho, alpha, omega, it, inner, done,
+         dvel, dpre) = st
         return jnp.logical_and(it < params.max_outer, ~done)
 
     def body(st):
-        (P, V, r, rhat, p_dir, v_dir, rho, alpha, omega, it, inner, done) = st
+        (P, V, r, rhat, p_dir, v_dir, rho, alpha, omega, it, inner, done,
+         dvel, dpre) = st
         rho_new = prob.dot_p(rhat, r)
         beta = jnp.where(it == 0, 0.0,
                          (rho_new / jnp.where(rho == 0, 1.0, rho))
@@ -242,23 +244,30 @@ def uzawa_bicgstab(prob: StokesProblem, V, P, F, fdotf,
         t, u_t, inner = schur(zs, inner)
         tt = prob.dot_p(t, t)
         omega_new = jnp.where(tt == 0, 0.0, prob.dot_p(t, s) / tt)
-        P = P + alpha_new * z + omega_new * zs
-        V = V - alpha_new * u_v - omega_new * u_t
+        dP = alpha_new * z + omega_new * zs
+        dV = alpha_new * u_v + omega_new * u_t
+        P = P + dP
+        V = V - dV
         r_new = s - omega_new * t
+        # honest convergence monitors (the reference's dvelocity/dpressure,
+        # Stokes_flow_Incomp.c:497-520)
+        dvel = jnp.sqrt(prob.v_norm2(dV) / (1e-32 + prob.v_norm2(V)))
+        dpre = jnp.sqrt(prob.p_norm2(dP) / (1e-32 + prob.p_norm2(P)))
         res = jnp.sqrt(prob.div_norm2(r_new)
                        / (1e-32 + prob.v_norm2(V)))
         done = res < imp
         return (P, V, r_new, rhat, p_dir, v_new, rho_new, alpha_new,
-                omega_new, it + 1, inner, done)
+                omega_new, it + 1, inner, done, dvel, dpre)
 
     zero_p = jnp.zeros_like(r0)
     st0 = (P, V, r0, r0, zero_p, zero_p, jnp.asarray(1.0, F.dtype),
            jnp.asarray(1.0, F.dtype), jnp.asarray(1.0, F.dtype),
-           jnp.asarray(0, jnp.int32), cg0.iterations, jnp.asarray(False))
-    (P, V, r, _, _, _, _, _, _, it, inner, done) = lax.while_loop(
-        cond, body, st0)
+           jnp.asarray(0, jnp.int32), cg0.iterations, jnp.asarray(False),
+           jnp.asarray(1.0, F.dtype), jnp.asarray(1.0, F.dtype))
+    (P, V, r, _, _, _, _, _, _, it, inner, done, dvel, dpre) = \
+        lax.while_loop(cond, body, st0)
     div = prob.div(V)
     inc = jnp.sqrt(prob.div_norm2(div) / (1e-32 + prob.v_norm2(V)))
     mon = UzawaMonitor(jnp.sqrt(prob.v_norm2(V)), jnp.sqrt(prob.p_norm2(P)),
-                       inc, inc, inc, it, inner)
+                       dvel, dpre, inc, it, inner)
     return V, P, mon

@@ -114,9 +114,16 @@ class Trainer:
         if lcurve:
             lcurve.write("# step rmse_e rmse_f lr wall\n")
         t0 = time.time()
+        # floating batch arrays adopt the parameter dtype so f64 npy data
+        # never drags an f32 (TPU) run into emulated f64
+        pdtype = jax.tree_util.tree_leaves(params)[0].dtype
+        def _to_dev(v):
+            a = jnp.asarray(v)
+            return a.astype(pdtype) if jnp.issubdtype(a.dtype,
+                                                      jnp.floating) else a
         for step in range(numb_steps):
             raw = data.sample_batch()
-            batch = {k: jnp.asarray(v) for k, v in raw.items()}
+            batch = {k: _to_dev(v) for k, v in raw.items()}
             params, opt_state, loss, aux = self._update(
                 params, opt_state, batch,
                 jnp.asarray(step, jnp.result_type(float)))

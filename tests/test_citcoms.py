@@ -411,6 +411,126 @@ class TestTracers:
         assert grid[:, :, -1].mean() < 0.1
 
 
+class TestFullSphereTracers:
+    """Full-sphere tracer subsystem (Full_tracer_advection.c capability):
+    closed-form cap/element location on the gnomonic grids, Cartesian
+    predictor-corrector advection, ratio-method composition."""
+
+    def _setup(self):
+        from g4s_tpu.models.citcoms.full_mesh import build_full_sphere_mesh
+        from g4s_tpu.models.citcoms.full_tracers import FullTracerField
+        mesh = build_full_sphere_mesh(9, 9, 5, 0.55, 1.0)
+        return mesh, FullTracerField.build(mesh)
+
+    def test_element_location_exact(self):
+        from g4s_tpu.models.citcoms.full_mesh import _sph_to_xyz
+        from g4s_tpu.models.citcoms.full_tracers import locate
+        mesh, tf = self._setup()
+        xyz = _sph_to_xyz(mesh.sx[:, 0], mesh.sx[:, 1]) * mesh.sx[:, 2:3]
+        centers = xyz[mesh.ien].mean(axis=1)
+        cap, iy, ix, kz, _, _ = locate(tf, jnp.asarray(centers))
+        el = ((np.asarray(cap) * (tf.noy - 1) + np.asarray(iy))
+              * (tf.nox - 1) + np.asarray(ix)) * (tf.noz - 1) + np.asarray(kz)
+        np.testing.assert_array_equal(el, np.arange(mesh.nel))
+
+    def test_constant_velocity_interp_exact(self):
+        from g4s_tpu.models.citcoms.full_tracers import (interp_velocity,
+                                                         seed_tracers)
+        mesh, tf = self._setup()
+        cvec = np.array([0.3, -0.5, 0.8])
+        th, ff = mesh.sx[:, 0], mesh.sx[:, 1]
+        st, ct = np.sin(th), np.cos(th)
+        sf, cf = np.sin(ff), np.cos(ff)
+        e_t = np.stack([ct * cf, ct * sf, -st], 1)
+        e_f = np.stack([-sf, cf, np.zeros_like(sf)], 1)
+        e_r = np.stack([st * cf, st * sf, ct], 1)
+        Vs = np.stack([e_t @ cvec, e_f @ cvec, e_r @ cvec], 1)
+        pos, _ = seed_tracers(mesh, 2, seed=1)
+        v = np.asarray(interp_velocity(tf, jnp.asarray(Vs), jnp.asarray(pos)))
+        np.testing.assert_allclose(v, np.broadcast_to(cvec, v.shape),
+                                   atol=1e-12)
+
+    def test_rigid_rotation_crosses_seams(self):
+        """Advection under a rigid rotation matches the exact rotation;
+        tracers sweep 2 radians in longitude, crossing cap seams (the
+        lost_souls scenario) with no special handling needed."""
+        from g4s_tpu.models.citcoms.full_mesh import _sph_to_xyz
+        from g4s_tpu.models.citcoms.full_tracers import (advect_tracers,
+                                                         seed_tracers)
+        mesh, tf = self._setup()
+        xyz = _sph_to_xyz(mesh.sx[:, 0], mesh.sx[:, 1]) * mesh.sx[:, 2:3]
+        th, ff = mesh.sx[:, 0], mesh.sx[:, 1]
+        st, ct = np.sin(th), np.cos(th)
+        sf, cf = np.sin(ff), np.cos(ff)
+        e_t = np.stack([ct * cf, ct * sf, -st], 1)
+        e_f = np.stack([-sf, cf, np.zeros_like(sf)], 1)
+        Vc = np.cross(np.broadcast_to([0.0, 0.0, 1.0], xyz.shape), xyz)
+        Vs = np.stack([np.einsum("ni,ni->n", e_t, Vc),
+                       np.einsum("ni,ni->n", e_f, Vc),
+                       np.zeros(mesh.nno)], 1)
+        pos, _ = seed_tracers(mesh, 2, seed=1)
+        p = jnp.asarray(pos)
+        for _ in range(40):
+            p = advect_tracers(tf, jnp.asarray(Vs), p, 0.05)
+        ang = 2.0
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+        err = np.abs(np.asarray(p) - pos @ R.T).max()
+        assert err < 1e-2, err   # interp error on the coarse test mesh
+        # radius conserved to much tighter tolerance
+        dr = np.abs(np.linalg.norm(np.asarray(p), axis=1)
+                    - np.linalg.norm(pos, axis=1)).max()
+        assert dr < 2e-3, dr
+
+    def test_composition_conserved(self):
+        from g4s_tpu.models.citcoms.full_tracers import (element_composition,
+                                                         seed_tracers)
+        mesh, tf = self._setup()
+        pos, flav = seed_tracers(mesh, 3, seed=2)
+        comp, total = element_composition(tf, mesh, jnp.asarray(pos),
+                                          jnp.asarray(flav))
+        assert int(np.asarray(total).sum()) == pos.shape[0]
+        # flavor fractions sum to 1 wherever the element holds tracers
+        nonempty = np.asarray(total) > 0
+        np.testing.assert_allclose(np.asarray(comp).sum(0)[nonempty], 1.0,
+                                   atol=1e-6)
+
+    def test_sharded_advection_matches_single_device(self):
+        """Tracers are data-parallel: sharding the tracer axis over the
+        8-device mesh gives bitwise-identical advection (the reference
+        needs lost_souls MPI exchange; the TPU design needs none)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from g4s_tpu.models.citcoms.full_mesh import _sph_to_xyz
+        from g4s_tpu.models.citcoms.full_tracers import (advect_tracers,
+                                                         seed_tracers)
+        mesh, tf = self._setup()
+        xyz = _sph_to_xyz(mesh.sx[:, 0], mesh.sx[:, 1]) * mesh.sx[:, 2:3]
+        Vc = np.cross(np.broadcast_to([0.3, -0.2, 1.0], xyz.shape), xyz)
+        th, ff = mesh.sx[:, 0], mesh.sx[:, 1]
+        st, ct = np.sin(th), np.cos(th)
+        sf, cf = np.sin(ff), np.cos(ff)
+        e_t = np.stack([ct * cf, ct * sf, -st], 1)
+        e_f = np.stack([-sf, cf, np.zeros_like(sf)], 1)
+        e_r = np.stack([st * cf, st * sf, ct], 1)
+        Vs = jnp.asarray(np.stack([np.einsum("ni,ni->n", e_t, Vc),
+                                   np.einsum("ni,ni->n", e_f, Vc),
+                                   np.einsum("ni,ni->n", e_r, Vc)], 1))
+        pos, _ = seed_tracers(mesh, 2, seed=3)
+        n = (pos.shape[0] // 8) * 8
+        pos = pos[:n]
+        single = np.asarray(advect_tracers(tf, Vs, jnp.asarray(pos), 0.02))
+        devs = jax.devices()
+        assert len(devs) >= 8
+        m8 = Mesh(np.array(devs[:8]), ("t",))
+        sh = NamedSharding(m8, P("t"))
+        pos_sh = jax.device_put(jnp.asarray(pos), sh)
+        out = jax.jit(lambda p: advect_tracers(tf, Vs, p, 0.02))(pos_sh)
+        # sharded compilation may fuse differently -> f64-noise-level
+        # deviations; the physics must agree to ~machine precision
+        np.testing.assert_allclose(np.asarray(out), single,
+                                   rtol=1e-12, atol=1e-12)
+
+
 class TestObservables:
     def test_conductive_nusselt_is_one(self):
         from g4s_tpu.models.citcoms.observables import surface_heat_flux
