@@ -322,10 +322,14 @@ def bench_spmv(dtype_str: str = "f32"):
     per = (times[100] - times[2]) / 98
     bytes_moved = g.dia.vals.size * 4 + n * 8
     gbs = bytes_moved / per / 1e9
+    from g4s_tpu.obs import roofline
+    rl = roofline(seconds=per, bytes_moved=bytes_moved,
+                  flops=2 * g.dia.vals.size)
     roofline_target = 0.7 * 819.0  # 70% of v5e HBM roofline (BASELINE.md)
     return {"metric": "spmv_bandwidth", "value": round(gbs, 2), "unit": "GB/s",
             "vs_baseline": round(gbs / roofline_target, 3),
-            "baseline_basis": "0.7 x 819 GB/s v5e HBM roofline"}
+            "baseline_basis": "0.7 x 819 GB/s v5e HBM roofline",
+            "roofline": rl}
 
 
 def main():
@@ -335,7 +339,16 @@ def main():
     ap.add_argument("--what", default="cookbook2",
                     choices=["cookbook2", "spmv", "shocktube", "dp",
                              "spgemm", "mv", "all"])
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler trace of the benchmark")
     args = ap.parse_args()
+    if args.profile:
+        from g4s_tpu.obs import trace
+        import contextlib
+        _ctx = trace(args.profile)
+    else:
+        import contextlib
+        _ctx = contextlib.nullcontext()
 
     if args.what == "all":
         results = {}
@@ -360,7 +373,8 @@ def main():
     fn = {"cookbook2": lambda: bench_cookbook2(args.steps, args.dtype),
           "spmv": bench_spmv, "shocktube": bench_shocktube,
           "dp": bench_dp, "spgemm": bench_spgemm, "mv": bench_mv}[args.what]
-    print(json.dumps(fn()))
+    with _ctx:
+        print(json.dumps(fn()))
 
 
 if __name__ == "__main__":

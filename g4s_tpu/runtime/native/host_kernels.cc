@@ -19,6 +19,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <numeric>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -75,48 +76,119 @@ long g4s_spgemm_symbolic(const int64_t* a_indptr, const int64_t* a_indices,
                          const int64_t* b_indices, long b_cols, long F,
                          int64_t* src_a, int64_t* src_b, int32_t* slot,
                          int64_t* c_rows, int64_t* c_cols) {
-  // expand products
+  // Thread-parallel over FLOP-balanced row blocks (the role of the
+  // reference's BIN prefix-sum work split, mm/inc/BIN.h:100-122).
+  // Keys are row-major (r * b_cols + col), and blocks are row-aligned, so
+  // per-block sorted runs concatenate into a globally sorted expansion
+  // with NO merge step, and duplicate keys never straddle blocks.
+  int T = 1;
+  if (const char* e = getenv("G4S_NUM_THREADS")) T = atoi(e);
+  else T = (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if (T > 16) T = 16;
+  if (a_rows < 4 * T) T = 1;
+
+  // expansion offset of each row (prefix sum of per-row flops)
+  std::vector<int64_t> rowoff(a_rows + 1, 0);
+  for (long r = 0; r < a_rows; ++r) {
+    int64_t f = 0;
+    for (int64_t t = a_indptr[r]; t < a_indptr[r + 1]; ++t) {
+      const int64_t k = a_indices[t];
+      f += b_indptr[k + 1] - b_indptr[k];
+    }
+    rowoff[r + 1] = rowoff[r] + f;
+  }
+
+  // row-aligned block boundaries balanced by flops
+  std::vector<long> rb(T + 1, a_rows);
+  rb[0] = 0;
+  for (int t = 1; t < T; ++t) {
+    const int64_t target = rowoff[a_rows] * t / T;
+    rb[t] = std::lower_bound(rowoff.begin(), rowoff.end(), target)
+            - rowoff.begin();
+    if (rb[t] > a_rows) rb[t] = a_rows;
+    if (rb[t] < rb[t - 1]) rb[t] = rb[t - 1];
+  }
+
   std::vector<int64_t> key(F);
-  {
-    long f = 0;
-    for (long r = 0; r < a_rows; ++r) {
-      for (int64_t t = a_indptr[r]; t < a_indptr[r + 1]; ++t) {
-        const int64_t k = a_indices[t];
-        for (int64_t u = b_indptr[k]; u < b_indptr[k + 1]; ++u) {
-          src_a[f] = t;
-          src_b[f] = u;
-          key[f] = r * b_cols + b_indices[u];
+  std::vector<long> block_nnz(T, 0);
+
+  auto expand_block = [&](int t) {
+    std::vector<int64_t> order;
+    long nnz_local = 0;
+    int64_t prev = -1;
+    for (long r = rb[t]; r < rb[t + 1]; ++r) {
+      const int64_t f0 = rowoff[r];
+      long f = f0;
+      for (int64_t u = a_indptr[r]; u < a_indptr[r + 1]; ++u) {
+        const int64_t k = a_indices[u];
+        for (int64_t w = b_indptr[k]; w < b_indptr[k + 1]; ++w) {
+          src_a[f] = u;
+          src_b[f] = w;
+          key[f] = r * b_cols + b_indices[w];
           ++f;
         }
       }
+      const long fn = f;
+      // sort this row's products by key (stable: deterministic sources)
+      order.resize(fn - f0);
+      std::iota(order.begin(), order.end(), f0);
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int64_t x, int64_t y) { return key[x] < key[y]; });
+      // apply the permutation in place via temporaries (rows are short)
+      std::vector<int64_t> ta(fn - f0), tb(fn - f0), tk(fn - f0);
+      for (long i = 0; i < fn - f0; ++i) {
+        ta[i] = src_a[order[i]];
+        tb[i] = src_b[order[i]];
+        tk[i] = key[order[i]];
+      }
+      for (long i = 0; i < fn - f0; ++i) {
+        src_a[f0 + i] = ta[i];
+        src_b[f0 + i] = tb[i];
+        key[f0 + i] = tk[i];
+        if (tk[i] != prev) {
+          ++nnz_local;
+          prev = tk[i];
+        }
+      }
     }
+    block_nnz[t] = nnz_local;
+  };
+
+  if (T == 1) {
+    expand_block(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; ++t) ths.emplace_back(expand_block, t);
+    for (auto& th : ths) th.join();
   }
-  // sort products by output key (stable to keep deterministic source order)
-  std::vector<int64_t> order(F);
-  std::iota(order.begin(), order.end(), 0);
-  std::stable_sort(order.begin(), order.end(),
-                   [&](int64_t x, int64_t y) { return key[x] < key[y]; });
-  std::vector<int64_t> sa(F), sb(F);
-  for (long i = 0; i < F; ++i) {
-    sa[i] = src_a[order[i]];
-    sb[i] = src_b[order[i]];
-  }
-  std::memcpy(src_a, sa.data(), F * sizeof(int64_t));
-  std::memcpy(src_b, sb.data(), F * sizeof(int64_t));
-  // collapse duplicates -> slots + structure
-  long nnz = -1;
-  int64_t prev = -1;
-  for (long i = 0; i < F; ++i) {
-    const int64_t kk = key[order[i]];
-    if (kk != prev) {
-      ++nnz;
-      prev = kk;
-      c_rows[nnz] = kk / b_cols;
-      c_cols[nnz] = kk % b_cols;
+
+  // global slot bases per block
+  std::vector<long> base(T + 1, 0);
+  for (int t = 0; t < T; ++t) base[t + 1] = base[t] + block_nnz[t];
+
+  auto fill_block = [&](int t) {
+    long nnz = base[t] - 1;
+    int64_t prev = -1;
+    for (long i = rowoff[rb[t]]; i < rowoff[rb[t + 1]]; ++i) {
+      const int64_t kk = key[i];
+      if (kk != prev) {
+        ++nnz;
+        prev = kk;
+        c_rows[nnz] = kk / b_cols;
+        c_cols[nnz] = kk % b_cols;
+      }
+      slot[i] = static_cast<int32_t>(nnz);
     }
-    slot[i] = static_cast<int32_t>(nnz);
+  };
+  if (T == 1) {
+    fill_block(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; ++t) ths.emplace_back(fill_block, t);
+    for (auto& th : ths) th.join();
   }
-  return nnz + 1;
+  return base[T];
 }
 
 // ---------------------------------------------------------------------------

@@ -161,3 +161,53 @@ class TestEngineRouting:
         np.testing.assert_allclose(np.asarray(engine.apply_operator(og, u)),
                                    np.asarray(engine.apply_operator(og2, u)),
                                    rtol=1e-9, atol=1e-9)
+
+
+class TestObservability:
+    def test_roofline_accounting(self):
+        from g4s_tpu.obs import roofline
+        # memory-bound kernel: 100 GB/s of a 819 GB/s roofline
+        r = roofline(seconds=1.0, bytes_moved=100_000_000_000,
+                     flops=1_000_000_000, platform="v5e")
+        assert r["achieved_gbs"] == 100.0
+        assert r["bound"] == "memory"
+        assert abs(r["frac_hbm_roofline"] - 100 / 819.0) < 1e-3
+        # compute-bound: high arithmetic intensity
+        r2 = roofline(seconds=1.0, bytes_moved=1_000_000,
+                      flops=10_000_000_000_000, platform="v5e")
+        assert r2["bound"] == "compute"
+
+    def test_trace_noop_and_timed(self):
+        from g4s_tpu.obs import trace
+        from g4s_tpu.obs.profile import timed
+        with trace(None):
+            pass
+        out = {}
+        with timed(out, "x"):
+            sum(range(1000))
+        assert out["x"] > 0
+
+    def test_parallel_symbolic_matches_fallback(self):
+        """VERDICT r1 #8: thread-parallel native symbolic SpGEMM produces
+        the identical plan (sources, slots, structure) as the numpy path."""
+        import os
+        import scipy.sparse as sp
+        from g4s_tpu.ops.spgemm import spgemm_plan
+        from g4s_tpu.sparse import CSR
+        A = CSR.from_scipy(sp.random(512, 512, density=0.03, format="csr",
+                                     random_state=np.random.RandomState(7)))
+        os.environ["G4S_NUM_THREADS"] = "8"
+        try:
+            p1 = spgemm_plan(A, A, use_native=True)
+        finally:
+            os.environ.pop("G4S_NUM_THREADS", None)
+        p2 = spgemm_plan(A, A, use_native=False)
+        assert p1.nnz == p2.nnz
+        np.testing.assert_array_equal(np.asarray(p1.slot),
+                                      np.asarray(p2.slot))
+        np.testing.assert_array_equal(np.asarray(p1.src_a),
+                                      np.asarray(p2.src_a))
+        np.testing.assert_array_equal(np.asarray(p1.src_b),
+                                      np.asarray(p2.src_b))
+        np.testing.assert_array_equal(np.asarray(p1.c_indices),
+                                      np.asarray(p2.c_indices))
