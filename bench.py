@@ -289,47 +289,100 @@ def bench_mv(dim: int = 4096, reps: int = 20):
 
 
 def bench_spmv(dtype_str: str = "f32"):
-    """SpMV effective bandwidth: Pallas BWELL kernel on a banded matrix."""
+    """SpMV effective bandwidth across the dispatcher's layout choices.
+
+    Cases (all 2^20 rows unless noted):
+      banded_dia    16-diagonal band, natural numbering -> DIA (gather-free)
+      shuffled_rcm  the same band under a random numbering -> dispatcher
+                    runs RCM and executes DIA in permuted space (the
+                    SuiteSparse-style hidden-structure case)
+      stencil_ell   shuffled 3D 7-point stencil (RCM bandwidth ~n^(2/3):
+                    DIA correctly refused) -> ELL gather fallback, the
+                    honest number for mesh matrices without structure
+      random_csr    uniform random pattern -> CSR segment-sum fallback
+    Headline value/vs_baseline = banded_dia vs 70% of HBM roofline.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
     import scipy.sparse as sp
     from g4s_tpu.engine import build_graph, mxv
     from g4s_tpu.sparse import CSR
+    from g4s_tpu.obs import roofline
+
+    def measure(g, n, nnz, *, reps=(2, 100)):
+        def chain(nrep):
+            return jax.jit(lambda x: jax.lax.fori_loop(
+                0, nrep, lambda i, u: mxv(g, u * 0.999), x))
+        times = {}
+        for nrep in reps:
+            h = chain(nrep)
+            h(jnp.ones((n,), jnp.float32)).block_until_ready()
+            ts = []
+            for k in range(3):
+                x = jnp.full((n,), 1.0 + 0.001 * k + 0.01 * nrep, jnp.float32)
+                t0 = time.time()
+                h(x).block_until_ready()
+                ts.append(time.time() - t0)
+            times[nrep] = min(ts)
+        per = (times[reps[1]] - times[reps[0]]) / (reps[1] - reps[0])
+        if g.variant == "dia":
+            bytes_moved = g.dia.vals.size * 4 + n * 8
+        elif g.variant == "ell":
+            bytes_moved = g.ell.vals.size * 8 + n * 8   # vals + lane idx
+        else:
+            bytes_moved = nnz * 12 + n * 8
+        return per, bytes_moved / per / 1e9
+
+    rng = np.random.default_rng(0)
+    out = {}
 
     n, diags = 1 << 20, 16
     offs = np.r_[0, np.arange(1, diags // 2), -np.arange(1, diags // 2 + 1)]
-    m = sp.diags([np.ones(n)] * len(offs), offs, shape=(n, n),
-                 format="csr").astype(np.float32)
-    g = build_graph(CSR.from_scipy(m))   # dispatcher picks DIA (banded)
-    assert g.variant == "dia", g.variant
+    band = sp.diags([np.ones(n)] * len(offs), offs, shape=(n, n),
+                    format="csr").astype(np.float32)
+    g = build_graph(CSR.from_scipy(band))
+    assert g.variant == "dia" and g.perm is None
+    per, gbs = measure(g, n, band.nnz)
+    out["banded_dia"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 3),
+                         "roofline": roofline(seconds=per,
+                                              bytes_moved=int(g.dia.vals.size * 4 + n * 8))}
+    headline = gbs
 
-    def chain(nrep):
-        return jax.jit(lambda x: jax.lax.fori_loop(
-            0, nrep, lambda i, u: mxv(g, u * 0.999), x))
+    p_ = rng.permutation(n)
+    shuf = band[p_][:, p_].tocsr()
+    g2 = build_graph(CSR.from_scipy(shuf))
+    assert g2.variant == "dia" and g2.perm is not None, g2.variant
+    per, gbs = measure(g2, n, shuf.nnz, reps=(2, 30))
+    out["shuffled_rcm"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 3)}
 
-    times = {}
-    for nrep in (2, 100):
-        h = chain(nrep)
-        h(jnp.ones((n,), jnp.float32)).block_until_ready()
-        ts = []
-        for k in range(3):
-            x = jnp.full((n,), 1.0 + 0.001 * k + 0.01 * nrep, jnp.float32)
-            t0 = time.time()
-            h(x).block_until_ready()
-            ts.append(time.time() - t0)
-        times[nrep] = min(ts)
-    per = (times[100] - times[2]) / 98
-    bytes_moved = g.dia.vals.size * 4 + n * 8
-    gbs = bytes_moved / per / 1e9
-    from g4s_tpu.obs import roofline
-    rl = roofline(seconds=per, bytes_moved=bytes_moved,
-                  flops=2 * g.dia.vals.size)
+    nx = 101
+    n3 = nx ** 3
+    t_ = sp.diags([1.0, 1.0, 1.0], [-1, 0, 1], (nx, nx))
+    e_ = sp.eye(nx)
+    g3m = (sp.kron(sp.kron(e_, e_), t_) + sp.kron(sp.kron(e_, t_), e_)
+           + sp.kron(t_, sp.kron(e_, e_))).tocsr().astype(np.float32)
+    pp = rng.permutation(n3)
+    g3m = g3m[pp][:, pp].tocsr()
+    g3 = build_graph(CSR.from_scipy(g3m))
+    per, gbs = measure(g3, n3, g3m.nnz, reps=(1, 6))
+    out["stencil_" + g3.variant] = {"gbs": round(gbs, 1),
+                                    "ms": round(per * 1e3, 2)}
+
+    nr = 1 << 17
+    rand = sp.random(nr, nr, density=8.0 / nr, format="csr",
+                     random_state=np.random.RandomState(1),
+                     dtype=np.float32)
+    g4 = build_graph(CSR.from_scipy(rand), reorder=False, variant="csr")
+    per, gbs = measure(g4, nr, rand.nnz, reps=(1, 6))
+    out["random_csr"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 2)}
+
     roofline_target = 0.7 * 819.0  # 70% of v5e HBM roofline (BASELINE.md)
-    return {"metric": "spmv_bandwidth", "value": round(gbs, 2), "unit": "GB/s",
-            "vs_baseline": round(gbs / roofline_target, 3),
+    return {"metric": "spmv_bandwidth", "value": round(headline, 2),
+            "unit": "GB/s",
+            "vs_baseline": round(headline / roofline_target, 3),
             "baseline_basis": "0.7 x 819 GB/s v5e HBM roofline",
-            "roofline": rl}
+            "cases": out}
 
 
 def main():

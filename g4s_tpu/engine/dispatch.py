@@ -57,6 +57,8 @@ class Graph:
     row_ids: Optional[jax.Array]  # (nnz,) row of each stored entry (CSR path)
     deg: jax.Array                # (n_rows,) true row degrees
     dense: Optional[jax.Array]    # materialized (n_rows, n_cols) (MXU)
+    perm: Optional[jax.Array]     # RCM row/col order (layout stores A[p,p])
+    iperm: Optional[jax.Array]    # inverse permutation
     variant: str = _static()      # 'ell' | 'csr' | 'dia' | 'dense'
     shape: Tuple[int, int] = _static()
 
@@ -72,7 +74,8 @@ class Graph:
 def build_graph(a: CSR, *, variant: str | None = None,
                 max_padding_waste: float = 1.5, pad_to: int = 8,
                 max_diags: int = 48,
-                dense_threshold: int = 1 << 21, dtype=None) -> Graph:
+                dense_threshold: int = 1 << 21, dtype=None,
+                reorder: bool = True) -> Graph:
     """Static strategy exploration: choose the execution layout from row
     statistics (host-side, once — like the reference engine's per-matrix
     strategy search, but resolved at trace time).
@@ -98,25 +101,66 @@ def build_graph(a: CSR, *, variant: str | None = None,
         if variant is None and 0 < size <= dense_threshold and (
                 nnz / size >= 0.05 or size <= 1 << 18):
             variant = "dense"
+        if variant is None and reorder and a.shape[0] == a.shape[1] \
+                and nnz > 1:
+            # no structured layout fits the given numbering: try RCM
+            # (the renumbering role the reference's cache blockers play,
+            # outer_mult.h:315-353). TPU random gathers run at ~0.5 GB/s
+            # while static permutations apply at ~1.6 ms/M via
+            # lax.sort_key_val, so a banded-after-RCM matrix is worth two
+            # sorts per mxv (and solvers can hoist them entirely).
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+            sp_a = a.to_scipy().tocsr()
+            perm = np.asarray(reverse_cuthill_mckee(sp_a, symmetric_mode=False))
+            ap = sp_a[perm][:, perm].tocsr()
+            deg_p = np.diff(ap.indptr).astype(np.int64)
+            offs_p = np.unique(ap.indices.astype(np.int64)
+                               - np.repeat(np.arange(ap.shape[0],
+                                                     dtype=np.int64), deg_p))
+            dia_waste_p = offs_p.size * ap.shape[0] / nnz
+            if offs_p.size <= max_diags and \
+                    dia_waste_p <= 2.0 + max_padding_waste:
+                inv = np.empty_like(perm)
+                inv[perm] = np.arange(perm.size)
+                dia = csr_to_dia(CSR.from_scipy(ap)).to_device()
+                return Graph(None, None, dia, None, jnp.asarray(deg),
+                             None, jnp.asarray(perm.astype(np.int32)),
+                             jnp.asarray(inv.astype(np.int32)), "dia",
+                             a.shape)
         if variant is None:
             variant = "ell" if waste <= max_padding_waste else "csr"
     if variant == "dense":
         from g4s_tpu.sparse.convert import csr_to_dense
         d = jnp.asarray(csr_to_dense(a), dtype)
         return Graph(None, None, None, None, jnp.asarray(deg), d,
-                     "dense", a.shape)
+                     None, None, "dense", a.shape)
     if variant == "dia":
         dia = csr_to_dia(a).to_device()
-        return Graph(None, None, dia, None, jnp.asarray(deg), None, "dia",
-                     a.shape)
+        return Graph(None, None, dia, None, jnp.asarray(deg), None,
+                     None, None, "dia", a.shape)
     if variant == "ell":
         ell = csr_to_ell(a, pad_to=pad_to).to_device()
-        return Graph(ell, None, None, None, jnp.asarray(deg), None, "ell",
-                     a.shape)
+        return Graph(ell, None, None, None, jnp.asarray(deg), None,
+                     None, None, "ell", a.shape)
     row_ids = np.repeat(np.arange(a.shape[0], dtype=np.int32), deg)
     d = a.to_device()
     return Graph(None, d, None, jnp.asarray(row_ids), jnp.asarray(deg),
-                 None, "csr", a.shape)
+                 None, None, None, "csr", a.shape)
+
+
+def permute_in(g: Graph, x):
+    """x -> permuted space (x[perm]) via sort (fast path for static perms
+    on TPU; large gathers lower to a ~0.5 GB/s serial path)."""
+    if g.perm is None:
+        return x
+    return jax.lax.sort_key_val(g.iperm, x)[1]
+
+
+def permute_out(g: Graph, y_p):
+    """permuted-space result -> original numbering (y[perm[i]] = y_p[i])."""
+    if g.perm is None:
+        return y_p
+    return jax.lax.sort_key_val(g.perm, y_p)[1]
 
 
 def mxv(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
@@ -142,7 +186,7 @@ def mxv(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
                 "DIA layout supports the plus_times semiring only; "
                 "build the graph with variant='ell' or 'csr'")
         from g4s_tpu.ops.spmv import spmv_dia
-        y = spmv_dia(g.dia, x)
+        y = permute_out(g, spmv_dia(g.dia, permute_in(g, x)))
         if mask is not None:
             y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
         return y
@@ -217,13 +261,15 @@ def vxm(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
         n = g.shape[0]
         maxoff = max((abs(o) for o in g.dia.offsets), default=0)
         acc = jnp.zeros((n,), jnp.result_type(g.dia.vals, x))
+        xp = permute_in(g, x)
         for i, o in enumerate(g.dia.offsets):
             # row r stores A[r, r+o]; its contribution lands on column r+o
-            contrib = g.dia.vals[i] * x
+            contrib = g.dia.vals[i] * xp
             shifted = jnp.zeros((n + 2 * maxoff,),
                                 contrib.dtype).at[
                 maxoff + o: maxoff + o + n].add(contrib)
             acc = acc + shifted[maxoff:maxoff + n]
+        acc = permute_out(g, acc)
         if mask is not None:
             acc = jnp.where(mask, acc, jnp.asarray(semiring.zero, acc.dtype))
         return acc

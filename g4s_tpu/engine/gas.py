@@ -42,13 +42,15 @@ def gather_apply(g: Graph, x, gather: Callable,
     if g.variant == "dia":
         # banded layout: fold each diagonal's edges with the gather callback
         import jax
+        from g4s_tpu.engine.dispatch import permute_in, permute_out
         n = g.shape[0]
         maxoff = max((abs(o) for o in g.dia.offsets), default=0)
-        xp = jnp.pad(x, (maxoff, maxoff))
+        xp = jnp.pad(permute_in(g, x), (maxoff, maxoff))
         acc = jnp.zeros((n,), jnp.result_type(g.dia.vals, x))
         for i, o in enumerate(g.dia.offsets):
             xs = jax.lax.dynamic_slice(xp, (maxoff + o,), (n,))
             acc = acc + gather(g.dia.vals[i], xs)
+        acc = permute_out(g, acc)
         return apply(acc) if apply is not None else acc
     if g.variant == "ell":
         contrib = gather(g.ell.vals, jnp.take(x, g.ell.cols, axis=0))

@@ -41,12 +41,18 @@ class FlameSetup(NamedTuple):
 
 class BurnerFlame:
     def __init__(self, mech: Mechanism, tr: TransportData, *, n_points=64,
-                 width=0.02, mdot=0.04, pressure=101325.0, T_burner=300.0):
+                 width=0.02, mdot=0.04, pressure=101325.0, T_burner=300.0,
+                 z=None):
         self.mech = mech
         self.tr = tr
         self.kin = build_kinetics(mech)
-        self.n = n_points
-        self.z = jnp.asarray(np.linspace(0.0, width, n_points))
+        zv = np.linspace(0.0, width, n_points) if z is None else np.asarray(z)
+        self.n = int(zv.size)
+        self.z = jnp.asarray(zv)
+        # per-interval spacings for the non-uniform discretization
+        dz = np.diff(zv)
+        self._dzm = jnp.asarray(np.concatenate([[dz[0]], dz]))   # z_i - z_i-1
+        self._dzp = jnp.asarray(np.concatenate([dz, [dz[-1]]]))  # z_i+1 - z_i
         self.mdot = mdot
         self.P = pressure
         self.T_burner = T_burner
@@ -86,8 +92,8 @@ class BurnerFlame:
         Y_raw = jnp.clip(s[:, 1:], 0.0, 1.0)
         Y = Y_raw / jnp.maximum(jnp.sum(Y_raw, axis=1, keepdims=True), 1e-12)
         rho, cp, lam, D, x = self._props(T, Y)
-        z = self.z
-        dz = z[1] - z[0]
+        dzm = self._dzm      # (n,) backward spacings (edge-replicated)
+        dzp = self._dzp      # (n,) forward spacings
 
         conc = rho[:, None] * Y / self.W[None, :]
         wdot = jax.vmap(lambda tt, cc: net_production_rates(
@@ -95,20 +101,27 @@ class BurnerFlame:
 
         u = self.mdot / rho                                   # velocity
 
+        def _bcast(v, f):
+            return v.reshape((-1,) + (1,) * (f.ndim - 1))
+
         def ddz_upwind(f):
-            # first-order upwind for positive u
-            return jnp.concatenate([(f[1:2] - f[0:1]),
-                                    f[1:] - f[:-1]]) / dz
+            # first-order upwind for positive u (StFlow's convection
+            # scheme) on the possibly non-uniform grid
+            df = jnp.concatenate([(f[1:2] - f[0:1]), f[1:] - f[:-1]])
+            return df / _bcast(dzm, f)
 
         def d2dz2(f, coeff):
-            # d/dz (coeff df/dz) with one-sided ends
+            # d/dz (coeff df/dz), conservative on non-uniform spacing:
+            # (c_{i+1/2}(f_{i+1}-f_i)/dzp - c_{i-1/2}(f_i-f_{i-1})/dzm)
+            #   / (0.5 (dzp + dzm)); edge padding makes the end fluxes 0
             fm = jnp.pad(f, ((1, 1),) + ((0, 0),) * (f.ndim - 1), mode="edge")
             cm = jnp.pad(coeff, ((1, 1),) + ((0, 0),) * (coeff.ndim - 1),
                          mode="edge")
             c_half_p = 0.5 * (cm[2:] + cm[1:-1])
             c_half_m = 0.5 * (cm[1:-1] + cm[:-2])
-            return (c_half_p * (fm[2:] - fm[1:-1])
-                    - c_half_m * (fm[1:-1] - fm[:-2])) / dz ** 2
+            flux_p = c_half_p * (fm[2:] - fm[1:-1]) / _bcast(dzp, f)
+            flux_m = c_half_m * (fm[1:-1] - fm[:-2]) / _bcast(dzm, f)
+            return (flux_p - flux_m) / _bcast(0.5 * (dzp + dzm), f)
 
         # species: rho dY/dt = -mdot dY/dz + d/dz(rho D dY/dz) + wdot W
         diff_Y = d2dz2(Y, rho[:, None] * D)
@@ -161,10 +174,12 @@ class FreeFlame(BurnerFlame):
 
     def __init__(self, mech: Mechanism, tr: TransportData, *, n_points=64,
                  width=0.02, pressure=101325.0, T_inlet=300.0,
-                 anchor_frac=0.35, kappa=200.0):
+                 anchor_frac=0.35, kappa=200.0, z=None):
         super().__init__(mech, tr, n_points=n_points, width=width,
-                         mdot=0.0, pressure=pressure, T_burner=T_inlet)
-        self.i_fix = int(anchor_frac * n_points)
+                         mdot=0.0, pressure=pressure, T_burner=T_inlet, z=z)
+        zv = np.asarray(self.z)
+        self.i_fix = int(np.argmin(np.abs(zv - (zv[0] + anchor_frac
+                                                * (zv[-1] - zv[0])))))
         self.kappa = kappa
         self.T_fixed = None
 
@@ -322,3 +337,87 @@ def solve_flame_speed(flame, state0, *, iters=10, t_ignite=0.006,
         y, zf = y_burn, front(y_burn)
     dz = z[1] - z[0]
     return y, m, abs(zf - z_anchor) / dz
+
+
+# ---------------------------------------------------------------------------
+# Adaptive regridding (Sim1D/Refiner, cantera/src/oneD/refine.cpp):
+# intervals are split where a component's jump exceeds `slope` x its total
+# range or its gradient jump exceeds `curve` x the gradient range, and
+# where adjacent spacings violate the `ratio` bound. Each refinement round
+# re-solves on the new grid (Sim1D::solve's refine loop).
+# ---------------------------------------------------------------------------
+
+def refine_grid(z, comps, *, ratio=8.0, slope=0.5, curve=0.6,
+                max_insert=40, min_range_frac=1e-3):
+    """One Refiner pass. comps: (n, m) profiles (T + species columns).
+
+    Returns the refined grid (numpy, includes all old points)."""
+    z = np.asarray(z)
+    c = np.asarray(comps)
+    n = z.size
+    need = np.zeros(n - 1, bool)
+    for j in range(c.shape[1]):
+        f = c[:, j]
+        rng = f.max() - f.min()
+        if rng <= min_range_frac * max(abs(f).max(), 1e-300):
+            continue
+        jump = np.abs(np.diff(f))
+        need |= jump > slope * rng                      # slope criterion
+        g = np.diff(f) / np.diff(z)
+        grng = g.max() - g.min()
+        if grng > 0:
+            gjump = np.abs(np.diff(g))
+            mid = gjump > curve * grng                  # curve criterion
+            need[:-1] |= mid
+            need[1:] |= mid
+    dz = np.diff(z)
+    # ratio criterion: split intervals much larger than a neighbor
+    big = np.zeros(n - 1, bool)
+    big[:-1] |= dz[:-1] > ratio * dz[1:]
+    big[1:] |= dz[1:] > ratio * dz[:-1]
+    need |= big
+    if need.sum() > max_insert:       # largest-error intervals first
+        keep = np.argsort(-dz * need)[:max_insert]
+        mask = np.zeros_like(need)
+        mask[keep] = need[keep]
+        need = mask
+    mids = 0.5 * (z[:-1] + z[1:])[need]
+    return np.sort(np.concatenate([z, mids]))
+
+
+def solve_free_flame_adaptive(mech, tr, Y_in, *, n0=48, width=0.02,
+                              pressure=101325.0, T_inlet=300.0,
+                              rounds=3, max_points=220,
+                              newton_tol=1e-6, verbose=False):
+    """Sim1D::solve with grid refinement: solve on a coarse grid, refine
+    where the Refiner criteria fire, interpolate, re-solve — until the
+    grid is stationary or `rounds` is exhausted.
+
+    Returns (flame, state, flame_speed_m_s, newton_converged)."""
+    flame = FreeFlame(mech, tr, n_points=n0, width=width,
+                      pressure=pressure, T_inlet=T_inlet)
+    state = flame.initial_profile(np.asarray(Y_in))
+    y, nrm, ok = solve_free_flame(flame, state, newton_tol=newton_tol)
+    for r in range(rounds):
+        z_old = np.asarray(flame.z)
+        core = np.asarray(y[1:]).reshape(flame.n, -1)
+        z_new = refine_grid(z_old, core)
+        if z_new.size == z_old.size or z_new.size > max_points:
+            break
+        if verbose:
+            print(f"# refine round {r}: {z_old.size} -> {z_new.size} points")
+        core_new = np.stack([np.interp(z_new, z_old, core[:, j])
+                             for j in range(core.shape[1])], axis=1)
+        # rebuild on the refined grid, keeping the anchor temperature
+        anchor_z = z_old[flame.i_fix]
+        T_fixed = flame.T_fixed
+        nf = FreeFlame(mech, tr, z=z_new, pressure=pressure,
+                       T_inlet=T_inlet, kappa=flame.kappa)
+        nf.i_fix = int(np.argmin(np.abs(z_new - anchor_z)))
+        nf.T_fixed = T_fixed
+        nf.Y_in = flame.Y_in
+        flame = nf
+        state = jnp.concatenate([y[:1], jnp.asarray(core_new.reshape(-1))])
+        y, nrm, ok = solve_free_flame(flame, state, t_ignite=3e-4,
+                                      newton_tol=newton_tol)
+    return flame, y, flame.flame_speed(y), ok
