@@ -129,6 +129,19 @@ def bench_shocktube():
         out = b.run_single(1000.0, P0)
         wall = time.time() - t0
 
+        # NTC subset (NonIdealShockTube.py:194-266 protocol), warm
+        # per-case wall times
+        ntc = {"T": [], "tau_RG_ms": [], "tau_IG_ms": [], "wall_s": []}
+        X_rk = stoich_mixture(b.mech_rk, "c12h26")
+        for T0 in (1100.0, 950.0, 850.0):
+            t0 = time.time()
+            tau_rk, _ = ignition_delay(b.r_rk, T0, P0, X_rk, t_end=0.01)
+            tau_ig, _ = ignition_delay(b.r_ig, T0, P0, X_ig, t_end=0.01)
+            ntc["T"].append(T0)
+            ntc["tau_RG_ms"].append(round(tau_rk * 1e3, 4))
+            ntc["tau_IG_ms"].append(round(tau_ig * 1e3, 4))
+            ntc["wall_s"].append(round(time.time() - t0, 2))
+
         # measured baseline: scipy BDF (CVODES-family) on the same RHS
         import scipy.integrate
         import jax.numpy as jnp
@@ -156,7 +169,8 @@ def bench_shocktube():
             "baseline_basis": "2x scipy solve_ivp BDF same-RHS ideal phase "
                               f"({scipy_wall_ig:.1f}s, {sol.nfev} fev)",
             "tau_RG_ms": round(out["tau_RG"] * 1e3, 4),
-            "tau_IG_ms": round(out["tau_IG"] * 1e3, 4), "dtype": "f64"}
+            "tau_IG_ms": round(out["tau_IG"] * 1e3, 4),
+            "ntc_sweep": ntc, "dtype": "f64"}
 
 
 def bench_dp(steps: int = 60):
@@ -370,9 +384,12 @@ def bench_spmv(dtype_str: str = "f32"):
                                     "ms": round(per * 1e3, 2)}
 
     nr = 1 << 17
-    rand = sp.random(nr, nr, density=8.0 / nr, format="csr",
-                     random_state=np.random.RandomState(1),
-                     dtype=np.float32)
+    rr = np.random.default_rng(1)
+    nnz_r = nr * 8
+    rand = sp.coo_matrix(
+        (rr.normal(size=nnz_r).astype(np.float32),
+         (rr.integers(0, nr, nnz_r), rr.integers(0, nr, nnz_r))),
+        shape=(nr, nr)).tocsr()
     g4 = build_graph(CSR.from_scipy(rand), reorder=False, variant="csr")
     per, gbs = measure(g4, nr, rand.nnz, reps=(1, 6))
     out["random_csr"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 2)}

@@ -235,7 +235,15 @@ def damped_newton(residual_fn, y0, *, weights=None, max_iter=60, tol=1e-4,
         if nrm < tol:
             return y, nrm, True
         J = np.asarray(jac(y))
-        d = np.linalg.solve(J, -np.asarray(f))
+        try:
+            d = np.linalg.solve(J, -np.asarray(f))
+        except np.linalg.LinAlgError:
+            # species absent from the mixture (Y == 0 everywhere, e.g. AR
+            # in an H2/air flame) contribute exact zero rows/columns; the
+            # minimum-norm step leaves those components untouched
+            d = np.linalg.lstsq(J, -np.asarray(f), rcond=None)[0]
+        if not np.all(np.isfinite(d)):
+            return y, nrm, False
         lam = 1.0
         while lam >= min_lambda:
             y_new = y + lam * jnp.asarray(d)
@@ -252,7 +260,8 @@ def damped_newton(residual_fn, y0, *, weights=None, max_iter=60, tol=1e-4,
 
 def _flame_weights(flame, n_state):
     """Characteristic d/dt scales per component: T rows ~1e5 K/s, Y rows
-    ~1e2 /s, the mdot eigenvalue row ~1e1 — equalizes the Newton norm."""
+    ~1e2 /s, the mdot/anchor row set by the caller — equalizes the Newton
+    norm."""
     K = flame.mech.nspec
     w_core = np.tile(np.concatenate([[1e5], 1e2 * np.ones(K)]), flame.n)
     if n_state == flame.n * (K + 1) + 1:
@@ -260,15 +269,36 @@ def _flame_weights(flame, n_state):
     return w_core
 
 
+def anchored_residual(flame):
+    """The steady free-flame system in Cantera's exact formulation: the
+    mdot unknown is closed by the ALGEBRAIC anchor equation
+    T(z_fix) = T_fixed (StFlow replaces the continuity residual at the
+    fixed point, src/oneD/StFlow.cpp), not a relaxation ODE — relaxation
+    drifts (measured: Su grows without settling) because once the front
+    sharpens the anchor node sits in the burned plateau where T is
+    insensitive to mdot."""
+    def residual(t, y):
+        core = FreeFlame.rhs(flame, t, y)[1:]
+        T_fix = y[1:].reshape(flame.n, -1)[flame.i_fix, 0]
+        row0 = (T_fix - flame.T_fixed)[None]
+        return jnp.concatenate([row0, core])
+    return residual
+
+
 def solve_free_flame(flame, state0, *, t_ignite=0.004, rtol=1e-5,
-                     atol=1e-8, newton_tol=1e-6):
-    """Short pseudo-transient ignition march, then damped Newton on the
-    steady system including the mdot eigenvalue (the Sim1D solve()
-    strategy: timestepping only as globalization for Newton)."""
-    res = flame.solve(state0, t_end=t_ignite, rtol=rtol, atol=atol,
-                      max_steps=40000)[0]
-    w = _flame_weights(flame, int(res.y.shape[0]))
-    y, nrm, ok = damped_newton(flame.rhs, res.y, weights=w, tol=newton_tol)
+                     atol=1e-8, newton_tol=1e-6, bisect_iters=6):
+    """Sim1D solve(): globalize by positioning the front at the anchor
+    (warm-started pseudo-transient marches + flame-position bisection),
+    then damped Newton on the steady system with the algebraic anchor
+    equation closing the mdot eigenvalue."""
+    y_core, mdot, err_cells = solve_flame_speed(
+        flame, state0, iters=bisect_iters, t_ignite=t_ignite,
+        t_inner=3 * t_ignite, rtol=rtol, atol=atol)
+    y0 = jnp.concatenate([jnp.asarray([mdot]), jnp.asarray(y_core)])
+    w = _flame_weights(flame, int(y0.shape[0]))
+    w[0] = 10.0     # anchor equation in Kelvin / this weight
+    y, nrm, ok = damped_newton(anchored_residual(flame), y0, weights=w,
+                               tol=newton_tol)
     return y, nrm, ok
 
 
@@ -385,39 +415,137 @@ def refine_grid(z, comps, *, ratio=8.0, slope=0.5, curve=0.6,
     return np.sort(np.concatenate([z, mids]))
 
 
+def solve_flame_speed_shift(flame, state0, *, iters=12,
+                            t_probe=0.003, rtol=1e-5, atol=1e-8,
+                            tol_frac=0.01, verbose=False):
+    """Mass-flux eigenvalue by front-tracking with profile re-centering.
+
+    March the CORE equations a short window, measure the front's drift
+    velocity v_f, correct the eigenvalue by the continuity relation
+    mdot <- mdot - rho_u * v_f (a front drifting downstream means the
+    imposed flux exceeds rho_u * Su), then SHIFT the whole profile so the
+    front returns to the anchor before the next probe. The shift removes
+    the translational nullspace each iteration, so the flame can neither
+    attach to the inlet nor blow off — the failure modes of plain
+    position/drift bisection on coarse first-order-upwind grids.
+    Returns (core_state, mdot, |v_f| / (mdot/rho_u) relative residual)."""
+    core_rhs = lambda t, y: BurnerFlame.rhs(flame, t, y)
+    z = np.asarray(flame.z)
+    z_anchor = float(z[flame.i_fix])
+    T_mark = flame.T_fixed
+    Y0 = np.asarray(state0[1:]).reshape(flame.n, -1)[0, 1:]
+    Wmix = 1.0 / np.sum(Y0 / np.asarray(flame.W))
+    rho_u = flame.P * Wmix / (R_GAS * flame.T_burner)
+
+    def front(yv):
+        T = np.asarray(yv).reshape(flame.n, -1)[:, 0]
+        above = T >= T_mark
+        if above.all() or not above.any():
+            return None
+        k = int(np.argmax(above))
+        if k == 0:
+            return float(z[0])
+        fr = (T_mark - T[k - 1]) / (T[k] - T[k - 1] + 1e-300)
+        return float(z[k - 1] + fr * (z[k] - z[k - 1]))
+
+    def shift_to_anchor(yv, zf):
+        """Translate the profile so the front lands on the anchor;
+        upstream fills with inlet state, downstream extends the last
+        value (zero-gradient outlet)."""
+        s = np.asarray(yv).reshape(flame.n, -1)
+        dzs = zf - z_anchor
+        out = np.empty_like(s)
+        zq = z + dzs
+        for j in range(s.shape[1]):
+            out[:, j] = np.interp(zq, z, s[:, j])
+        # re-impose inlet
+        out[0, 0] = flame.T_burner
+        out[0, 1:] = np.asarray(flame.Y_in)
+        return jnp.asarray(out.reshape(-1))
+
+    m = float(state0[0])
+    y = jnp.asarray(state0[1:])
+    rel = float("inf")
+    for it in range(iters):
+        flame.mdot = m
+        r = bdf_solve(core_rhs, y, 0.0, t_probe, rtol=rtol, atol=atol,
+                      max_steps=60000)
+        z0 = front(y)
+        z1 = front(r.y)
+        if z1 is None or z0 is None:
+            # flame lost: rebuild the ignition ramp around the anchor
+            y = flame.initial_profile(np.asarray(flame.Y_in),
+                                      mdot_guess=m)[1:]
+            continue
+        v_f = (z1 - z0) / t_probe
+        dm = rho_u * v_f
+        # under-relax large corrections (far from the eigenvalue the
+        # front speed is nonlinear in mdot)
+        dm = np.clip(dm, -0.5 * m, 0.5 * max(m, 1e-3))
+        m = max(m - dm, 1e-3)
+        rel = abs(v_f) / max(m / rho_u, 1e-12)
+        if verbose:
+            print(f"#  it{it}: front {z0:.5f}->{z1:.5f} v_f={v_f:.3f} "
+                  f"mdot={m:.4f} rel={rel:.3f}")
+        y = shift_to_anchor(r.y, z1)
+        if rel < tol_frac:
+            break
+    return y, m, rel
+
+
 def solve_free_flame_adaptive(mech, tr, Y_in, *, n0=48, width=0.02,
                               pressure=101325.0, T_inlet=300.0,
                               rounds=3, max_points=220,
                               newton_tol=1e-6, verbose=False):
-    """Sim1D::solve with grid refinement: solve on a coarse grid, refine
-    where the Refiner criteria fire, interpolate, re-solve — until the
-    grid is stationary or `rounds` is exhausted.
+    """Sim1D::solve with grid refinement: find the flame-speed eigenvalue
+    on a coarse grid (front-drift bisection as the marching globalizer,
+    then a damped-Newton polish on the anchored steady system), refine
+    where the Refiner criteria fire, interpolate, re-solve.
 
-    Returns (flame, state, flame_speed_m_s, newton_converged)."""
+    Returns (flame, state, flame_speed_m_s, converged). `converged` means
+    the final grid's eigenvalue bracket closed (Newton polish success is
+    opportunistic — the bisected eigenvalue already satisfies the
+    stationary-front criterion)."""
     flame = FreeFlame(mech, tr, n_points=n0, width=width,
                       pressure=pressure, T_inlet=T_inlet)
     state = flame.initial_profile(np.asarray(Y_in))
-    y, nrm, ok = solve_free_flame(flame, state, newton_tol=newton_tol)
+    y_core, mdot, rel = solve_flame_speed_shift(flame, state,
+                                                verbose=verbose)
+    ok = rel < 0.05
     for r in range(rounds):
         z_old = np.asarray(flame.z)
-        core = np.asarray(y[1:]).reshape(flame.n, -1)
-        z_new = refine_grid(z_old, core)
+        core = np.asarray(y_core).reshape(flame.n, -1)
+        z_new = refine_grid(z_old, core, slope=0.3, curve=0.4)
         if z_new.size == z_old.size or z_new.size > max_points:
             break
         if verbose:
             print(f"# refine round {r}: {z_old.size} -> {z_new.size} points")
         core_new = np.stack([np.interp(z_new, z_old, core[:, j])
                              for j in range(core.shape[1])], axis=1)
-        # rebuild on the refined grid, keeping the anchor temperature
         anchor_z = z_old[flame.i_fix]
-        T_fixed = flame.T_fixed
         nf = FreeFlame(mech, tr, z=z_new, pressure=pressure,
                        T_inlet=T_inlet, kappa=flame.kappa)
         nf.i_fix = int(np.argmin(np.abs(z_new - anchor_z)))
-        nf.T_fixed = T_fixed
+        nf.T_fixed = flame.T_fixed
         nf.Y_in = flame.Y_in
         flame = nf
-        state = jnp.concatenate([y[:1], jnp.asarray(core_new.reshape(-1))])
-        y, nrm, ok = solve_free_flame(flame, state, t_ignite=3e-4,
-                                      newton_tol=newton_tol)
-    return flame, y, flame.flame_speed(y), ok
+        s2 = jnp.concatenate([jnp.asarray([mdot]),
+                              jnp.asarray(core_new.reshape(-1))])
+        y_core, mdot, rel = solve_flame_speed_shift(flame, s2,
+                                                    verbose=verbose)
+        ok = rel < 0.05
+    # opportunistic Newton polish on the anchored steady system
+    y = jnp.concatenate([jnp.asarray([mdot]), jnp.asarray(y_core)])
+    try:
+        w = _flame_weights(flame, int(y.shape[0]))
+        w[0] = 10.0
+        yn, nrm, nok = damped_newton(anchored_residual(flame), y,
+                                     weights=w, tol=newton_tol,
+                                     max_iter=25)
+        if nok and float(yn[0]) > 0:
+            y = yn
+    except Exception:
+        pass
+    rho_u = None
+    su = flame.flame_speed(y)
+    return flame, y, su, bool(ok)
