@@ -283,3 +283,35 @@ def bdf_solve(f: Callable, y0, t0, t1, *, rtol=1e-6, atol=1e-9,
     rec_t_out = out.buf_t if record_fn is not None else None
     return BDFResult(out.D[0], out.t, out.steps, out.n_fev, out.n_jev,
                      (~out.fail) | (out.t >= t1), rec_out, rec_t_out)
+
+
+def bdf_solve_with_sensitivities(f_params, params, y0, t0, t1, *,
+                                 rtol=1e-6, atol=1e-9, **kw):
+    """Forward sensitivity analysis (CVODES's CVodeSensInit role,
+    cantera/src/numerics/CVodesIntegrator.cpp sensitivity interface).
+
+    f_params(params, t, y) -> dy/dt. Returns (BDFResult, dy1/dparams)
+    where the sensitivities are computed by forward-mode AD THROUGH the
+    entire adaptive integration (jax.jvp over the while_loop — the
+    discrete-adjoint-consistent analog of CVODES's staggered forward
+    sensitivity integration; the tangent system reuses the same steps,
+    orders and Jacobians as the primal).
+    """
+    from jax.flatten_util import ravel_pytree
+    params_flat, unravel = ravel_pytree(params)
+
+    def solve_y(pf):
+        p = unravel(pf)
+        res = bdf_solve(lambda t, y: f_params(p, t, y), y0, t0, t1,
+                        rtol=rtol, atol=atol, **kw)
+        return res.y, res
+
+    n_p = params_flat.shape[0]
+    basis = jnp.eye(n_p, dtype=params_flat.dtype)
+    y1, res = solve_y(params_flat)
+    sens = []
+    for k in range(n_p):
+        _, (dy, _) = jax.jvp(solve_y, (params_flat,), (basis[k],),
+                             has_aux=False)
+        sens.append(dy)
+    return res, jnp.stack(sens, axis=-1)    # (n_states, n_params)

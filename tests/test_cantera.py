@@ -666,3 +666,37 @@ class TestAdaptiveFlame:
         # grid with no structure stays unchanged
         z3 = refine_grid(z, np.ones((21, 1)))
         assert z3.size == z.size
+
+
+class TestSensitivities:
+    def test_forward_sensitivities_robertson(self):
+        """CVODES forward-sensitivity parity (CVodeSensInit role): jvp
+        through the whole adaptive BDF integration gives dy(t)/dk to
+        finite-difference accuracy on the Robertson problem."""
+        import jax
+        from g4s_tpu.ops.odeint import bdf_solve_with_sensitivities
+
+        def rober(p, t, y):
+            k1, k2, k3 = p
+            return jnp.array([
+                -k1 * y[0] + k3 * y[1] * y[2],
+                k1 * y[0] - k2 * y[1] ** 2 - k3 * y[1] * y[2],
+                k2 * y[1] ** 2])
+
+        p0 = jnp.array([0.04, 3e7, 1e4])
+        y0 = jnp.array([1.0, 0.0, 0.0])
+        res, sens = bdf_solve_with_sensitivities(
+            rober, p0, y0, 0.0, 10.0, rtol=1e-8, atol=1e-12)
+        assert bool(res.success)
+        assert sens.shape == (3, 3)
+        # finite-difference oracle on k1
+        from g4s_tpu.ops.odeint import bdf_solve
+        eps = 1e-6 * 0.04
+        yp = bdf_solve(lambda t, y: rober(p0.at[0].add(eps), t, y), y0,
+                       0.0, 10.0, rtol=1e-10, atol=1e-14).y
+        ym = bdf_solve(lambda t, y: rober(p0.at[0].add(-eps), t, y), y0,
+                       0.0, 10.0, rtol=1e-10, atol=1e-14).y
+        fd = (np.asarray(yp) - np.asarray(ym)) / (2 * eps)
+        scale = np.abs(fd).max()
+        np.testing.assert_allclose(np.asarray(sens[:, 0]) / scale,
+                                   fd / scale, atol=2e-3)
