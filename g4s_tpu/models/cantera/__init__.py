@@ -22,3 +22,6 @@ from g4s_tpu.models.cantera.transport import (  # noqa: F401
     load_transport, mixture_viscosity, thermal_conductivity,
     mixture_diffusion_coeffs,
 )
+from g4s_tpu.models.cantera.surface import (  # noqa: F401
+    InterfaceKinetics, SurfacePhase, load_interface,
+    net_production_rates_interface, advance_coverages)

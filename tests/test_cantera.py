@@ -700,3 +700,80 @@ class TestSensitivities:
         scale = np.abs(fd).max()
         np.testing.assert_allclose(np.asarray(sens[:, 0]) / scale,
                                    fd / scale, atol=2e-3)
+
+
+class TestSurfaceChemistry:
+    """SurfPhase + InterfaceKinetics (heterogeneous catalysis): the
+    Deutschmann CH4-on-Pt mechanism (data/ptcombust.yaml)."""
+
+    @pytest.fixture(scope="class")
+    def interface(self):
+        from g4s_tpu.models.cantera.surface import load_interface
+        gas = load_mechanism("/root/reference/cantera/data/gri30.yaml")
+        ik = load_interface("/root/reference/cantera/data/ptcombust.yaml",
+                            gas)
+        return gas, ik
+
+    def test_load_and_site_density(self, interface):
+        gas, ik = interface
+        assert ik.surf.nspec == 11
+        # 2.7063e-9 mol/cm^2 -> mol/m^2
+        assert abs(ik.surf.site_density - 2.7063e-5) < 1e-9
+        assert ik.nrxn == 24
+
+    def test_site_conservation(self, interface):
+        """Every reaction conserves Pt sites, so sum(dtheta/dt) = 0 for
+        ANY state (Composition invariant of InterfaceKinetics)."""
+        from g4s_tpu.models.cantera.surface import \
+            net_production_rates_interface
+        gas, ik = interface
+        rng = np.random.default_rng(0)
+        theta = rng.random(ik.surf.nspec)
+        theta = theta / theta.sum()
+        conc = jnp.asarray((0.1 + rng.random(gas.nspec)) * 1e-2)
+        _, dth = net_production_rates_interface(
+            ik, gas, jnp.asarray(900.0), conc, jnp.asarray(theta))
+        assert abs(float(jnp.sum(dth))) < 1e-8 * float(
+            jnp.abs(dth).max() + 1e-30)
+
+    def test_sticking_rate_constant(self, interface):
+        """H + PT(S) => H(S), gamma = 1: kf = sqrt(RT/2 pi W)/Gamma
+        (InterfaceKinetics sticking conversion)."""
+        from g4s_tpu.models.cantera.surface import \
+            forward_rate_constants_interface
+        gas, ik = interface
+        T = 900.0
+        kf = np.asarray(forward_rate_constants_interface(
+            ik, gas, jnp.asarray(T), jnp.zeros(ik.surf.nspec)))
+        k_rxn3 = kf[2]    # reaction 3 in file order
+        W_H = gas.mol_weights[gas.species_index("H")]
+        expect = np.sqrt(8.314462618 * T / (2 * np.pi * W_H)) \
+            / ik.surf.site_density
+        np.testing.assert_allclose(k_rxn3, expect, rtol=1e-10)
+
+    def test_coverage_relaxation(self, interface):
+        """advanceCoverages: from the file's initial guess at a fixed hot
+        lean gas state, coverages relax toward a physical steady state."""
+        from g4s_tpu.models.cantera.surface import (
+            advance_coverages, net_production_rates_interface)
+        gas, ik = interface
+        T = jnp.asarray(900.0)
+        X = np.zeros(gas.nspec)
+        X[gas.species_index("CH4")] = 0.095
+        X[gas.species_index("O2")] = 0.21
+        X[gas.species_index("AR")] = 0.695
+        conc = jnp.asarray(X / X.sum() * 101325.0 / (8.314462618 * 900.0))
+        th0 = np.zeros(ik.surf.nspec)
+        th0[ik.surf.species_index("PT(S)")] = 0.5
+        th0[ik.surf.species_index("H(S)")] = 0.5
+        th, res = advance_coverages(ik, gas, T, conc, th0, 1e-3)
+        th = np.asarray(th)
+        assert bool(res.success)
+        assert abs(th.sum() - 1.0) < 1e-8
+        assert (th >= 0).all() and (th <= 1).all()
+        # rates have dropped by orders of magnitude vs the initial state
+        _, d0 = net_production_rates_interface(ik, gas, T, conc,
+                                               jnp.asarray(th0))
+        _, d1 = net_production_rates_interface(ik, gas, T, conc,
+                                               jnp.asarray(th))
+        assert float(jnp.abs(d1).max()) < 0.02 * float(jnp.abs(d0).max())
