@@ -225,33 +225,49 @@ def _bilinear_inverse(corners, p, iters: int = 3):
     return jnp.clip(xi, -1.0, 1.0), jnp.clip(eta, -1.0, 1.0)
 
 
-def interp_velocity(tf: FullTracerField, V, pos):
-    """Cartesian velocity at tracer positions.
-
-    V (nno, 3) spherical components at nodes -> rotated to Cartesian with
-    the static per-node basis, then bilinear (gnomonic cell) x linear (r).
-    """
+def interp_weights(tf: FullTracerField, pos):
+    """(node_ids (n, 8), weights (n, 8)) of the trilinear interpolation
+    stencil at arbitrary Cartesian positions — the sampling primitive the
+    Exchanger coupler also uses (citcoms Exchanger's FEMInterpolator
+    role)."""
     cap, iy, ix, kz, uv, wz = locate(tf, pos)
     corners = _cell_corners_uv(tf, cap, iy, ix)
     xi, eta = _bilinear_inverse(corners, uv)
     wx = jnp.stack([0.5 * (1 - xi), 0.5 * (1 + xi)], 1)     # along ix
     wy = jnp.stack([0.5 * (1 - eta), 0.5 * (1 + eta)], 1)   # along iy
     wr = jnp.stack([1 - wz, wz], 1)
-
     flat_inv = tf.surf_inverse.reshape(-1)
-    out = jnp.zeros((pos.shape[0], 3), V.dtype)
+    ids, wts = [], []
     for dy in range(2):
         for dx in range(2):
             sid = jnp.take(flat_inv,
                            (cap * tf.noy + iy + dy) * tf.nox + ix + dx)
             for dz in range(2):
-                node = sid * tf.noz + kz + dz
-                vc = jnp.einsum("nij,nj->ni",
-                                jnp.take(tf.sph_basis, node, axis=0),
-                                jnp.take(V, node, axis=0))
-                w = wy[:, dy] * wx[:, dx] * wr[:, dz]
-                out = out + w[:, None] * vc
-    return out
+                ids.append(sid * tf.noz + kz + dz)
+                wts.append(wy[:, dy] * wx[:, dx] * wr[:, dz])
+    return jnp.stack(ids, 1), jnp.stack(wts, 1)
+
+
+def interp_field(tf: FullTracerField, F, pos):
+    """Sample a nodal field F (nno,) or (nno, m) at Cartesian positions."""
+    ids, w = interp_weights(tf, pos)
+    vals = jnp.take(F, ids, axis=0)                 # (n, 8[, m])
+    if vals.ndim == 3:
+        return jnp.sum(w[:, :, None] * vals, axis=1)
+    return jnp.sum(w * vals, axis=1)
+
+
+def interp_velocity(tf: FullTracerField, V, pos):
+    """Cartesian velocity at tracer positions.
+
+    V (nno, 3) spherical components at nodes -> rotated to Cartesian with
+    the static per-node basis, then bilinear (gnomonic cell) x linear (r).
+    """
+    ids, w = interp_weights(tf, pos)
+    vc = jnp.einsum("nkij,nkj->nki",
+                    jnp.take(tf.sph_basis, ids, axis=0),
+                    jnp.take(V, ids, axis=0))
+    return jnp.sum(w[:, :, None] * vc, axis=1)
 
 
 def clip_radius(tf: FullTracerField, pos):

@@ -1272,3 +1272,63 @@ class TestMoreOutputWriters:
         grid = dS.reshape(cfg.nodey, cfg.nodex, cfg.nodez, 6)
         assert np.abs(grid[:, :, -1, 4]).mean() > \
             1.2 * np.abs(grid[:, :, 0, 4]).mean()
+
+
+class TestExchanger:
+    """The CitcomS Exchanger capability (coupled coarse-global +
+    fine-regional runs, citcoms/tests/exchange.py): boundary sampling of
+    the coarse solution -> fine BCs, fine interior -> coarse restriction."""
+
+    def test_coupled_step(self):
+        import dataclasses as dc
+        from g4s_tpu.models.citcoms.exchanger import CoupledRun
+        from g4s_tpu.models.citcoms.full_driver import FullSphereModel
+        coarse_cfg = CitcomConfig(nodex=5, nodey=5, nodez=5, rayleigh=1e4,
+                                  radius_inner=0.55, radius_outer=1.0,
+                                  maxstep=2, num_mat=4)
+        fine_cfg = small_cfg(nodex=9, nodey=9, nodez=5, rayleigh=1e4)
+        coarse = FullSphereModel(coarse_cfg)
+        fine = CitcomModel(fine_cfg)
+        sc = coarse.init_state()
+        sc = dc.replace(sc, T=sc.T + 0.05 * jnp.sin(
+            jnp.arange(coarse.mesh.nno) * 0.31))
+        sf = fine.init_state()
+        run = CoupledRun(coarse, fine, two_way=False)
+        assert run.interior_ids.size > 0          # region embeds coarse nodes
+        sc2, sf2, (dc_, df_) = run.step(sc, sf)
+        # essential BCs: fine boundary T equals the coarse interpolation
+        tbc_val, _ = run._exchange(sc2.T, sc2.V)
+        bt = np.asarray(sf2.T)[run.b_nodes]
+        np.testing.assert_allclose(bt, np.asarray(tbc_val)[run.b_nodes],
+                                   atol=1e-10)
+        assert np.isfinite(np.asarray(sf2.T)).all()
+        assert np.isfinite(np.asarray(sf2.V)).all()
+        # two-way: restriction writes fine data into the coarse interior
+        run2 = CoupledRun(coarse, fine, two_way=True)
+        sc3, sf3, _ = run2.step(sc, sf)
+        assert np.isfinite(np.asarray(sc3.T)).all()
+        changed = np.abs(np.asarray(sc3.T)[np.asarray(run2.interior_ids)]
+                         - np.asarray(sc2.T)[np.asarray(run2.interior_ids)])
+        assert changed.max() > 0  # restriction actually applied
+
+    def test_boundary_interpolation_exact_for_smooth_field(self):
+        """Sampling a linear-in-xyz coarse field at fine boundary nodes
+        reproduces it to interpolation accuracy (FEMInterpolator check)."""
+        from g4s_tpu.models.citcoms.exchanger import CoupledRun
+        from g4s_tpu.models.citcoms.full_driver import FullSphereModel
+        from g4s_tpu.models.citcoms.full_mesh import _sph_to_xyz
+        coarse_cfg = CitcomConfig(nodex=9, nodey=9, nodez=5, rayleigh=1e4,
+                                  radius_inner=0.55, radius_outer=1.0,
+                                  maxstep=1, num_mat=4)
+        fine_cfg = small_cfg(nodex=9, nodey=9, nodez=5)
+        coarse = FullSphereModel(coarse_cfg)
+        fine = CitcomModel(fine_cfg)
+        run = CoupledRun(coarse, fine)
+        a = np.array([0.3, -0.7, 0.2])
+        xyz_c = _sph_to_xyz(coarse.mesh.sx[:, 0], coarse.mesh.sx[:, 1]) \
+            * coarse.mesh.sx[:, 2:3]
+        T_c = jnp.asarray(xyz_c @ a)
+        tbc_val, _ = run._exchange(T_c, jnp.zeros((coarse.mesh.nno, 3)))
+        expect = np.asarray(run.b_xyz) @ a
+        got = np.asarray(tbc_val)[run.b_nodes]
+        np.testing.assert_allclose(got, expect, atol=5e-3)
