@@ -88,7 +88,14 @@ class Mechanism:
         return self.nu_reac.shape[0]
 
     def species_index(self, name: str) -> int:
-        return self.species_names.index(name)
+        try:
+            return self.species_names.index(name)
+        except ValueError:
+            # mechanism files differ in case conventions (h2o2.yaml uses
+            # upper-case, nDodecane_Reitz lower-case); fall back
+            # case-insensitively like Cantera's caseInsensitiveEquals paths
+            lowered = [s.lower() for s in self.species_names]
+            return lowered.index(name.lower())
 
 
 _COEF_SPECIES = re.compile(r"^(\d+(?:\.\d+)?)\s+(.*)$")

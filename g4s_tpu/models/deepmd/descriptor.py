@@ -77,11 +77,19 @@ def env_mat(coords, box, types, spec: DescriptorSpec):
     for t in range(spec.ntypes):
         k = spec.sel[t]
         r2_t = jnp.where(types[None, :] == t, r2, big)
+        if r2_t.shape[1] < k:
+            # fewer atoms than sel slots (tiny systems): pad candidates
+            # with far-away dummies; they fail the rcut test and mask out
+            r2_t = jnp.pad(r2_t, ((0, 0), (0, k - r2_t.shape[1])),
+                           constant_values=1e10)
         neg, idx = jax.lax.top_k(-r2_t, k)               # (N, k) ascending r2
         d2 = -neg
         valid = d2 < spec.rcut ** 2
         d = jnp.sqrt(jnp.where(valid, d2, 1.0))
-        vec = jnp.take_along_axis(disp, idx[:, :, None], axis=1)  # (N, k, 3)
+        # clamp pad indices before the gather: out-of-bounds
+        # take_along_axis fills NaN (eager mode), and 0 * NaN = NaN
+        idx_g = jnp.where(valid, idx, 0)
+        vec = jnp.take_along_axis(disp, idx_g[:, :, None], axis=1)  # (N,k,3)
         sw = switch_fn(d, spec.rcut_smth, spec.rcut)
         s = jnp.where(valid, sw / d, 0.0)
         row0 = s
@@ -216,11 +224,15 @@ def env_mat_celllist(coords, box, types, spec: DescriptorSpec,
     for t in range(spec.ntypes):
         k = spec.sel[t]
         r2_t = jnp.where(cand_type == t, r2, big)
+        if r2_t.shape[1] < k:
+            r2_t = jnp.pad(r2_t, ((0, 0), (0, k - r2_t.shape[1])),
+                           constant_values=1e10)
         neg, idx = jax.lax.top_k(-r2_t, k)
         d2 = -neg
         valid = d2 < spec.rcut ** 2
         d = jnp.sqrt(jnp.where(valid, d2, 1.0))
-        vec = jnp.take_along_axis(disp, idx[:, :, None], axis=1)
+        idx_g = jnp.where(valid, idx, 0)
+        vec = jnp.take_along_axis(disp, idx_g[:, :, None], axis=1)
         sw = switch_fn(d, spec.rcut_smth, spec.rcut)
         s = jnp.where(valid, sw / d, 0.0)
         rows = s[:, :, None] * vec / jnp.where(valid, d, 1.0)[:, :, None]

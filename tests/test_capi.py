@@ -1,0 +1,89 @@
+"""The C embedding API (runtime/native/capi.c) — the role of Cantera's
+clib and DeePMD's api_c/api_cc native surfaces: a plain-C program links
+libg4s_capi.so and evaluates models without touching Python source."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+
+C_MAIN = r"""
+#include <stdio.h>
+extern int g4s_init(const char*);
+extern int g4s_deeppot_load(const char*);
+extern int g4s_deeppot_eval(int, int, const double*, const double*,
+                            const int*, double*, double*, double*);
+int main(int argc, char** argv) {
+  if (g4s_init(argv[1])) return 1;
+  int h = g4s_deeppot_load(argv[2]);
+  if (h < 0) return 2;
+  enum { N = 6 };
+  double coord[N * 3] = {0,0,0, 0.96,0,0, -0.24,0.93,0,
+                         4,4,4, 4.96,4,4, 3.76,4.93,4};
+  double box[9] = {8,0,0, 0,8,0, 0,0,8};
+  int types[N] = {0,1,1,0,1,1};
+  double e, f[N * 3], v[9];
+  if (g4s_deeppot_eval(h, N, coord, box, types, &e, f, v)) return 3;
+  printf("CAPI_OK e=%.8f f0=%.8f\n", e, f[0]);
+  return 0;
+}
+"""
+
+
+@pytest.mark.slow
+def test_c_program_evaluates_deeppot(tmp_path):
+    gcc = shutil.which("gcc") or shutil.which("cc")
+    pycfg = shutil.which("python3-config")
+    if gcc is None or pycfg is None:
+        pytest.skip("no C toolchain")
+
+    # a tiny frozen model
+    from g4s_tpu.models.deepmd import WATER_SPEC, init_params
+    from g4s_tpu.models.deepmd.freeze import freeze
+    import jax
+    params = init_params(jax.random.PRNGKey(0), WATER_SPEC,
+                         dtype=jnp.float32)
+    frozen = tmp_path / "tiny_frozen.npz"
+    freeze(params, WATER_SPEC, str(frozen))
+
+    inc = subprocess.run([pycfg, "--includes"], capture_output=True,
+                         text=True, check=True).stdout.split()
+    ld = subprocess.run([pycfg, "--ldflags", "--embed"], capture_output=True,
+                        text=True, check=True).stdout.split()
+    so = tmp_path / "libg4s_capi.so"
+    subprocess.run([gcc, "-shared", "-fPIC",
+                    os.path.join(REPO, "g4s_tpu", "runtime", "native",
+                                 "capi.c"),
+                    "-o", str(so)] + inc + ld, check=True,
+                   capture_output=True)
+    main_c = tmp_path / "main.c"
+    main_c.write_text(C_MAIN)
+    exe = tmp_path / "capi_test"
+    subprocess.run([gcc, str(main_c), "-o", str(exe),
+                    f"-L{tmp_path}", "-lg4s_capi"] + ld, check=True,
+                   capture_output=True)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               LD_LIBRARY_PATH=str(tmp_path))
+    out = subprocess.run([str(exe), REPO, str(frozen)], env=env,
+                         capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stdout + out.stderr
+    line = [l for l in out.stdout.splitlines() if l.startswith("CAPI_OK")]
+    assert line, out.stdout
+    e = float(line[0].split("e=")[1].split()[0])
+    assert np.isfinite(e)
+
+    # oracle: the same model through the Python API gives the same energy
+    from g4s_tpu.models.deepmd.freeze import load_frozen
+    from g4s_tpu.models.deepmd.infer import DeepPot
+    pot = DeepPot(str(frozen))
+    coord = np.array([[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0],
+                      [4, 4, 4], [4.96, 4, 4], [3.76, 4.93, 4]])
+    e_py, _, _ = pot.eval(coord, np.eye(3) * 8.0,
+                          np.array([0, 1, 1, 0, 1, 1], np.int32))
+    np.testing.assert_allclose(e, float(np.asarray(e_py)), rtol=1e-6)
