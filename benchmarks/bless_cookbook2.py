@@ -43,10 +43,10 @@ def main():
         traj["step"].append(k + 1)
         traj["dt"].append(float(d.dt))
         traj["vrms"].append(float(rms_velocity(model, s.V)))
-        traj["nu_top"].append(float(jnp.mean(
-            surface_heat_flux(model, s.T, top=True))))
-        traj["nu_bot"].append(float(jnp.mean(
-            surface_heat_flux(model, s.T, top=False))))
+        traj["nu_top"].append(float(
+            surface_heat_flux(model, s.T, top=True)[1]))
+        traj["nu_bot"].append(float(
+            surface_heat_flux(model, s.T, top=False)[1]))
         traj["incompressibility"].append(float(d.incompressibility))
         traj["T_mean"].append(float(jnp.mean(s.T)))
         print(f"step {k+1}: dt={traj['dt'][-1]:.6e} "
