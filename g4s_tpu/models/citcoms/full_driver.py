@@ -108,12 +108,16 @@ class FullSphereModel:
                      jnp.asarray(0.0, self.dtype),
                      jnp.asarray(0.0, self.dtype), jnp.asarray(0, jnp.int32))
 
-    def buoyancy(self, T):
-        """Ra*T minus per-radial-layer average (mass-weighted)."""
+    def buoyancy(self, T, C=None):
+        """Ra*T minus chemical buoyancy (get_buoyancy:
+        buoy -= Ra * buoyancy_ratio * C) minus the per-radial-layer
+        average (mass-weighted)."""
         noz = self.cfg.nodez
         layer = jnp.arange(self.mesh.nno, dtype=jnp.int32) % noz
         w = self.nmass
         buoy = self.cfg.rayleigh * T
+        if C is not None:
+            buoy = buoy - self.cfg.rayleigh * self.cfg.buoyancy_ratio * C
         have = jax.ops.segment_sum(buoy * w, layer, noz) \
             / jax.ops.segment_sum(w, layer, noz)
         return buoy - jnp.take(have, layer)
@@ -126,9 +130,9 @@ class FullSphereModel:
         return asm.StokesOperators(self.ien, elt_k, self.G, self.vbc_mask,
                                    self.vbc_val, BI, BPI, self.plan)
 
-    def _stokes(self, T, V, P):
+    def _stokes(self, T, V, P, C=None):
         ops = self._build_ops(T)
-        buoy = self.buoyancy(T)
+        buoy = self.buoyancy(T, C)
         F = asm.assemble_forces(ops, self.N, self.gda, self.gweight,
                                 self.cc, buoy)
         fdotf = jnp.sqrt(jnp.vdot(F, F))
@@ -240,9 +244,16 @@ class FullSphereModel:
 
     def _timestep_tracers(self, s: State, pos, flavors):
         from g4s_tpu.models.citcoms import full_tracers as ft
+        cfg = self.cfg
         tf = self._tracer_field
-        new_s, diag = self._timestep(s)
-        pos = ft.advect_tracers(tf, s.V, pos, new_s.dt)
+        # CFL dt (same rule as _timestep), advect tracers, form the
+        # composition, then advance with chemical buoyancy in the solve
+        vv = jnp.take(s.V, self.ien, axis=0)
+        uc = jnp.einsum("eai,a->ei", vv, self.N_center[:, 0])
+        rate = jnp.sum(jnp.abs(uc) / self.e_size, axis=1)
+        dt = 1e-32 + jnp.minimum(cfg.finetunedt * 0.5 / jnp.max(rate),
+                                 self.diff_dt)
+        pos = ft.advect_tracers(tf, s.V, pos, dt)
         comp_el, _ = ft.element_composition(tf, self.mesh, pos, flavors, 2)
         # composition -> nodes (volume-agnostic average, like the
         # regional composition_to_nodes)
@@ -251,6 +262,20 @@ class FullSphereModel:
         num = self.plan.scatter(contrib[:, :, None])[:, 0]
         den = self.plan.scatter(jnp.ones_like(contrib)[:, :, None])[:, 0]
         C_nodes = num / jnp.maximum(den, 1.0)
+
+        # energy advection (same as _timestep)
+        T = s.T + (1.0 - cfg.adv_gamma) * dt * s.Tdot
+        Tdot = jnp.zeros_like(s.Tdot)
+        for _ in range(cfg.adv_sub_iterations):
+            DT = self._pg_residual(T, Tdot, s.V)
+            T = T + cfg.adv_gamma * dt * DT
+            Tdot = Tdot + DT
+            T = jnp.where(self.tbc_mask, self.tbc_val, T)
+        V, P, mon = self._stokes(T, s.V, s.P, C=C_nodes)
+        diag = StepDiagnostics(dt, mon.v_norm, mon.p_norm,
+                               mon.incompressibility, mon.outer_iterations,
+                               mon.inner_iterations)
+        new_s = State(T, Tdot, V, P, s.time + dt, dt, s.step + 1)
         return new_s, diag, pos, C_nodes
 
 

@@ -1274,6 +1274,31 @@ class TestMoreOutputWriters:
             1.2 * np.abs(grid[:, :, 0, 4]).mean()
 
 
+class TestFullSphereThermochemical:
+    def test_composition_couples_into_buoyancy(self):
+        """Full-sphere thermochemical step: the ratio-method composition
+        feeds chemical buoyancy (get_buoyancy: buoy -= Ra*ratio*C), so the
+        velocity solution differs from the purely thermal step."""
+        import dataclasses as dc
+        from g4s_tpu.models.citcoms.full_driver import FullSphereModel
+        from g4s_tpu.models.citcoms import full_tracers as ft
+        cfg = CitcomConfig(nodex=9, nodey=9, nodez=5, rayleigh=1e5,
+                           radius_inner=0.55, radius_outer=1.0, maxstep=2,
+                           num_mat=4, buoyancy_ratio=0.7)
+        m = FullSphereModel(cfg)
+        s = m.init_state()
+        s = dc.replace(s, T=s.T + 0.05 * jnp.sin(
+            jnp.arange(m.mesh.nno) * 0.37))
+        s, _ = m.initial_solve(s)
+        pos, flav = ft.seed_tracers(m.mesh, 2, seed=0)
+        s1, d1, pos1, C = m.step_tracers(s, jnp.asarray(pos),
+                                         jnp.asarray(flav))
+        s2, d2 = m.step(s)
+        assert float(C.min()) >= 0.0 and float(C.max()) <= 1.0
+        assert float(jnp.abs(s1.V - s2.V).max()) > 1e-8
+        assert np.isfinite(np.asarray(s1.V)).all()
+
+
 class TestExchanger:
     """The CitcomS Exchanger capability (coupled coarse-global +
     fine-regional runs, citcoms/tests/exchange.py): boundary sampling of
