@@ -25,3 +25,6 @@ from g4s_tpu.models.cantera.transport import (  # noqa: F401
 from g4s_tpu.models.cantera.surface import (  # noqa: F401
     InterfaceKinetics, SurfacePhase, load_interface,
     net_production_rates_interface, advance_coverages)
+from g4s_tpu.models.cantera.electrolyte import (  # noqa: F401
+    DebyeHuckelPhase, load_debye_huckel,
+    molality_activity_coefficients, ionic_strength)

@@ -30,6 +30,9 @@ CAL2J = 4.184
 ELEMENT_WEIGHTS = {       # kg/mol
     "H": 1.008e-3, "C": 12.011e-3, "O": 15.999e-3, "N": 14.007e-3,
     "AR": 39.95e-3, "HE": 4.002602e-3, "S": 32.06e-3, "SI": 28.085e-3,
+    "NA": 22.98976928e-3, "CL": 35.45e-3, "K": 39.0983e-3,
+    "FE": 55.845e-3, "CA": 40.078e-3, "MG": 24.305e-3, "AL": 26.9815e-3,
+    "F": 18.998403e-3, "BR": 79.904e-3, "LI": 6.94e-3, "PT": 195.084e-3,
     "E": 5.48579909e-7,
 }
 

@@ -777,3 +777,53 @@ class TestSurfaceChemistry:
         _, d1 = net_production_rates_interface(ik, gas, T, conc,
                                                jnp.asarray(th))
         assert float(jnp.abs(d1).max()) < 0.02 * float(jnp.abs(d0).max())
+
+
+class TestElectrolyte:
+    """Debye-Huckel electrolyte activity models vs the reference's own
+    blessed values (test/thermo/thermoFromYaml.cpp DebyeHuckel_bdot_ak /
+    DebyeHuckel_beta_ij, tolerance 1e-5)."""
+
+    YAML = "/root/reference/cantera/test/data/thermo-models.yaml"
+
+    def _gamma(self, phase, molal):
+        from g4s_tpu.models.cantera.electrolyte import (
+            load_debye_huckel, molality_activity_coefficients)
+        ph = load_debye_huckel(self.YAML, phase)
+        m = np.zeros(ph.nspec)
+        for k, v in molal.items():
+            m[ph.species_index(k)] = v
+        return ph, np.asarray(molality_activity_coefficients(ph, m))
+
+    def test_bdot_ak_blessed(self):
+        ph, g = self._gamma(
+            "debye-huckel-B-dot-ak",
+            {"Na+": 9.3549, "Cl-": 9.3549, "H+": 1.0499e-8,
+             "OH-": 1.3765e-6, "NaCl(aq)": 0.98492})
+        ref = [0.849231, 1.18392, 0.990068, 1.69245, 1.09349, 1.0]
+        np.testing.assert_allclose(g, ref, atol=1e-5)
+
+    def test_beta_ij_blessed(self):
+        ph, g = self._gamma(
+            "debye-huckel-beta_ij",
+            {"Na+": 3.0, "Cl-": 3.0, "H+": 1.0499e-8,
+             "OH-": 1.3765e-6, "NaCl(aq)": 0.98492})
+        ref = [0.959912, 1.16955, 1.16955, 2.40275, 0.681552, 1.0]
+        np.testing.assert_allclose(g, ref, atol=1e-5)
+
+    def test_dilute_limit_law(self):
+        """The dilute-limit form reproduces the analytic limiting law
+        ln gamma = -z^2 A sqrt(I) exactly."""
+        from g4s_tpu.models.cantera.electrolyte import (
+            load_debye_huckel, molality_activity_coefficients)
+        ph = load_debye_huckel(
+            "/root/reference/cantera/test/data/debye-huckel-all.yaml",
+            "debye-huckel-dilute")
+        m = np.zeros(ph.nspec)
+        m[ph.species_index("Na+")] = 0.01
+        m[ph.species_index("Cl-")] = 0.01
+        g = np.asarray(molality_activity_coefficients(ph, m))
+        I = 0.01
+        expect = np.exp(-ph.A_Debye * np.sqrt(I))
+        np.testing.assert_allclose(g[ph.species_index("Na+")], expect,
+                                   rtol=1e-12)
