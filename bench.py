@@ -237,7 +237,7 @@ def bench_dp(steps: int = 60):
             "device": str(dev), "dtype": "f32"}
 
 
-def bench_spgemm(n: int = 1 << 16, avg_deg: int = 16, reps: int = 10):
+def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
     import numpy as np
     import scipy.sparse as sp
     import jax

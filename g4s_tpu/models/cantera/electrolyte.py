@@ -23,7 +23,7 @@ into equilibrium/kinetics solvers.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

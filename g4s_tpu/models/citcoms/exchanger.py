@@ -18,8 +18,6 @@ two static gather/weight matrices built once.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
