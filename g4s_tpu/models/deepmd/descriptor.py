@@ -242,3 +242,52 @@ def env_mat_celllist(coords, box, types, spec: DescriptorSpec,
         nl_secs.append(jnp.where(valid, glob, -1))
     return (jnp.concatenate(R_secs, axis=1),
             jnp.concatenate(nl_secs, axis=1))
+
+
+def env_mat_nopbc(coords, types, spec: DescriptorSpec, *, atom_mask=None):
+    """Environment matrix for a FINITE (non-periodic) system, with an
+    optional real-atom mask (DescrptSeAMask, deepmd/descriptor/
+    se_a_mask.py: aparam marks real vs virtual atoms so one graph serves
+    variable-size molecules).
+
+    No minimum image; masked-out (virtual) atoms are excluded both as
+    centers' neighbors and produce zero rows. The reference's se_a_mask
+    also drops the rcut smoothing (mask IS the cutoff); here the same
+    switch_fn machinery is kept with the declared rcut so the descriptor
+    stays continuous if real atoms leave the radius.
+    """
+    n = coords.shape[0]
+    disp = coords[None, :, :] - coords[:, None, :]       # (N, N, 3), no PBC
+    r2 = jnp.sum(disp * disp, axis=-1)
+    big = jnp.asarray(1e10, r2.dtype)
+    r2 = r2 + big * jnp.eye(n, dtype=r2.dtype)
+    if atom_mask is not None:
+        am = jnp.asarray(atom_mask, bool)
+        r2 = jnp.where(am[None, :], r2, big)             # exclude virtuals
+
+    R_secs, nl_secs = [], []
+    for t in range(spec.ntypes):
+        k = spec.sel[t]
+        r2_t = jnp.where(types[None, :] == t, r2, big)
+        if r2_t.shape[1] < k:
+            r2_t = jnp.pad(r2_t, ((0, 0), (0, k - r2_t.shape[1])),
+                           constant_values=1e10)
+        neg, idx = jax.lax.top_k(-r2_t, k)
+        d2 = -neg
+        valid = d2 < spec.rcut ** 2
+        d = jnp.sqrt(jnp.where(valid, d2, 1.0))
+        idx_g = jnp.where(valid, idx, 0)
+        vec = jnp.take_along_axis(disp, idx_g[:, :, None], axis=1)
+        sw = switch_fn(d, spec.rcut_smth, spec.rcut)
+        s = jnp.where(valid, sw / d, 0.0)
+        rows = s[:, :, None] * vec / jnp.where(valid, d, 1.0)[:, :, None]
+        R_secs.append(jnp.concatenate([s[:, :, None], rows], axis=-1)
+                      * valid[:, :, None])
+        nl_secs.append(jnp.where(valid, idx, -1))
+    R = jnp.concatenate(R_secs, axis=1)
+    nlist = jnp.concatenate(nl_secs, axis=1)
+    if atom_mask is not None:
+        am = jnp.asarray(atom_mask, bool)
+        R = R * am[:, None, None]                        # virtual centers
+        nlist = jnp.where(am[:, None], nlist, -1)
+    return R, nlist

@@ -36,7 +36,8 @@ class ModelSpec(NamedTuple):
     fit_neurons: Tuple[int, ...]        # e.g. (240, 240, 240)
     embed_resnet_dt: bool = False
     fit_resnet_dt: bool = True
-    descriptor_type: str = "se_e2_a"    # se_e2_r|se_atten|se_t|hybrid|loc_frame
+    descriptor_type: str = "se_e2_a"    # se_e2_r|se_atten|se_t|hybrid|
+                                        # loc_frame|se_a_ebd|se_a_mask
     attn_layers: int = 2                # se_atten: attention layers
     attn_dim: int = 0                   # se_atten: Q/K/V width (0 -> m1)
     tebd_dim: int = 8                   # se_atten: type-embedding width
@@ -55,6 +56,7 @@ class ModelSpec(NamedTuple):
             return 4 * self.descriptor.nnei
         if self.descriptor_type in ("se_e2_r", "se_t"):
             return self.m1
+        # se_e2_a / se_atten / se_a_ebd / se_a_mask all contract to M1*M2
         return self.m1 * self.axis_neuron
 
 
@@ -70,8 +72,10 @@ def _init_embed(key, spec: ModelSpec, dtype):
             parts.append(_init_embed(sub, spec._replace(descriptor_type=t),
                                      dtype))
         return {"parts": parts}
-    if spec.descriptor_type == "se_atten":
-        # one type-mixed embedding net over [s(r), tebd_j, tebd_i]
+    if spec.descriptor_type in ("se_atten", "se_a_ebd"):
+        # one type-mixed embedding net over [s(r), tebd_j, tebd_i];
+        # se_a_ebd (DescrptSeAEbd, deepmd/descriptor/se_a_ebd.py) is the
+        # same type-embedded input WITHOUT the attention refinement
         key, k1, k2 = jax.random.split(key, 3)
         embed = init_embedding_net(k1, spec.embed_neurons,
                                    in_dim=1 + 2 * spec.tebd_dim,
@@ -79,7 +83,8 @@ def _init_embed(key, spec: ModelSpec, dtype):
                                    dtype=dtype)
         d = spec.attn_dim or spec.m1
         attn = []
-        for _ in range(spec.attn_layers):
+        n_attn = spec.attn_layers if spec.descriptor_type == "se_atten" else 0
+        for _ in range(n_attn):
             key, kq, kk, kv, ko = jax.random.split(key, 5)
             sc = 1.0 / np.sqrt(spec.m1)
             attn.append({
@@ -172,10 +177,12 @@ def _descr_dispatch(embed, spec: ModelSpec, Rn, types, nlist):
                             nlist)
             for i, t in enumerate(spec.hybrid_types)]
         return jnp.concatenate(parts, axis=-1)
-    if spec.descriptor_type == "se_atten":
+    if spec.descriptor_type in ("se_atten", "se_a_ebd"):
         return _descriptor_atten(embed, spec, Rn, types, nlist)
     if spec.descriptor_type == "se_t":
         return _descriptor_se_t(embed, spec, Rn)
+    if spec.descriptor_type == "se_a_mask":
+        return _descriptor_plain(embed, spec, Rn, types)
     return _descriptor_plain(embed, spec, Rn, types)
 
 
@@ -279,7 +286,17 @@ def atomic_energy(params, spec: ModelSpec, D, types):
                                axis=0)[0]
 
 
-def total_energy(params, spec: ModelSpec, coords, box, types):
+def total_energy(params, spec: ModelSpec, coords, box, types,
+                 atom_mask=None):
+    if spec.descriptor_type == "se_a_mask":
+        from g4s_tpu.models.deepmd.descriptor import env_mat_nopbc
+        R, nlist = env_mat_nopbc(coords, types, spec.descriptor,
+                                 atom_mask=atom_mask)
+        D = atomic_descriptor(params, spec, R, types, nlist)
+        ae = atomic_energy(params, spec, D, types)
+        if atom_mask is not None:
+            ae = jnp.where(atom_mask, ae, 0.0)   # virtual atoms drop out
+        return jnp.sum(ae)
     R, nlist = env_mat(coords, box, types, spec.descriptor)
     D = atomic_descriptor(params, spec, R, types, nlist)
     return jnp.sum(atomic_energy(params, spec, D, types))

@@ -507,3 +507,63 @@ class TestLocFrame:
                               jnp.asarray(pos).at[4, 0].add(-eps), box,
                               types)) / (2 * eps)
         assert abs(float(F[4, 0] - fd)) < 1e-7
+
+
+class TestSeAEbdAndMask:
+    def _water6(self):
+        coords = np.array([[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0],
+                           [4, 4, 4], [4.96, 4, 4], [3.76, 4.93, 4]],
+                          np.float64)
+        types = np.array([0, 1, 1, 0, 1, 1], np.int32)
+        box = np.eye(3) * 12.0
+        return jnp.asarray(coords), jnp.asarray(box), jnp.asarray(types)
+
+    def test_se_a_ebd_invariance_and_forces(self):
+        """DescrptSeAEbd (type-embedded se_a): rotation+translation
+        invariant, forces are the exact energy gradient."""
+        from g4s_tpu.models.deepmd.model import (ModelSpec,
+                                                 energy_force_virial,
+                                                 init_params, total_energy)
+        from g4s_tpu.models.deepmd.descriptor import DescriptorSpec
+        spec = ModelSpec(DescriptorSpec(6.0, 0.5, (4, 8), 2),
+                         (8, 16), 4, (24, 24), descriptor_type="se_a_ebd")
+        params = init_params(jax.random.PRNGKey(3), spec)
+        assert params["embed"]["attn"] == []      # no attention layers
+        coords, box, types = self._water6()
+        e, f, v = energy_force_virial(params, spec, coords, box, types)
+        # invariance under rotation + translation
+        th = 0.7
+        Q = jnp.asarray(np.array([[np.cos(th), -np.sin(th), 0],
+                                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]]))
+        e2 = total_energy(params, spec, coords @ Q.T + 1.7, box @ Q.T, types)
+        np.testing.assert_allclose(float(e2), float(e), rtol=1e-9)
+        # FD check of one force component
+        eps = 1e-6
+        dp = coords.at[2, 1].add(eps)
+        dm = coords.at[2, 1].add(-eps)
+        fd = -(total_energy(params, spec, dp, box, types)
+               - total_energy(params, spec, dm, box, types)) / (2 * eps)
+        np.testing.assert_allclose(float(f[2, 1]), float(fd), rtol=1e-5,
+                                   atol=1e-8)
+
+    def test_se_a_mask_virtual_atoms(self):
+        """DescrptSeAMask: virtual (masked) atoms contribute nothing, so
+        a 6-atom system with 2 virtual padding atoms gives the same
+        energy as the bare 6-atom evaluation on the 8-atom graph."""
+        from g4s_tpu.models.deepmd.model import (ModelSpec, init_params,
+                                                 total_energy)
+        from g4s_tpu.models.deepmd.descriptor import DescriptorSpec
+        spec = ModelSpec(DescriptorSpec(6.0, 0.5, (6, 10), 2),
+                         (8, 16), 4, (24, 24), descriptor_type="se_a_mask")
+        params = init_params(jax.random.PRNGKey(4), spec)
+        coords, box, types = self._water6()
+        # pad with 2 virtual atoms placed ON TOP of real ones (worst case)
+        coords8 = jnp.concatenate([coords, coords[:2] + 0.1], axis=0)
+        types8 = jnp.concatenate([types, types[:2]])
+        mask8 = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], bool)
+        e_masked = total_energy(params, spec, coords8, None, types8,
+                                atom_mask=mask8)
+        e_bare = total_energy(params, spec, coords, None, types,
+                              atom_mask=jnp.ones(6, bool))
+        np.testing.assert_allclose(float(e_masked), float(e_bare),
+                                   rtol=1e-10)
