@@ -827,3 +827,35 @@ class TestElectrolyte:
         expect = np.exp(-ph.A_Debye * np.sqrt(I))
         np.testing.assert_allclose(g[ph.species_index("Na+")], expect,
                                    rtol=1e-12)
+
+    def test_bdot_common_a_and_pitzer_forms(self):
+        """The remaining two DH forms against hand-evaluated formulas
+        (B-dot-with-common-a and Pitzer-with-beta_ij solute laws)."""
+        from g4s_tpu.models.cantera.electrolyte import (
+            load_debye_huckel, molality_activity_coefficients)
+        Y = "/root/reference/cantera/test/data/debye-huckel-all.yaml"
+        # common-a
+        ph = load_debye_huckel(Y, "debye-huckel-B-dot-a")
+        m = np.zeros(ph.nspec)
+        m[ph.species_index("Na+")] = 0.5
+        m[ph.species_index("Cl-")] = 0.5
+        g = np.asarray(molality_activity_coefficients(ph, m))
+        I = 0.5
+        den = ph.B_Debye * np.sqrt(I) * ph.a_ionic[0]
+        lng_hand = -ph.A_Debye * np.sqrt(I) / (1 + den) \
+            + np.log(10.0) * 0.0 * I     # B-dot is 0 in this phase
+        np.testing.assert_allclose(np.log(g[ph.species_index("Na+")]),
+                                   lng_hand, rtol=1e-12)
+        # Pitzer
+        ph2 = load_debye_huckel(Y, "debye-huckel-pitzer-beta_ij")
+        m2 = np.zeros(ph2.nspec)
+        iNa, iCl = ph2.species_index("Na+"), ph2.species_index("Cl-")
+        m2[iNa] = m2[iCl] = 0.1
+        g2 = np.asarray(molality_activity_coefficients(ph2, m2))
+        I2 = 0.1
+        denp = ph2.B_Debye * np.sqrt(I2) * ph2.a_ionic[0]
+        lng2 = (-ph2.A_Debye * np.sqrt(I2) / 3.0 / (1 + denp)
+                - 2.0 * ph2.A_Debye * np.log(1 + denp)
+                / (3.0 * ph2.B_Debye * ph2.a_ionic[0])
+                + 2.0 * m2[iCl] * ph2.beta[iNa, iCl])
+        np.testing.assert_allclose(np.log(g2[iNa]), lng2, rtol=1e-12)
