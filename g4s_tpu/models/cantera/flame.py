@@ -214,11 +214,18 @@ class FreeFlame(BurnerFlame):
 
 
 def damped_newton(residual_fn, y0, *, weights=None, max_iter=60, tol=1e-4,
-                  min_lambda=1e-4):
+                  min_lambda=1e-4, bandwidth=None):
     """Sim1D's damped-Newton steady solve (cantera/src/oneD/MultiNewton.cpp):
     full Jacobian by forward-mode autodiff, step damping by WEIGHTED
     residual reduction (MultiNewton uses per-component error weights the
-    same way). Returns (y, ||F||_w, converged)."""
+    same way). Returns (y, ||F||_w, converged).
+
+    `bandwidth` (half-bandwidth) switches the linear solve to LAPACK's
+    banded factorization — the reference uses a banded Jacobian for all
+    1-D domains (OneDim::jacobian is a BandMatrix, src/oneD/OneDim.cpp);
+    the flame system couples only nearest-neighbor points, so the half-
+    bandwidth is 2*(nspec+1)-1 and the solve drops from O(n^3) to
+    O(n*hb^2)."""
     jac = jax.jit(jax.jacfwd(lambda y: residual_fn(0.0, y)))
     res = jax.jit(lambda y: residual_fn(0.0, y))
     y = jnp.asarray(y0)
@@ -235,14 +242,8 @@ def damped_newton(residual_fn, y0, *, weights=None, max_iter=60, tol=1e-4,
         if nrm < tol:
             return y, nrm, True
         J = np.asarray(jac(y))
-        try:
-            d = np.linalg.solve(J, -np.asarray(f))
-        except np.linalg.LinAlgError:
-            # species absent from the mixture (Y == 0 everywhere, e.g. AR
-            # in an H2/air flame) contribute exact zero rows/columns; the
-            # minimum-norm step leaves those components untouched
-            d = np.linalg.lstsq(J, -np.asarray(f), rcond=None)[0]
-        if not np.all(np.isfinite(d)):
+        d = _newton_linear_solve(J, -np.asarray(f), bandwidth)
+        if d is None or not np.all(np.isfinite(d)):
             return y, nrm, False
         lam = 1.0
         while lam >= min_lambda:
@@ -256,6 +257,39 @@ def damped_newton(residual_fn, y0, *, weights=None, max_iter=60, tol=1e-4,
             return y, nrm, False
         y, f, nrm = y_new, f_new, n_new
     return y, nrm, nrm < tol
+
+
+def _newton_linear_solve(J, rhs, bandwidth):
+    """Dense LU with lstsq fallback, or LAPACK banded when the structure
+    is declared (zero rows/columns from species absent everywhere make
+    the dense system singular; the minimum-norm step leaves them
+    untouched)."""
+    n = J.shape[0]
+    if bandwidth is not None and bandwidth < n - 1:
+        import scipy.linalg
+        hb = int(bandwidth)
+        ab = np.zeros((2 * hb + 1, n))
+        for i in range(-hb, hb + 1):
+            ab[hb - i, max(i, 0): n + min(i, 0)] = np.diagonal(J, i)
+        # regularize exact-zero diagonal entries (absent species)
+        zero_diag = np.abs(np.diagonal(J)) == 0.0
+        if zero_diag.any():
+            ab[hb, zero_diag] = 1.0
+            rhs = np.where(zero_diag, 0.0, rhs)
+        try:
+            return scipy.linalg.solve_banded((hb, hb), ab, rhs)
+        except Exception:
+            pass     # fall through to dense
+    try:
+        return np.linalg.solve(J, rhs)
+    except np.linalg.LinAlgError:
+        return np.linalg.lstsq(J, rhs, rcond=None)[0]
+
+
+def flame_bandwidth(flame) -> int:
+    """Half-bandwidth of the (core) flame Jacobian: nearest-neighbor
+    coupling of (nspec+1)-wide point blocks."""
+    return 2 * (flame.mech.nspec + 1) - 1
 
 
 def _flame_weights(flame, n_state):

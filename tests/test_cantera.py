@@ -859,3 +859,36 @@ class TestElectrolyte:
                 / (3.0 * ph2.B_Debye * ph2.a_ionic[0])
                 + 2.0 * m2[iCl] * ph2.beta[iNa, iCl])
         np.testing.assert_allclose(np.log(g2[iNa]), lng2, rtol=1e-12)
+
+
+class TestBandedNewton:
+    def test_banded_step_matches_dense(self):
+        """The banded linear solve (OneDim's BandMatrix Jacobian role)
+        produces the same Newton step as the dense LU on a burner-flame
+        residual, at O(n*hb^2) cost."""
+        import jax
+        from g4s_tpu.models.cantera.transport import load_transport
+        from g4s_tpu.models.cantera.flame import (BurnerFlame,
+                                                  flame_bandwidth,
+                                                  _newton_linear_solve)
+        mech = load_mechanism(H2O2)
+        tr = load_transport(H2O2, mech)
+        X = np.zeros(mech.nspec)
+        X[mech.species_index("H2")] = 2
+        X[mech.species_index("O2")] = 1
+        X[mech.species_index("N2")] = 3.76
+        X /= X.sum()
+        W = mech.mol_weights
+        Y = X * W / (X @ W)
+        f = BurnerFlame(mech, tr, n_points=16, width=0.01, mdot=0.3)
+        s0 = f.initial_profile(Y)
+        J = np.asarray(jax.jacfwd(lambda y: f.rhs(0.0, y))(s0))
+        rhs = -np.asarray(f.rhs(0.0, s0))
+        hb = flame_bandwidth(f)
+        # structure check: nothing outside the declared band
+        n = J.shape[0]
+        outside = np.abs(np.triu(J, hb + 1)) + np.abs(np.tril(J, -hb - 1))
+        assert outside.max() == 0.0, outside.max()
+        d_banded = _newton_linear_solve(J, rhs, hb)
+        d_dense = _newton_linear_solve(J, rhs, None)
+        np.testing.assert_allclose(d_banded, d_dense, rtol=1e-8, atol=1e-10)
