@@ -132,8 +132,12 @@ def build_graph(a: CSR, *, variant: str | None = None,
     if variant == "dense":
         from g4s_tpu.sparse.convert import csr_to_dense
         d = jnp.asarray(csr_to_dense(a), dtype)
-        return Graph(None, None, None, None, jnp.asarray(deg), d,
-                     None, None, "dense", a.shape)
+        # keep the CSR container too: non-plus_times semirings and
+        # reduce_vector must see stored entries only (a dense layout's
+        # structural zeros would corrupt min/max algebras)
+        row_ids = np.repeat(np.arange(a.shape[0], dtype=np.int32), deg)
+        return Graph(None, a.to_device(), None, jnp.asarray(row_ids),
+                     jnp.asarray(deg), d, None, None, "dense", a.shape)
     if variant == "dia":
         dia = csr_to_dia(a).to_device()
         return Graph(None, None, dia, None, jnp.asarray(deg), None,
@@ -170,13 +174,20 @@ def mxv(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
     (deepmd/source/op/graph.h:21-31: for each vertex, combine over neighbors,
     then apply).
     """
-    if g.variant == "dense":
-        if semiring is not PLUS_TIMES:
-            raise NotImplementedError(
-                "dense layout supports the plus_times semiring only; "
-                "build the graph with variant='ell' or 'csr'")
+    if g.variant == "dense" and semiring is PLUS_TIMES:
         from g4s_tpu.engine.matmul import dense_matmul
         y = dense_matmul(g.dense, x)
+        if mask is not None:
+            y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
+        return y
+    if g.variant == "dense":
+        # non-plus_times algebras run on the stored-entry CSR companion so
+        # structural zeros never participate (auto-dispatch may pick dense
+        # for callers that later use min/max semirings)
+        csr = g.csr
+        prod = semiring.mul(csr.data, jnp.take(x, csr.indices, axis=0))
+        y = segment_reduce(prod, g.row_ids, g.shape[0],
+                           op=_ADD_OPS[semiring.name], indices_are_sorted=True)
         if mask is not None:
             y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
         return y
@@ -226,7 +237,7 @@ def mxm(a: CSR, b: CSR, *, semiring: Semiring = PLUS_TIMES,
 def reduce_vector(g: Graph, *, semiring: Semiring = PLUS_TIMES):
     """Reduce all stored values of the operator (GraphBLAS reduce)."""
     if g.variant == "dense":
-        vals = g.dense
+        vals = g.csr.data        # stored entries only, not structural zeros
     elif g.variant == "ell":
         vals = g.ell.vals
     elif g.variant == "dia":
@@ -243,12 +254,19 @@ def vxm(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
     (propagate states ALONG edges); subsumes the reference's column-wise
     engines (heap_mult.h walks CSC columns the same way).
     """
-    if g.variant == "dense":
-        if semiring is not PLUS_TIMES:
-            raise NotImplementedError(
-                "dense layout supports the plus_times semiring only")
+    if g.variant == "dense" and semiring is PLUS_TIMES:
         from g4s_tpu.engine.matmul import dense_matmul
         y = dense_matmul(x, g.dense)
+        if mask is not None:
+            y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
+        return y
+    if g.variant == "dense":
+        # stored-entry CSR companion (see mxv): min/max algebras must not
+        # see structural zeros
+        csr = g.csr
+        prod = semiring.mul(csr.data, jnp.take(x, g.row_ids))
+        y = segment_reduce(prod, csr.indices, g.shape[1],
+                           op=_ADD_OPS[semiring.name])
         if mask is not None:
             y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
         return y

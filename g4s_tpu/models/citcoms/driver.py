@@ -184,7 +184,9 @@ class CitcomModel:
         have = bsum / wsum
         return buoy - jnp.take(have, layer)
 
-    def _build_ops(self, T, C=None, V=None) -> asm.StokesOperators:
+    def _build_ops(self, T, C=None, V=None, vbc=None) -> asm.StokesOperators:
+        vbc_mask, vbc_val = vbc if vbc is not None \
+            else (self.vbc_mask, self.vbc_val)
         srII = None
         if (self.cfg.SDEPV or self.cfg.PDEPV) and V is not None:
             from g4s_tpu.models.citcoms.viscosity import strain_rate_2inv
@@ -207,22 +209,24 @@ class CitcomModel:
         else:
             elt_k = asm.build_elt_k(self.B, self.gda, self.gweight, evisc)
         BI = asm.build_diag_K(elt_k, self.plan)
-        BPI = asm.build_bpi(self.G, BI, self.ien, self.vbc_mask)
+        BPI = asm.build_bpi(self.G, BI, self.ien, vbc_mask)
         elt_c = None
         if cfg.disptn_number != 0.0:
             beta = -cfg.disptn_number / cfg.gruneisen
             elt_c = asm.build_elt_c(self.cc, self.e_area, beta)
-        return asm.StokesOperators(self.ien, elt_k, self.G, self.vbc_mask,
-                                   self.vbc_val, BI, BPI, self.plan, elt_c)
+        return asm.StokesOperators(self.ien, elt_k, self.G, vbc_mask,
+                                   vbc_val, BI, BPI, self.plan, elt_c)
 
-    def _stokes(self, T, V, P, C=None):
+    def _stokes(self, T, V, P, C=None, vbc=None):
         """general_stokes_solver: viscosity -> stiffness -> forces -> Uzawa."""
-        ops = self._build_ops(T, C, V)
+        vbc_mask, vbc_val = vbc if vbc is not None \
+            else (self.vbc_mask, self.vbc_val)
+        ops = self._build_ops(T, C, V, vbc=vbc)
         buoy = self.buoyancy(T, C)
         F = asm.assemble_forces(ops, self.N, self.gda, self.gweight,
                                 self.cc, buoy)
         fdotf = jnp.sqrt(jnp.vdot(F, F))
-        V = asm.apply_vbc(V, self.vbc_mask, self.vbc_val)
+        V = asm.apply_vbc(V, vbc_mask, vbc_val)
         prob = sol.local_problem(ops, self.nmass, self.e_area,
                                  self.total_volume)
         # the velocity stiffness matvec is an ENGINE choice between the
@@ -234,7 +238,7 @@ class CitcomModel:
         from g4s_tpu.models.citcoms.nodal import build_stencil
         W = build_stencil(ops.elt_k, self.stencil_plan)
         og = engine.build_operator(
-            {"stencil": {"W": W, "mask": self.vbc_mask},
+            {"stencil": {"W": W, "mask": vbc_mask},
              "eltk": {"ops": ops}},
             stats={"regular_grid": True, "nel": self.mesh.nel})
         prob = prob._replace(A=lambda u: engine.apply_operator(og, u))
@@ -259,7 +263,17 @@ class CitcomModel:
             V, P, mon = sol.uzawa_cg(prob, V, P, F, fdotf, self.uzawa_params)
         return V, P, mon
 
-    def _timestep(self, s: State, pos=None, flavors=None):
+    def _timestep(self, s: State, pos=None, flavors=None, bcs=None):
+        # bcs: optional (tbc_mask, tbc_val, vbc_mask, vbc_val) override,
+        # passed as explicit traced arguments (the Exchanger supplies
+        # per-step interpolated boundary values this way — mutating model
+        # attributes around a traced call would bake stale BCs into the
+        # compiled step on any retrace)
+        if bcs is not None:
+            tbc_mask, tbc_val, vbc_mask, vbc_val = bcs
+        else:
+            tbc_mask, tbc_val = self.tbc_mask, self.tbc_val
+            vbc_mask, vbc_val = self.vbc_mask, self.vbc_val
         cfg = self.cfg
         dt0 = adv_mod.cfl_timestep(self.adv_geo, self.ien, s.V,
                                    finetunedt=cfg.finetunedt,
@@ -306,19 +320,19 @@ class CitcomModel:
                 self.adv_geo, self.ien, self.plan, s.T, s.Tdot, s.V, dt,
                 diff=diff_eff, Q0=Q_src, gamma=cfg.adv_gamma,
                 sub_iterations=cfg.adv_sub_iterations,
-                tbc_mask=self.tbc_mask, tbc_val=self.tbc_val)
+                tbc_mask=tbc_mask, tbc_val=tbc_val)
 
         if cfg.monitor_max_T:
             # max-T guard with dt-halving subcycles (PG_timestep_solve
             # do/while, Advection_diffusion.c:234-280; T_maxvaried=1.05,
             # Convection.c:58; at most 5 retries)
             from g4s_tpu.models.citcoms.observables import                 max_interior_temperature
-            T_int0 = max_interior_temperature(s.T, self.tbc_mask)
+            T_int0 = max_interior_temperature(s.T, tbc_mask)
             T1, Td1 = advect(dt0)
 
             def cond(carry):
                 T, Td, dt, tries = carry
-                blown = max_interior_temperature(T, self.tbc_mask)                     / jnp.maximum(T_int0, 1e-30) > 1.05
+                blown = max_interior_temperature(T, tbc_mask)                     / jnp.maximum(T_int0, 1e-30) > 1.05
                 return jnp.logical_and(blown, tries < 5)
 
             def body(carry):
@@ -334,7 +348,7 @@ class CitcomModel:
             T, Tdot = advect(dt)
         if cfg.filter_temp:
             from g4s_tpu.models.citcoms.observables import filter_temperature
-            T = filter_temperature(T, self.tbc_mask, self.tbc_val)
+            T = filter_temperature(T, tbc_mask, tbc_val)
         if pos is not None:
             # thermochemical step: advect tracers with the same dt, map the
             # dense-flavor fraction to nodes, include chemical buoyancy
@@ -346,9 +360,9 @@ class CitcomModel:
             pos = advect_tracers(tf, s.V, pos, dt)
             comp_el, _ = element_composition(tf, pos, flavors, 2)
             C = composition_to_nodes(tf, comp_el[1], self.plan, self.ien)
-            V, P, mon = self._stokes(T, s.V, s.P, C=C)
+            V, P, mon = self._stokes(T, s.V, s.P, C=C, vbc=(vbc_mask, vbc_val))
         else:
-            V, P, mon = self._stokes(T, s.V, s.P)
+            V, P, mon = self._stokes(T, s.V, s.P, vbc=(vbc_mask, vbc_val))
         diag = StepDiagnostics(dt, mon.v_norm, mon.p_norm,
                                mon.incompressibility, mon.outer_iterations,
                                mon.inner_iterations)

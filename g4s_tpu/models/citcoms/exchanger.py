@@ -102,15 +102,10 @@ class CoupledRun:
         return tbc_val, vbc_val
 
     def _fine_step_impl(self, s, tbc_val, vbc_val):
-        m = self.fine
-        old = (m.tbc_mask, m.tbc_val, m.vbc_mask, m.vbc_val)
-        m.tbc_mask, m.tbc_val = self._tbc_mask, tbc_val
-        m.vbc_mask, m.vbc_val = self._vbc_mask, vbc_val
-        try:
-            out = m._timestep(s)
-        finally:
-            m.tbc_mask, m.tbc_val, m.vbc_mask, m.vbc_val = old
-        return out
+        # BCs enter the traced step as explicit arguments — no model-
+        # attribute mutation around tracing (advisor round-2 finding)
+        return self.fine._timestep(
+            s, bcs=(self._tbc_mask, tbc_val, self._vbc_mask, vbc_val))
 
     def _restrict_impl(self, T_c, T_f):
         """Fine temperature -> embedded coarse nodes (Interior role)."""

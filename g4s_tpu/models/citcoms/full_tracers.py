@@ -134,6 +134,14 @@ class FullTracerField(NamedTuple):
         e_r = np.stack([st * cf, st * sf, ct], 1)
         basis = np.stack([e_t, e_f, e_r], axis=2)        # (nno, 3, 3)
         r = mesh.r
+        # locate() uses the closed form (r - r0)/dr for the radial level,
+        # which silently mislocates tracers on a graded radial mesh —
+        # guard the assumption explicitly
+        if r.size > 2 and not np.allclose(np.diff(r), r[1] - r[0],
+                                          rtol=1e-6, atol=0.0):
+            raise NotImplementedError(
+                "FullTracerField requires a uniform radial grid; graded "
+                "meshes need searchsorted-based radial location")
         return FullTracerField(
             jnp.asarray(frames), jnp.asarray(np.stack(lxs)),
             jnp.asarray(np.stack(lys)), jnp.asarray(np.stack(uvs)),

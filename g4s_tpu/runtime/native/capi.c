@@ -82,15 +82,23 @@ int g4s_deeppot_eval(int handle, int natoms, const double* coord,
     PyGILState_Release(st);
     return -1;
   }
-  /* r = (energy_float, force_bytes, virial_bytes) */
+  /* r = (energy_float, force_bytes, virial_bytes). The copy lengths are
+   * validated against the caller's fixed-size buffers (natoms*3 doubles,
+   * 9 doubles) so a model returning an unexpected shape can never
+   * overflow caller memory. */
   double e = PyFloat_AsDouble(PyTuple_GetItem(r, 0));
   char* fb;
   Py_ssize_t fl;
   PyBytes_AsStringAndSize(PyTuple_GetItem(r, 1), &fb, &fl);
-  memcpy(force, fb, (size_t)fl);
   char* vb;
   Py_ssize_t vl;
   PyBytes_AsStringAndSize(PyTuple_GetItem(r, 2), &vb, &vl);
+  if (fl != (Py_ssize_t)natoms * 3 * 8 || vl != 9 * 8) {
+    Py_DECREF(r);
+    PyGILState_Release(st);
+    return -2; /* shape mismatch from the model */
+  }
+  memcpy(force, fb, (size_t)fl);
   memcpy(virial, vb, (size_t)vl);
   *energy = e;
   Py_DECREF(r);

@@ -262,3 +262,34 @@ class TestRCMReordering:
         A.data = np.random.default_rng(4).normal(size=A.nnz).astype(float)
         g = build_graph(CSR.from_scipy(A))
         assert g.variant == "ell" and g.perm is None
+
+
+class TestDenseLayoutSemirings:
+    """Round-2 advisor: auto-dispatched dense layouts must still serve
+    non-plus_times semirings and stored-entry reductions correctly
+    (structural zeros must never participate in min/max algebras)."""
+
+    def _small(self):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(3)
+        a = sp.random(50, 50, density=0.12, random_state=7, format="csr")
+        a.data[:] = rng.uniform(1.0, 4.0, a.nnz)
+        return a
+
+    def test_dense_min_plus_matches_csr(self):
+        from g4s_tpu.engine import build_graph, mxv, vxm, reduce_vector
+        from g4s_tpu.engine.semiring import MIN_PLUS
+        a = self._small()
+        g = build_graph(CSR.from_scipy(a))
+        assert g.variant == "dense"
+        g_csr = build_graph(CSR.from_scipy(a), variant="csr")
+        x = jnp.asarray(np.random.default_rng(4).uniform(0, 2, 50))
+        np.testing.assert_allclose(
+            np.asarray(mxv(g, x, semiring=MIN_PLUS)),
+            np.asarray(mxv(g_csr, x, semiring=MIN_PLUS)), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(vxm(g, x, semiring=MIN_PLUS)),
+            np.asarray(vxm(g_csr, x, semiring=MIN_PLUS)), rtol=1e-12)
+        # reduce over STORED entries only (min of data, not 0)
+        assert float(reduce_vector(g, semiring=MIN_PLUS)) == \
+            pytest.approx(float(a.data.min()))
