@@ -57,6 +57,7 @@ class Graph:
     row_ids: Optional[jax.Array]  # (nnz,) row of each stored entry (CSR path)
     deg: jax.Array                # (n_rows,) true row degrees
     dense: Optional[jax.Array]    # materialized (n_rows, n_cols) (MXU)
+    wsell: Optional[object]       # WSELL pack (general Pallas kernel, TPU)
     perm: Optional[jax.Array]     # RCM row/col order (layout stores A[p,p])
     iperm: Optional[jax.Array]    # inverse permutation
     variant: str = _static()      # 'ell' | 'csr' | 'dia' | 'dense'
@@ -124,9 +125,44 @@ def build_graph(a: CSR, *, variant: str | None = None,
                 inv[perm] = np.arange(perm.size)
                 dia = csr_to_dia(CSR.from_scipy(ap)).to_device()
                 return Graph(None, None, dia, None, jnp.asarray(deg),
-                             None, jnp.asarray(perm.astype(np.int32)),
+                             None, None, jnp.asarray(perm.astype(np.int32)),
                              jnp.asarray(inv.astype(np.int32)), "dia",
                              a.shape)
+            if jax.default_backend() == "tpu":
+                # RCM localized but not to a narrow band (mesh matrices:
+                # bandwidth ~n^(2/3)) -> the general WSELL-K Pallas
+                # kernel (per-pack dynamic x windows; 243 GB/s measured
+                # on a shuffled 3D 7-point stencil at n=1M vs 1.3 GB/s
+                # for the XLA ELL gather fallback)
+                from g4s_tpu.ops.pallas_spmv import pack_wsell
+                try:
+                    packed = pack_wsell(CSR.from_scipy(ap))
+                    inv = np.empty_like(perm)
+                    inv[perm] = np.arange(perm.size)
+                    row_ids = np.repeat(
+                        np.arange(a.shape[0], dtype=np.int32), deg)
+                    return Graph(None, a.to_device(), None,
+                                 jnp.asarray(row_ids), jnp.asarray(deg),
+                                 None, packed,
+                                 jnp.asarray(perm.astype(np.int32)),
+                                 jnp.asarray(inv.astype(np.int32)),
+                                 "wsell", a.shape)
+                except ValueError:
+                    pass
+        if variant is None and jax.default_backend() == "tpu" \
+                and width <= 128 and nnz > 1 and size > dense_threshold:
+            # already-local numbering (no reorder / rectangular): try the
+            # WSELL pack directly, no permutation
+            from g4s_tpu.ops.pallas_spmv import pack_wsell
+            try:
+                packed = pack_wsell(a)
+                row_ids = np.repeat(
+                    np.arange(a.shape[0], dtype=np.int32), deg)
+                return Graph(None, a.to_device(), None,
+                             jnp.asarray(row_ids), jnp.asarray(deg),
+                             None, packed, None, None, "wsell", a.shape)
+            except ValueError:
+                pass
         if variant is None:
             variant = "ell" if waste <= max_padding_waste else "csr"
     if variant == "dense":
@@ -137,19 +173,26 @@ def build_graph(a: CSR, *, variant: str | None = None,
         # structural zeros would corrupt min/max algebras)
         row_ids = np.repeat(np.arange(a.shape[0], dtype=np.int32), deg)
         return Graph(None, a.to_device(), None, jnp.asarray(row_ids),
-                     jnp.asarray(deg), d, None, None, "dense", a.shape)
+                     jnp.asarray(deg), d, None, None, None, "dense", a.shape)
+    if variant == "wsell":
+        from g4s_tpu.ops.pallas_spmv import pack_wsell
+        packed = pack_wsell(a)
+        row_ids = np.repeat(np.arange(a.shape[0], dtype=np.int32), deg)
+        return Graph(None, a.to_device(), None, jnp.asarray(row_ids),
+                     jnp.asarray(deg), None, packed, None, None,
+                     "wsell", a.shape)
     if variant == "dia":
         dia = csr_to_dia(a).to_device()
         return Graph(None, None, dia, None, jnp.asarray(deg), None,
-                     None, None, "dia", a.shape)
+                     None, None, None, "dia", a.shape)
     if variant == "ell":
         ell = csr_to_ell(a, pad_to=pad_to).to_device()
         return Graph(ell, None, None, None, jnp.asarray(deg), None,
-                     None, None, "ell", a.shape)
+                     None, None, None, "ell", a.shape)
     row_ids = np.repeat(np.arange(a.shape[0], dtype=np.int32), deg)
     d = a.to_device()
     return Graph(None, d, None, jnp.asarray(row_ids), jnp.asarray(deg),
-                 None, None, None, "csr", a.shape)
+                 None, None, None, None, "csr", a.shape)
 
 
 def permute_in(g: Graph, x):
@@ -201,6 +244,20 @@ def mxv(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
         if mask is not None:
             y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
         return y
+    if g.variant == "wsell":
+        if semiring is PLUS_TIMES:
+            from g4s_tpu.ops.pallas_spmv import spmv_wsell
+            y = permute_out(g, spmv_wsell(g.wsell, permute_in(g, x)))
+        else:
+            # stored-entry CSR companion for non-plus_times algebras
+            csr = g.csr
+            prod = semiring.mul(csr.data, jnp.take(x, csr.indices, axis=0))
+            y = segment_reduce(prod, g.row_ids, g.shape[0],
+                               op=_ADD_OPS[semiring.name],
+                               indices_are_sorted=True)
+        if mask is not None:
+            y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
+        return y
     if g.variant == "ell":
         ell = g.ell
         gathered = jnp.take(x, ell.cols, axis=0)
@@ -236,7 +293,7 @@ def mxm(a: CSR, b: CSR, *, semiring: Semiring = PLUS_TIMES,
 
 def reduce_vector(g: Graph, *, semiring: Semiring = PLUS_TIMES):
     """Reduce all stored values of the operator (GraphBLAS reduce)."""
-    if g.variant == "dense":
+    if g.variant in ("dense", "wsell"):
         vals = g.csr.data        # stored entries only, not structural zeros
     elif g.variant == "ell":
         vals = g.ell.vals

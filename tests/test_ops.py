@@ -211,6 +211,82 @@ class TestPallasSpMV:
         finally:
             pl.pallas_call = orig
 
+    def test_wsell_pack_and_interpret(self):
+        """WSELL-K packing + general kernel (interpret mode) vs scipy on a
+        multi-cluster matrix no single 256-lane window can serve."""
+        import scipy.sparse as sp
+        from jax.experimental import pallas as pl
+        import g4s_tpu.ops.pallas_spmv as ps
+        rng = np.random.default_rng(0)
+        n = 2048
+        rows, cols, vals = [], [], []
+        for i in range(n):
+            for o in (0, 1, -1, 400, -400, 900, -900):
+                j = i + o + int(rng.integers(-2, 3))
+                if 0 <= j < n:
+                    rows.append(i)
+                    cols.append(j)
+                    vals.append(float(rng.normal()))
+        m = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        m.sum_duplicates()
+        packed = ps.pack_wsell(CSR.from_scipy(m.astype(np.float32)),
+                               packs_per_tile=2)
+        assert packed.k > 2          # genuinely multi-window
+        orig = pl.pallas_call
+        pl.pallas_call = lambda *a, **k: orig(*a, interpret=True, **k)
+        try:
+            x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+            y = ps.spmv_wsell(packed, x)
+            np.testing.assert_allclose(np.asarray(y), m @ np.asarray(x),
+                                       atol=1e-4)
+        finally:
+            pl.pallas_call = orig
+
+    def test_wsell_rejects_scattered(self):
+        """Random scatter beyond k_max windows per pack must be rejected
+        (dispatcher then falls back to ELL/CSR)."""
+        import pytest
+        import scipy.sparse as sp
+        import g4s_tpu.ops.pallas_spmv as ps
+        rng = np.random.default_rng(1)
+        n = 1 << 14
+        nnz = n * 4
+        m = sp.coo_matrix(
+            (np.ones(nnz, np.float32),
+             (rng.integers(0, n, nnz), rng.integers(0, n, nnz))),
+            shape=(n, n)).tocsr()
+        m.sum_duplicates()
+        with pytest.raises(ValueError):
+            ps.pack_wsell(CSR.from_scipy(m), k_max=8)
+
+    def test_wsell_rectangular_and_empty_rows(self):
+        """Rectangular shape, empty rows, and uneven degrees pack and
+        evaluate correctly (interpret mode)."""
+        import scipy.sparse as sp
+        from jax.experimental import pallas as pl
+        import g4s_tpu.ops.pallas_spmv as ps
+        rng = np.random.default_rng(2)
+        n_r, n_c = 500, 700
+        m = sp.random(n_r, n_c, density=0.004, random_state=3,
+                      format="csr", dtype=np.float32)
+        # band-localize columns so the pack fits few windows
+        m = m.tocoo()
+        m.col[:] = np.minimum(n_c - 1, (m.row * n_c) // n_r
+                              + (m.col % 64))
+        m = sp.coo_matrix((m.data, (m.row, m.col)),
+                          shape=(n_r, n_c)).tocsr()
+        m.sum_duplicates()
+        packed = ps.pack_wsell(CSR.from_scipy(m), packs_per_tile=2)
+        orig = pl.pallas_call
+        pl.pallas_call = lambda *a, **k: orig(*a, interpret=True, **k)
+        try:
+            x = jnp.asarray(rng.normal(size=n_c).astype(np.float32))
+            y = ps.spmv_wsell(packed, x)
+            np.testing.assert_allclose(np.asarray(y), m @ np.asarray(x),
+                                       atol=1e-4)
+        finally:
+            pl.pallas_call = orig
+
     def test_bwell_rejects_wide_packs(self):
         """A pack whose columns span >= 256 must be rejected."""
         import pytest
