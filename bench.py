@@ -312,16 +312,22 @@ def bench_mv(dim: int = 4096, reps: int = 20):
 def bench_spmv(dtype_str: str = "f32"):
     """SpMV effective bandwidth across the dispatcher's layout choices.
 
-    Cases (all 2^20 rows unless noted):
-      banded_dia    16-diagonal band, natural numbering -> DIA (gather-free)
-      shuffled_rcm  the same band under a random numbering -> dispatcher
-                    runs RCM and executes DIA in permuted space (the
-                    SuiteSparse-style hidden-structure case)
-      stencil_ell   shuffled 3D 7-point stencil (RCM bandwidth ~n^(2/3):
-                    DIA correctly refused) -> ELL gather fallback, the
-                    honest number for mesh matrices without structure
+    HEADLINE = the shuffled 3D 7-point stencil (the unstructured mesh-
+    matrix shape CitcomS's apps produce, with no hidden narrow band):
+    the dispatcher RCM-renumbers it and runs the general WSELL-K Pallas
+    kernel. The headline number is solver-mode (permutation hoisted into
+    the solve, as the engine's operator-form callers do); the per-call
+    number including both sort-based permutes is recorded alongside.
+
+    Other cases (recorded as sub-fields):
+      banded_dia    16-diagonal band, natural numbering -> DIA. NOTE:
+                    diagonals stay cache/VMEM-resident across chained
+                    iterations, so this can exceed DRAM peak — it is a
+                    structure special case, not the general claim.
+      shuffled_rcm  the same band randomly renumbered -> RCM recovers DIA
       random_csr    uniform random pattern -> CSR segment-sum fallback
-    Headline value/vs_baseline = banded_dia vs 70% of HBM roofline.
+      rmat_skew     RMAT (G500-style a=.57,b=.19,c=.19) power-law skew ->
+                    whatever the dispatcher picks; the honest worst case
     """
     import jax
     import jax.numpy as jnp
@@ -358,25 +364,7 @@ def bench_spmv(dtype_str: str = "f32"):
     rng = np.random.default_rng(0)
     out = {}
 
-    n, diags = 1 << 20, 16
-    offs = np.r_[0, np.arange(1, diags // 2), -np.arange(1, diags // 2 + 1)]
-    band = sp.diags([np.ones(n)] * len(offs), offs, shape=(n, n),
-                    format="csr").astype(np.float32)
-    g = build_graph(CSR.from_scipy(band))
-    assert g.variant == "dia" and g.perm is None
-    per, gbs = measure(g, n, band.nnz)
-    out["banded_dia"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 3),
-                         "roofline": roofline(seconds=per,
-                                              bytes_moved=int(g.dia.vals.size * 4 + n * 8))}
-    headline = gbs
-
-    p_ = rng.permutation(n)
-    shuf = band[p_][:, p_].tocsr()
-    g2 = build_graph(CSR.from_scipy(shuf))
-    assert g2.variant == "dia" and g2.perm is not None, g2.variant
-    per, gbs = measure(g2, n, shuf.nnz, reps=(2, 30))
-    out["shuffled_rcm"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 3)}
-
+    # ---- HEADLINE: shuffled 3D 7-point stencil -> RCM + WSELL-K ----
     nx = 101
     n3 = nx ** 3
     t_ = sp.diags([1.0, 1.0, 1.0], [-1, 0, 1], (nx, nx))
@@ -386,9 +374,108 @@ def bench_spmv(dtype_str: str = "f32"):
     pp = rng.permutation(n3)
     g3m = g3m[pp][:, pp].tocsr()
     g3 = build_graph(CSR.from_scipy(g3m))
-    per, gbs = measure(g3, n3, g3m.nnz, reps=(1, 6))
-    out["stencil_" + g3.variant] = {"gbs": round(gbs, 1),
-                                    "ms": round(per * 1e3, 2)}
+    stencil_bytes = g3m.nnz * 8 + n3 * 8
+    if g3.variant == "wsell":
+        from g4s_tpu.ops.pallas_spmv import spmv_wsell
+
+        def chain(nrep):
+            return jax.jit(lambda x: jax.lax.fori_loop(
+                0, nrep, lambda i, u: spmv_wsell(g3.wsell, u * 0.999), x))
+        times = {}
+        for nrep in (2, 100):
+            h = chain(nrep)
+            h(jnp.ones((n3,), jnp.float32)).block_until_ready()
+            ts = []
+            for k in range(3):
+                x = jnp.full((n3,), 1.0 + 0.001 * k + 0.01 * nrep,
+                             jnp.float32)
+                t0 = time.time()
+                h(x).block_until_ready()
+                ts.append(time.time() - t0)
+            times[nrep] = min(ts)
+        per = (times[100] - times[2]) / 98
+        headline = stencil_bytes / per / 1e9
+        # permute cost: single-dispatch delta between 3-sort and 1-sort
+        # jits (cancels the remote-dispatch overhead; sorts cannot be
+        # chained in fori_loop without a compile blowup on this backend)
+        xd = jnp.ones((n3,), jnp.float32)
+
+        def sorts(m):
+            def f(x):
+                for _ in range(m):
+                    x = jax.lax.sort_key_val(g3.iperm, x * 0.999)[1]
+                return x
+            return jax.jit(f)
+        ts_ = {}
+        for m in (1, 3):
+            h = sorts(m)
+            h(xd).block_until_ready()
+            tt = []
+            for _ in range(7):
+                t0 = time.time()
+                h(xd).block_until_ready()
+                tt.append(time.time() - t0)
+            ts_[m] = min(tt)
+        sort_s = max((ts_[3] - ts_[1]) / 2, 0.0)
+        per_full = per + 2 * sort_s
+        out["stencil_wsell"] = {
+            "gbs_hoisted": round(headline, 1), "ms": round(per * 1e3, 3),
+            "k_windows": g3.wsell.k,
+            "sort_ms": round(sort_s * 1e3, 3),
+            "gbs_incl_permutes": round(stencil_bytes / per_full / 1e9, 1),
+            "note": "hoisted = solver mode (operator-form callers solve "
+                    "in RCM space, permuting once per solve)",
+            "roofline": roofline(seconds=per, bytes_moved=stencil_bytes)}
+    else:   # CPU or fallback path
+        per, headline = measure(g3, n3, g3m.nnz, reps=(1, 6))
+        out["stencil_" + g3.variant] = {"gbs": round(headline, 1),
+                                        "ms": round(per * 1e3, 2)}
+
+    # ---- banded DIA (structure special case; cache-resident) ----
+    n, diags = 1 << 20, 16
+    offs = np.r_[0, np.arange(1, diags // 2), -np.arange(1, diags // 2 + 1)]
+    band = sp.diags([np.ones(n)] * len(offs), offs, shape=(n, n),
+                    format="csr").astype(np.float32)
+    g = build_graph(CSR.from_scipy(band))
+    assert g.variant == "dia" and g.perm is None
+    per, gbs = measure(g, n, band.nnz)
+    out["banded_dia"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 3),
+                         "note": "diagonals stay VMEM/cache-resident when "
+                                 "chained: structure special case, can "
+                                 "exceed DRAM peak",
+                         "roofline": roofline(seconds=per,
+                                              bytes_moved=int(g.dia.vals.size * 4 + n * 8))}
+
+    p_ = rng.permutation(n)
+    shuf = band[p_][:, p_].tocsr()
+    g2 = build_graph(CSR.from_scipy(shuf))
+    assert g2.perm is not None
+    if g2.variant == "dia":
+        # hoisted measurement (chaining mxv would let XLA fold the
+        # inverse permute pairs between iterations into nothing)
+        from g4s_tpu.ops.spmv import spmv_dia
+
+        def chain2(nrep):
+            return jax.jit(lambda x: jax.lax.fori_loop(
+                0, nrep, lambda i, u: spmv_dia(g2.dia, u * 0.999), x))
+        times = {}
+        for nrep in (2, 30):
+            h = chain2(nrep)
+            h(jnp.ones((n,), jnp.float32)).block_until_ready()
+            ts = []
+            for k in range(3):
+                xq = jnp.full((n,), 1.0 + 0.001 * k, jnp.float32)
+                t0 = time.time()
+                h(xq).block_until_ready()
+                ts.append(time.time() - t0)
+            times[nrep] = min(ts)
+        per = (times[30] - times[2]) / 28
+        band_bytes = shuf.nnz * 4 + n * 8
+        out["shuffled_rcm"] = {
+            "gbs_hoisted": round(band_bytes / per / 1e9, 1),
+            "ms": round(per * 1e3, 3),
+            "note": "RCM recovers the 16-diag band; DIA executed in "
+                    "permuted space (hoisted like stencil_wsell)"}
 
     nr = 1 << 17
     rr = np.random.default_rng(1)
@@ -401,12 +488,44 @@ def bench_spmv(dtype_str: str = "f32"):
     per, gbs = measure(g4, nr, rand.nnz, reps=(1, 6))
     out["random_csr"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 2)}
 
+    # ---- RMAT power-law skew (G500-style corpus family,
+    # mm/src/mkl_spgemm.cpp:19-37) ----
+    rmat = _rmat_matrix(17, 16, np.random.default_rng(7))
+    g5 = build_graph(CSR.from_scipy(rmat), reorder=False)
+    per, gbs = measure(g5, rmat.shape[0], rmat.nnz, reps=(1, 6))
+    out["rmat_skew"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 2),
+                        "variant": g5.variant,
+                        "max_deg": int(np.diff(rmat.indptr).max())}
+
     roofline_target = 0.7 * 819.0  # 70% of v5e HBM roofline (BASELINE.md)
     return {"metric": "spmv_bandwidth", "value": round(headline, 2),
             "unit": "GB/s",
             "vs_baseline": round(headline / roofline_target, 3),
-            "baseline_basis": "0.7 x 819 GB/s v5e HBM roofline",
+            "baseline_basis": "0.7 x 819 GB/s v5e HBM roofline; headline "
+                              "= shuffled 3D stencil via RCM + WSELL-K "
+                              "(solver-mode, hoisted permutation)",
             "cases": out}
+
+
+def _rmat_matrix(scale: int, edge_factor: int, rng):
+    """Graph500-style RMAT edge generator (a=.57,b=.19,c=.19,d=.05)."""
+    import numpy as np
+    import scipy.sparse as sp
+    n = 1 << scale
+    m = n * edge_factor
+    rows = np.zeros(m, np.int64)
+    cols = np.zeros(m, np.int64)
+    a, b, c = 0.57, 0.19, 0.19
+    for bit in range(scale):
+        r = rng.random(m)
+        right = (r > a + b) & (r <= a + b + c) | (r > a + b + c)
+        down = (r > a) & (r <= a + b) | (r > a + b + c)
+        rows |= right.astype(np.int64) << bit
+        cols |= down.astype(np.int64) << bit
+    mat = sp.coo_matrix((np.ones(m, np.float32), (rows, cols)),
+                        shape=(n, n)).tocsr()
+    mat.sum_duplicates()
+    return mat
 
 
 def main():
