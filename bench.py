@@ -265,6 +265,21 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
     numeric_s = (time.perf_counter() - t0) / reps
     gflops = flops / numeric_s / 1e9
 
+    # COLD START: one-shot C=A*A with device-side structure discovery
+    # (spgemm_device_csr: expand/sort/merge on TPU, outer_mult.h analog).
+    # Warm the jit on a tiny DIFFERENT shape problem first so the timed
+    # run still pays all per-pattern work but not XLA compilation (the
+    # reference's MKL baseline also holds its library code warm).
+    from g4s_tpu.ops.spgemm import spgemm_device_csr
+    A_tiny = CSR.from_scipy(sp.random(512, 512, density=avg_deg / 512,
+                                      random_state=rng, format="csr",
+                                      dtype=np.float32))
+    _ = spgemm_device_csr(A_tiny, A_tiny)
+    _ = spgemm_device_csr(A, A)          # compile at full shape
+    t0 = time.perf_counter()
+    c_cold = spgemm_device_csr(A, A)
+    cold_s = time.perf_counter() - t0
+
     # measured CPU-library baseline (the MKL role)
     A64 = A_s.astype(np.float64)
     _ = A64 @ A64                                    # warmup
@@ -273,6 +288,8 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
         C = A64 @ A64
     scipy_s = (time.perf_counter() - t0) / 3
     scipy_gflops = flops / scipy_s / 1e9
+    assert abs(float(np.asarray(c_cold.data).sum())
+               - float(C.sum())) < 1e-3 * abs(float(C.sum()))
     return {"metric": "spgemm_gflops_numeric", "value": round(gflops, 2),
             "unit": "GFLOPS",
             "vs_baseline": round(gflops / scipy_gflops, 3),
@@ -281,6 +298,11 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
                               "ms), the reference driver's CPU-library role",
             "symbolic_ms": round(symbolic_s * 1e3, 1),
             "numeric_ms": round(numeric_s * 1e3, 2),
+            "cold_start_ms": round(cold_s * 1e3, 1),
+            "cold_vs_scipy": round(scipy_s / cold_s, 3),
+            "cold_note": "one-shot end-to-end incl. device expand/sort/"
+                         "merge structure discovery + host CSR split "
+                         "(no plan reuse)",
             "numeric_note": "bounded by XLA-TPU gather throughput "
                             "(measured 114 M elem/s at this size); the "
                             "plan amortizes symbolic across value updates",

@@ -1,0 +1,630 @@
+"""Full CitcomS timestep in df64 on TPU — the 1e-10 tier at speed.
+
+df64_solver.py runs only the inner CG on the TPU and leaves advection,
+assembly and the Uzawa outer on the (single-core) CPU in f64 — correct,
+but the CPU residue alone busts the per-step budget. This module
+transcribes the ENTIRE Cookbook2 timestep into double-word f32
+(ops/df64.py) so one device dispatch covers advection + assembly +
+Uzawa + inner CG, the same way the reference forked its hot solver into
+CUDA next to the C original (citcoms/lib/cgrad_kernel.cu): a precision-
+motivated duplicate of the numerics, kept small by supporting exactly
+the feature envelope the Cookbook2 benchmark exercises —
+
+  constant-viscosity TDEPV (viscE=0), cgrad solver, PG advection with
+  the max-T guard, no TALA/tracers/phase-change/lith-age.
+
+Anything outside that envelope raises NotImplementedError and callers
+fall back to the CPU-f64 or hybrid (df64_solver) paths.
+
+Scatter-adds (the one op df64 cannot express as a plain segment-sum,
+since summing hi-parts alone re-rounds at f32) are done through padded
+per-target gather maps built once on host: every FE target has <= 8
+contributions on a hex mesh, so assembly becomes gather + 3 halving
+df-adds.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from g4s_tpu.ops import df64 as df
+
+_OFFSETS = [(dy, dx, dz) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            for dz in (-1, 0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# df64 array helpers
+# ---------------------------------------------------------------------------
+
+def _tree_sum(pair, axis: int):
+    """df64 sum along one axis by halving (exact df adds)."""
+    h, l = pair
+    n = h.shape[axis]
+    m = 1
+    while m < n:
+        m *= 2
+    if m != n:
+        padw = [(0, 0)] * h.ndim
+        padw[axis] = (0, m - n)
+        h = jnp.pad(h, padw)
+        l = jnp.pad(l, padw)
+    while m > 1:
+        m //= 2
+        lo_h = jax.lax.slice_in_dim(h, 0, m, axis=axis)
+        hi_h = jax.lax.slice_in_dim(h, m, 2 * m, axis=axis)
+        lo_l = jax.lax.slice_in_dim(l, 0, m, axis=axis)
+        hi_l = jax.lax.slice_in_dim(l, m, 2 * m, axis=axis)
+        h, l = df.add((lo_h, lo_l), (hi_h, hi_l))
+    return jnp.squeeze(h, axis), jnp.squeeze(l, axis)
+
+
+def _take(pair, idx, axis=0):
+    return (jnp.take(pair[0], idx, axis=axis),
+            jnp.take(pair[1], idx, axis=axis))
+
+
+def _where(pred, a_pair, b_pair):
+    return (jnp.where(pred, a_pair[0], b_pair[0]),
+            jnp.where(pred, a_pair[1], b_pair[1]))
+
+
+def _zeros_like(pair):
+    return jnp.zeros_like(pair[0]), jnp.zeros_like(pair[1])
+
+
+def _abs(pair):
+    neg = pair[0] < 0
+    return jnp.where(neg, -pair[0], pair[0]), \
+        jnp.where(neg, -pair[1], pair[1])
+
+
+def _reshape(pair, shape):
+    return pair[0].reshape(shape), pair[1].reshape(shape)
+
+
+def _max_pair(pair):
+    """The df element with the largest hi (flattened)."""
+    h = pair[0].reshape(-1)
+    l = pair[1].reshape(-1)
+    i = jnp.argmax(h)
+    return h[i], l[i]
+
+
+def split64(a) -> df.DF:
+    """Host f64 -> device (hi, lo) pair."""
+    a = np.asarray(a, np.float64)
+    hi = a.astype(np.float32)
+    lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+class PaddedScatter(NamedTuple):
+    """Additive assembly as gather + halving df-adds (host-precomputed)."""
+    idx: jax.Array     # (n_targets, width) indices into flat contribs, -1 pad
+    mask: jax.Array    # (n_targets, width) bool
+    n_targets: int
+
+    @staticmethod
+    def build(flat_targets: np.ndarray, n_targets: int) -> "PaddedScatter":
+        flat_targets = np.asarray(flat_targets)
+        counts = np.bincount(flat_targets, minlength=n_targets)
+        width = max(int(counts.max()), 1)
+        order = np.argsort(flat_targets, kind="stable")
+        sorted_t = flat_targets[order]
+        off = np.r_[0, np.cumsum(counts)]
+        rank = np.arange(len(sorted_t)) - off[sorted_t]
+        idx = np.full((n_targets, width), -1, np.int64)
+        idx[sorted_t, rank] = order
+        return PaddedScatter(jnp.asarray(np.maximum(idx, 0).astype(np.int32)),
+                             jnp.asarray(idx >= 0), n_targets)
+
+    def apply(self, pair):
+        """pair: flat (n_contrib, ...) -> (n_targets, ...)."""
+        h = jnp.take(pair[0], self.idx, axis=0)      # (nt, w, ...)
+        l = jnp.take(pair[1], self.idx, axis=0)
+        m = self.mask.reshape(self.mask.shape + (1,) * (h.ndim - 2))
+        h = jnp.where(m, h, 0.0)
+        l = jnp.where(m, l, 0.0)
+        return _tree_sum((h, l), axis=1)
+
+
+# ---------------------------------------------------------------------------
+# operator application in df64. The constant operators themselves (elt_k,
+# stencil W, BI, BPI) are precomputed in TRUE f64 on the CPU model once —
+# the Cookbook2 envelope has constant viscosity, so per-step device
+# assembly would recompute the same values (and its 48-term unrolled df64
+# einsum sent XLA compile time through the roof).
+# ---------------------------------------------------------------------------
+
+def apply_stencil_df(Wp, up):
+    """Batched df64 27-point stencil (one big df.mul + tree reductions)."""
+    Wh, Wl = Wp
+    uh, ul = up
+    noy, nox, noz, _ = uh.shape
+    pad = ((1, 1), (1, 1), (1, 1), (0, 0))
+    uph, upl = jnp.pad(uh, pad), jnp.pad(ul, pad)
+    sh = jnp.stack([jax.lax.dynamic_slice(
+        uph, (1 + dy, 1 + dx, 1 + dz, 0), (noy, nox, noz, 3))
+        for (dy, dx, dz) in _OFFSETS], axis=3)            # (y,x,z,27,3)
+    sl = jnp.stack([jax.lax.dynamic_slice(
+        upl, (1 + dy, 1 + dx, 1 + dz, 0), (noy, nox, noz, 3))
+        for (dy, dx, dz) in _OFFSETS], axis=3)
+    # (y,x,z,27,3i,3j) * (y,x,z,27,1,3j) -> reduce over (27, j)
+    prod = df.mul((Wh, Wl), (sh[..., None, :], sl[..., None, :]))
+    ph = prod[0].transpose(0, 1, 2, 4, 3, 5).reshape(noy, nox, noz, 3, 81)
+    pl = prod[1].transpose(0, 1, 2, 4, 3, 5).reshape(noy, nox, noz, 3, 81)
+    return _tree_sum((ph, pl), axis=4)                    # (y,x,z,3)
+
+
+def stencil_matvec_df(Wp, u_flat_p, vbc_mask, *, strip=True):
+    noy, nox, noz = Wp[0].shape[:3]
+    up = _reshape(u_flat_p, (noy, nox, noz, 3))
+    ah, al = apply_stencil_df(Wp, up)
+    ah, al = ah.reshape(-1, 3), al.reshape(-1, 3)
+    if strip:
+        ah = jnp.where(vbc_mask, 0.0, ah)
+        al = jnp.where(vbc_mask, 0.0, al)
+    return ah, al
+
+
+def grad_p_df(Gp, p_pair, scat_nodes, vbc_mask, *, strip=True):
+    contrib = df.mul(Gp, (p_pair[0][:, None, None], p_pair[1][:, None, None]))
+    f = scat_nodes.apply(_reshape(contrib, (-1, 3)))
+    if strip:
+        f = (jnp.where(vbc_mask, 0.0, f[0]), jnp.where(vbc_mask, 0.0, f[1]))
+    return f
+
+
+def div_u_df(Gp, ien, u_pair):
+    u_el = _take(u_pair, ien, axis=0)                     # (nel, 8, 3)
+    t = df.mul(Gp, u_el)
+    return _tree_sum(_reshape(t, (t[0].shape[0], 24)), axis=1)
+
+
+def forces_df(Np, gda_p, gweight_p, ccr_p, ien, scat_nodes, buoy_p,
+              Wp, vbc_mask, vbc_val_p):
+    """assemble_forces transcription (buoyancy + Dirichlet lifting)."""
+    f_nodes = _take(buoy_p, ien, axis=0)                  # (nel, 8)
+    # f_gs[e,g] = sum_a f[e,a] N[a,g]
+    t = df.mul((f_nodes[0][:, :, None], f_nodes[1][:, :, None]),
+               (Np[0][None], Np[1][None]))                # (nel, 8a, 8g)
+    f_gs = _tree_sum(t, axis=1)                           # (nel, 8g)
+    w = df.mul(df.mul(f_gs, gda_p),
+               (jnp.broadcast_to(gweight_p[0], gda_p[0].shape),
+                jnp.broadcast_to(gweight_p[1], gda_p[0].shape)))
+    # contrib[e,a,i] = sum_g w[e,g] N[a,g] cc_r[e,g,i,a]
+    wN = df.mul((w[0][:, None, :], w[1][:, None, :]),
+                (Np[0][None], Np[1][None]))               # (nel, 8a, 8g)
+    t2 = df.mul((wN[0][:, :, :, None], wN[1][:, :, :, None]),
+                (ccr_p[0].transpose(0, 3, 1, 2),
+                 ccr_p[1].transpose(0, 3, 1, 2)))         # (nel,8a,8g,3i)
+    contrib = _tree_sum(t2, axis=2)                       # (nel, 8a, 3)
+    f = scat_nodes.apply(_reshape(contrib, (-1, 3)))
+    vb = (jnp.where(vbc_mask, vbc_val_p[0], 0.0),
+          jnp.where(vbc_mask, vbc_val_p[1], 0.0))
+    Kvb = stencil_matvec_df(Wp, vb, vbc_mask, strip=False)
+    f = df.sub(f, Kvb)
+    return (jnp.where(vbc_mask, 0.0, f[0]), jnp.where(vbc_mask, 0.0, f[1]))
+
+
+# ---------------------------------------------------------------------------
+# solvers in df64 (conj_grad:307-433, solve_Ahat_p_fhat_CG:188-451 mirrors)
+# ---------------------------------------------------------------------------
+
+def conj_grad_df(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int):
+    zero = jnp.zeros_like(Fp[0])
+    d = (zero, zero)
+    r = Fp
+    res0 = df.sqrt(df.dot(r, r))
+
+    def cond(state):
+        d, r, p1, dotr0z0, res, count = state
+        return jnp.logical_or(
+            jnp.logical_and(res[0] > acc_pair[0], count < max_iter),
+            count == 0)
+
+    def body(state):
+        d, r, p1, dotr0z0, res, count = state
+        z1 = df.mul(BIp, r)
+        dotr1z1 = df.dot(r, z1)
+        beta = df.select(count == 0, df.df(0.0),
+                         df.div(dotr1z1,
+                                df.select(dotr0z0[0] == 0, df.df(1.0),
+                                          dotr0z0)))
+        p2 = df.add(z1, df.mul(beta, p1))
+        Ap = stencil_matvec_df(Wp, p2, vbc_mask)
+        dotprod = df.dot(p2, Ap)
+        alpha = df.select(dotprod[0] == 0, df.df(1.0e-3),
+                          df.div(dotr1z1,
+                                 df.select(dotprod[0] == 0, df.df(1.0),
+                                           dotprod)))
+        d = df.add(d, df.mul(alpha, p2))
+        r = df.add(r, df.mul(df.neg(alpha), Ap))
+        res = df.sqrt(df.dot(r, r))
+        return (d, r, p2, dotr1z1, res, count + 1)
+
+    init = (d, r, (zero, zero), df.df(1.0), res0, jnp.asarray(0, jnp.int32))
+    d, r, _, _, res, count = jax.lax.while_loop(cond, body, init)
+    d = (jnp.where(vbc_mask, 0.0, d[0]), jnp.where(vbc_mask, 0.0, d[1]))
+    return d, res, count
+
+
+class _Norms(NamedTuple):
+    nmass_p: df.DF       # (nno,)
+    e_area_p: df.DF      # (nel,)
+    inv_vol_p: df.DF     # scalar 1/total_volume
+
+
+def _vnorm2(norms, v_pair):
+    w = df.mul(df.mul(v_pair, v_pair),
+               (norms.nmass_p[0][:, None], norms.nmass_p[1][:, None]))
+    return df.mul(df.sum_df(w), norms.inv_vol_p)
+
+
+def _pnorm2(norms, p_pair):
+    w = df.mul(df.mul(p_pair, p_pair), norms.e_area_p)
+    return df.mul(df.sum_df(w), norms.inv_vol_p)
+
+
+def _divnorm2(norms, p_pair):
+    w = df.div(df.mul(p_pair, p_pair), norms.e_area_p)
+    return df.mul(df.sum_df(w), norms.inv_vol_p)
+
+
+def uzawa_cg_df(Wp, BIp, BPIp, Gp, ien, scat_nodes, norms,
+                V_pair, P_pair, F_pair, vbc_mask,
+                accuracy: float, inner_acc_scale: float,
+                max_outer: int, max_inner: int,
+                check_pressure_convergence: bool):
+    """Uzawa pressure CG in df64 (uzawa_cg mirror, same stopping logic)."""
+    imp = np.float32(accuracy)
+    fdotf = df.sqrt(df.dot(F_pair, F_pair))
+    inner_acc = df.mul_f(fdotf, np.float32(accuracy * inner_acc_scale))
+
+    F1 = df.sub(df.sub(F_pair, grad_p_df(Gp, P_pair, scat_nodes, vbc_mask)),
+                stencil_matvec_df(Wp, V_pair, vbc_mask))
+    F1 = (jnp.where(vbc_mask, 0.0, F1[0]), jnp.where(vbc_mask, 0.0, F1[1]))
+    du, _, it0 = conj_grad_df(Wp, BIp, F1, vbc_mask, inner_acc, max_inner)
+    V = df.add(V_pair, du)
+
+    r1 = div_u_df(Gp, ien, V)
+    vdotv = _vnorm2(norms, V)
+    incomp0 = df.sqrt(df.div(_divnorm2(norms, r1), df.add_f(vdotv, 1e-32)))
+
+    def cond(st):
+        (V, P, r1, s1, r0z0, count, conv, inner, dv, dp, inc) = st
+        return jnp.logical_and(count < max_outer, conv < 2)
+
+    def body(st):
+        (V, P, r1, s1, r0z0, count, conv, inner, dv, dp, inc) = st
+        z1 = df.mul(BPIp, r1)
+        r1z1 = df.dot(r1, z1)
+        delta = df.select(count == 0, df.df(0.0),
+                          df.div(r1z1, df.select(r0z0[0] == 0, df.df(1.0),
+                                                 r0z0)))
+        s2 = df.add(z1, df.mul(delta, s1))
+        F2 = grad_p_df(Gp, s2, scat_nodes, vbc_mask)
+        u1, _, cg_it = conj_grad_df(Wp, BIp, F2, vbc_mask, inner_acc,
+                                    max_inner)
+        F3 = div_u_df(Gp, ien, u1)
+        alpha = df.div(r1z1, df.dot(s2, F3))
+        r2 = df.sub(r1, df.mul(alpha, F3))
+        P = df.add(P, df.mul(alpha, s2))
+        V = df.sub(V, df.mul(alpha, u1))
+
+        vdotv = _vnorm2(norms, V)
+        pdotp = _pnorm2(norms, P)
+        dvel = df.mul(alpha, df.sqrt(df.div(_vnorm2(norms, u1),
+                                            df.add_f(vdotv, 1e-32))))
+        dpre = df.mul(alpha, df.sqrt(df.div(_pnorm2(norms, s2),
+                                            df.add_f(pdotp, 1e-32))))
+        divv = div_u_df(Gp, ien, V)
+        inc = df.sqrt(df.div(_divnorm2(norms, divv),
+                             df.add_f(vdotv, 1e-32)))
+        if check_pressure_convergence:
+            conv_now = jnp.logical_and(dvel[0] < imp, dpre[0] < imp)
+        else:
+            conv_now = dvel[0] < imp
+        conv = jnp.where(conv_now, conv + 1, 0)
+        return (V, P, r2, s2, r1z1, count + 1, conv, inner + cg_it,
+                dvel, dpre, inc)
+
+    init = (V, P_pair, r1, _zeros_like(r1), df.df(1.0),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), it0,
+            df.df(1.0), df.df(1.0), incomp0)
+    (V, P, r1, _, _, count, _, inner_total, dv, dp, inc) = \
+        jax.lax.while_loop(cond, body, init)
+    return V, P, (df.sqrt(_vnorm2(norms, V)), df.sqrt(_pnorm2(norms, P)),
+                  inc, count, inner_total)
+
+
+# ---------------------------------------------------------------------------
+# advection in df64 (advection.py transcription)
+# ---------------------------------------------------------------------------
+
+class AdvDF(NamedTuple):
+    N_p: df.DF         # (8a, 8g)
+    Nc_p: df.DF        # (8a,) center shape fns
+    gw_p: df.DF        # (8g,)
+    gda_p: df.DF       # (nel, 8g)
+    gradN_p: df.DF     # (nel, 8g, 3, 8a)
+    esize_p: df.DF     # (nel, 3)
+    tmass_p: df.DF     # (nno,)
+    diff_dt_p: df.DF   # scalar
+
+
+def cfl_timestep_df(adv: AdvDF, ien, V_pair, finetunedt: float):
+    vv = _take(V_pair, ien, axis=0)                       # (nel, 8, 3)
+    t = df.mul(vv, (adv.Nc_p[0][None, :, None], adv.Nc_p[1][None, :, None]))
+    uc = _tree_sum(t, axis=1)                             # (nel, 3)
+    rate = _tree_sum(df.div(_abs(uc), adv.esize_p), axis=1)
+    rmax = _max_pair(rate)
+    step = df.div(df.df(0.5), rmax)
+    dt = df.mul_f(step, np.float32(finetunedt))
+    dt = df.select(dt[0] < adv.diff_dt_p[0], dt, adv.diff_dt_p)
+    return df.add_f(dt, 1e-32)
+
+
+def pg_residual_df(adv: AdvDF, ien, scat_t, T_p, Td_p, V_pair,
+                   diff_p, Q0_p, tbc_mask):
+    vv = _take(V_pair, ien, axis=0)                       # (nel, 8a, 3)
+    t = df.mul(vv, (adv.Nc_p[0][None, :, None], adv.Nc_p[1][None, :, None]))
+    uc = _tree_sum(t, axis=1)                             # (nel, 3)
+
+    twodiff = df.mul_f(diff_p, np.float32(2.0))
+    u_l = df.mul(_abs(uc), adv.esize_p)                   # (nel, 3)
+    xse_v = df.sub(df.df(jnp.ones_like(u_l[0])),
+                   df.div((jnp.broadcast_to(twodiff[0], u_l[0].shape),
+                           jnp.broadcast_to(twodiff[1], u_l[0].shape)),
+                          _where(u_l[0] > twodiff[0], u_l,
+                                 df.df(jnp.ones_like(u_l[0])))))
+    xse = _where(u_l[0] > twodiff[0], xse_v, _zeros_like(u_l))
+    unorm = _tree_sum(df.mul(uc, uc), axis=1)             # (nel,)
+    num = _tree_sum(df.mul(u_l, xse), axis=1)
+    den = df.mul_f(unorm, np.float32(2.0))
+    adiff_v = df.div(num, _where(unorm[0] > 1e-6, den,
+                                 df.df(jnp.ones_like(den[0]))))
+    adiff = _where(unorm[0] > 1e-6, adiff_v, _zeros_like(unorm))
+
+    # u at gauss points: (nel, 8g, 3) = sum_a vv[e,a,i] N[a,g]
+    t = df.mul((vv[0][:, :, None, :], vv[1][:, :, None, :]),
+               (adv.N_p[0][None, :, :, None], adv.N_p[1][None, :, :, None]))
+    u_g = _tree_sum(t, axis=1)                            # (nel, 8g, 3)
+    # ugn[e,g,a] = sum_i u_g[e,g,i] gradN[e,g,i,a]
+    t = df.mul((u_g[0][..., None], u_g[1][..., None]), adv.gradN_p)
+    ugn = _tree_sum(t, axis=2)                            # (nel, 8g, 8a)
+    PG = df.add((jnp.broadcast_to(adv.N_p[0].T[None], ugn[0].shape),
+                 jnp.broadcast_to(adv.N_p[1].T[None], ugn[0].shape)),
+                df.mul((adiff[0][:, None, None], adiff[1][:, None, None]),
+                       ugn))                              # (nel, 8g, 8a)
+
+    T_el = _take(T_p, ien, axis=0)                        # (nel, 8a)
+    Td_masked = (jnp.where(tbc_mask, 0.0, Td_p[0]),
+                 jnp.where(tbc_mask, 0.0, Td_p[1]))
+    Td_el = _take(Td_masked, ien, axis=0)
+    t = df.mul((Td_el[0][:, :, None], Td_el[1][:, :, None]),
+               (adv.N_p[0][None], adv.N_p[1][None]))
+    dT_g = _tree_sum(t, axis=1)                           # (nel, 8g)
+    # grad T at gauss: (nel, 8g, 3) = sum_a T[e,a] gradN[e,g,i,a]
+    t = df.mul((T_el[0][:, None, None, :], T_el[1][:, None, None, :]),
+               adv.gradN_p)
+    gT = _tree_sum(t, axis=3)                             # (nel, 8g, 3)
+    adv_term = _tree_sum(df.mul(u_g, gT), axis=2)         # (nel, 8g)
+
+    wg = df.mul(adv.gda_p, (jnp.broadcast_to(adv.gw_p[0][None],
+                                             adv.gda_p[0].shape),
+                            jnp.broadcast_to(adv.gw_p[1][None],
+                                             adv.gda_p[0].shape)))
+    X = df.sub(df.add(dT_g, adv_term),
+               (jnp.broadcast_to(Q0_p[0], dT_g[0].shape),
+                jnp.broadcast_to(Q0_p[1], dT_g[0].shape)))
+    wgX = df.mul(wg, X)                                   # (nel, 8g)
+    t = df.mul(PG, (wgX[0][..., None], wgX[1][..., None]))
+    res_adv = df.neg(_tree_sum(t, axis=1))                # (nel, 8a)
+    # res_diff = -diff * sum_{g,i} gradN[e,g,i,a] gT[e,g,i] wg[e,g]
+    Z = df.mul(gT, (wg[0][..., None], wg[1][..., None]))  # (nel, 8g, 3)
+    t = df.mul(adv.gradN_p, (Z[0][..., None], Z[1][..., None]))
+    nel = t[0].shape[0]
+    sum_gi = _tree_sum(_reshape(t, (nel, 24, 8)), axis=1)  # (nel, 8a)
+    res_diff = df.neg(df.mul(sum_gi,
+                             (jnp.broadcast_to(diff_p[0], sum_gi[0].shape),
+                              jnp.broadcast_to(diff_p[1], sum_gi[0].shape))))
+    Eres = df.add(res_adv, res_diff)                      # (nel, 8a)
+
+    DT = scat_t.apply(_reshape(Eres, (-1,)))              # (nno,)
+    DT = df.mul(DT, adv.tmass_p)
+    return (jnp.where(tbc_mask, 0.0, DT[0]),
+            jnp.where(tbc_mask, 0.0, DT[1]))
+
+
+def pg_timestep_df(adv: AdvDF, ien, scat_t, T_p, Td_p, V_pair, dt_p, *,
+                   diff_p, Q0_p, gamma: float, sub_iterations: int,
+                   tbc_mask, tbc_val_p):
+    T = df.add(T_p, df.mul(df.mul_f(dt_p, np.float32(1.0 - gamma)), Td_p))
+    Td = _zeros_like(Td_p)
+    gdt = df.mul_f(dt_p, np.float32(gamma))
+    for _ in range(sub_iterations):
+        DT = pg_residual_df(adv, ien, scat_t, T, Td, V_pair, diff_p, Q0_p,
+                            tbc_mask)
+        T = df.add(T, df.mul(gdt, DT))
+        Td = df.add(Td, DT)
+        T = _where(tbc_mask, tbc_val_p, T)
+    return T, Td
+
+
+# ---------------------------------------------------------------------------
+# the full-step model
+# ---------------------------------------------------------------------------
+
+class DF64Model:
+    """One-device-dispatch df64 Cookbook2 timestep.
+
+    Built FROM a CPU-f64 CitcomModel (whose host tensors are the exact f64
+    geometry); all static tensors are split into (hi, lo) pairs once. The
+    State is carried as f64 on host and split/merged per step (~1 MB)."""
+
+    def __init__(self, model):
+        cfg = model.cfg
+        self.cfg = cfg
+        if (cfg.SDEPV or cfg.PDEPV or cfg.CDEPV or cfg.ANIVISC
+                or cfg.disptn_number != 0.0 or cfg.lith_age
+                or cfg.filter_temp or cfg.solver_type != "cgrad"
+                or any(e != 0.0 for e in cfg.viscE)
+                or cfg.Ra_410 != 0.0 or cfg.Ra_670 != 0.0
+                or cfg.Ra_cmb != 0.0):
+            raise NotImplementedError(
+                "DF64Model covers the Cookbook2 feature envelope "
+                "(constant viscosity, cgrad, PG advection); use the "
+                "df64_inner hybrid for other configurations")
+        m = model.mesh
+        np64 = lambda x: np.asarray(x, np.float64)
+        self.ien = jnp.asarray(np.asarray(m.ien))
+        self.vbc_mask = jnp.asarray(np.asarray(m.vbc_mask))
+        self.tbc_mask = jnp.asarray(np.asarray(m.tbc_mask))
+        self.vbc_val_p = split64(np64(m.vbc_val))
+        self.tbc_val_p = split64(np64(m.tbc_val))
+        g = model.geo
+        self.G_p = split64(np64(g.G))
+        self.N_p = split64(np64(g.N))
+        self.gda_p = split64(np64(g.gda))
+        self.gw_p = split64(np64(g.gweight))
+        self.ccr_p = split64(np64(g.cc)[:, :, 2])        # (nel, 8g, 3, 8a)
+        nel, nno = m.nel, m.nno
+        self.grid = (cfg.nodey, cfg.nodex, cfg.nodez)
+        # constant operators, computed ONCE in true f64 by the CPU model
+        # (constant viscosity -> elt_k/W/BI/BPI are step-invariant; this
+        # is the exact arithmetic the blessed trajectory used)
+        import jax as _jax
+        cpu = _jax.devices("cpu")[0]
+        with _jax.default_device(cpu):
+            s0 = model.init_state()
+            ops = model._build_ops(s0.T)
+            from g4s_tpu.models.citcoms.nodal import build_stencil
+            W64 = np.asarray(build_stencil(ops.elt_k, model.stencil_plan),
+                             np.float64)
+        self.W_p = split64(W64)
+        self.BI_p = split64(np.asarray(ops.BI, np.float64))
+        self.BPI_p = split64(np.asarray(ops.BPI, np.float64))
+        # scatter maps
+        self.scat_nodes = PaddedScatter.build(np.asarray(m.ien).ravel(), nno)
+        # norms
+        self.norms = _Norms(split64(np64(model.nmass)),
+                            split64(np64(model.e_area)),
+                            split64(np.float64(1.0 / model.total_volume)))
+        # advection statics
+        a = model.adv_geo
+        self.adv = AdvDF(split64(np64(a.N)), split64(np64(a.N_center)[:, 0]),
+                         split64(np64(a.gweight)), split64(np64(a.gda)),
+                         split64(np64(a.gradN)), split64(np64(a.e_size)),
+                         split64(np64(a.tmass)),
+                         split64(np.float64(a.diff_dt)))
+        # buoyancy layer weights
+        noz = cfg.nodez
+        self.noz = noz
+        lw = np64(model._layer_weights).reshape(-1, noz)
+        self.lw_p = split64(lw)
+        self.lwsum_p = split64(lw.sum(axis=0))
+        self.diff_p = split64(np.float64(cfg.inputdiffusivity))
+        self.Q0_p = split64(np.float64(cfg.Q0))
+        self.rayleigh = np.float64(cfg.rayleigh)
+        self._step_fn = jax.jit(self._timestep_impl)
+        self._stokes_jit = jax.jit(self._stokes_impl)
+
+    # -- physics pieces --
+
+    def _buoyancy(self, T_p):
+        buoy = df.mul_f(T_p, np.float32(self.rayleigh))
+        # remove per-layer weighted mean (return_horiz_ave_f semantics)
+        b2 = _reshape(buoy, (-1, self.noz))
+        bsum = _tree_sum(df.mul(b2, self.lw_p), axis=0)     # (noz,)
+        have = df.div(bsum, self.lwsum_p)
+        b = df.sub(b2, (jnp.broadcast_to(have[0][None], b2[0].shape),
+                        jnp.broadcast_to(have[1][None], b2[0].shape)))
+        return _reshape(b, (-1,))
+
+    def _stokes_impl(self, T_p, V_p, P_p):
+        cfg = self.cfg
+        buoy = self._buoyancy(T_p)
+        F = forces_df(self.N_p, self.gda_p, self.gw_p, self.ccr_p,
+                      self.ien, self.scat_nodes, buoy, self.W_p,
+                      self.vbc_mask, self.vbc_val_p)
+        V = _where(self.vbc_mask, self.vbc_val_p, V_p)
+        V, P, mon = uzawa_cg_df(
+            self.W_p, self.BI_p, self.BPI_p, self.G_p, self.ien,
+            self.scat_nodes, self.norms, V, P_p, F, self.vbc_mask,
+            cfg.accuracy, cfg.inner_accuracy_scale,
+            cfg.piterations, cfg.vlowstep, cfg.check_pressure_convergence)
+        return V, P, mon
+
+    def _timestep_impl(self, T_p, Td_p, V_p, P_p):
+        cfg = self.cfg
+        dt0 = cfl_timestep_df(self.adv, self.ien, V_p, cfg.finetunedt)
+
+        def advect(dt_p):
+            return pg_timestep_df(
+                self.adv, self.ien, self.scat_nodes, T_p, Td_p, V_p, dt_p,
+                diff_p=self.diff_p, Q0_p=self.Q0_p, gamma=cfg.adv_gamma,
+                sub_iterations=cfg.adv_sub_iterations,
+                tbc_mask=self.tbc_mask, tbc_val_p=self.tbc_val_p)
+
+        if cfg.monitor_max_T:
+            T_int0 = jnp.max(jnp.where(self.tbc_mask, -jnp.inf, T_p[0]))
+            T1, Td1 = advect(dt0)
+
+            def cond(carry):
+                T, Td, dt, tries = carry
+                blown = jnp.max(jnp.where(self.tbc_mask, -jnp.inf, T[0])) \
+                    / jnp.maximum(T_int0, 1e-30) > 1.05
+                return jnp.logical_and(blown, tries < 5)
+
+            def body(carry):
+                T, Td, dt, tries = carry
+                dt2 = df.mul_f(dt, np.float32(0.5))
+                T2, Td2 = advect(dt2)
+                return T2, Td2, dt2, tries + 1
+
+            T, Td, dt, _ = jax.lax.while_loop(
+                cond, body, (T1, Td1, dt0, jnp.asarray(0, jnp.int32)))
+        else:
+            dt = dt0
+            T, Td = advect(dt)
+        V, P, mon = self._stokes_impl(T, V_p, P_p)
+        return T, Td, V, P, dt, mon
+
+    # -- host API --
+
+    def initial_solve(self, s):
+        """Pre-loop Stokes solve on the f64 state (Citcom.c:160-172)."""
+        T_p = split64(np.asarray(s.T))
+        V_p = split64(np.asarray(s.V))
+        P_p = split64(np.asarray(s.P))
+        V, P, mon = self._stokes_jit(T_p, V_p, P_p)
+        import dataclasses as dc
+        return dc.replace(
+            s, V=jnp.asarray(df.to_f64(V)), P=jnp.asarray(df.to_f64(P))), mon
+
+    def step(self, s):
+        """One timestep on a CPU-f64 State; returns (state, diag-tuple)."""
+        T_p = split64(np.asarray(s.T))
+        Td_p = split64(np.asarray(s.Tdot))
+        V_p = split64(np.asarray(s.V))
+        P_p = split64(np.asarray(s.P))
+        T, Td, V, P, dt, mon = self._step_fn(T_p, Td_p, V_p, P_p)
+        import dataclasses as dc
+        dt64 = float(np.float64(np.asarray(dt[0], np.float64))
+                     + np.asarray(dt[1], np.float64))
+        new = dc.replace(
+            s, T=jnp.asarray(df.to_f64(T)), Tdot=jnp.asarray(df.to_f64(Td)),
+            V=jnp.asarray(df.to_f64(V)), P=jnp.asarray(df.to_f64(P)),
+            time=s.time + dt64, dt=jnp.asarray(dt64), step=s.step + 1)
+        v_norm = float(df.to_f64(mon[0]))
+        p_norm = float(df.to_f64(mon[1]))
+        incomp = float(df.to_f64(mon[2]))
+        return new, {"dt": dt64, "v_norm": v_norm, "p_norm": p_norm,
+                     "incompressibility": incomp,
+                     "outer": int(mon[3]), "inner": int(mon[4])}

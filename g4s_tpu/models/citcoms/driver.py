@@ -70,7 +70,8 @@ class StepDiagnostics(NamedTuple):
 class CitcomModel:
     """Holds static (trace-time) mesh/geometry and the jitted step."""
 
-    def __init__(self, cfg: CitcomConfig, *, dtype=jnp.float64):
+    def __init__(self, cfg: CitcomConfig, *, dtype=jnp.float64,
+                 df64_inner: bool = False):
         self.cfg = cfg
         self.dtype = dtype
         self.mesh: RegionalMesh = build_regional_mesh(cfg)
@@ -124,6 +125,14 @@ class CitcomModel:
             from g4s_tpu.models.citcoms.multigrid import MGHierarchy
             self.mg = MGHierarchy(cfg, levels=max(cfg.levels, 2),
                                   dtype=dtype)
+        self.df64_inner = None
+        if df64_inner:
+            # the 1e-10 tier on TPU: CPU f64 physics/assembly/outer with
+            # the inner velocity CG on the TPU in double-word f32
+            # (see df64_solver.py)
+            from g4s_tpu.models.citcoms.df64_solver import DF64InnerSolver
+            self.df64_inner = DF64InnerSolver(self.mesh.vbc_mask,
+                                              cfg.vlowstep)
         self._step_fn = jax.jit(self._timestep)
         self._stokes_fn = jax.jit(self._stokes)
 
@@ -242,6 +251,22 @@ class CitcomModel:
              "eltk": {"ops": ops}},
             stats={"regular_grid": True, "nel": self.mesh.nel})
         prob = prob._replace(A=lambda u: engine.apply_operator(og, u))
+        if self.df64_inner is not None:
+            solver = self.df64_inner
+
+            def inner_solve(F_, acc_):
+                x, res, it = jax.pure_callback(
+                    solver,
+                    (jax.ShapeDtypeStruct(F_.shape, F_.dtype),
+                     jax.ShapeDtypeStruct((), F_.dtype),
+                     jax.ShapeDtypeStruct((), jnp.int32)),
+                    W, ops.BI, F_, acc_)
+                return sol.CGResult(x, res, it)
+
+            V, P, mon = sol.uzawa_cg(prob, V, P, F, fdotf,
+                                     self.uzawa_params,
+                                     inner_solve=inner_solve)
+            return V, P, mon
         if self.cfg.solver_type in ("bicg", "bicgstab"):
             V, P, mon = sol.uzawa_bicgstab(prob, V, P, F, fdotf,
                                            self.uzawa_params)

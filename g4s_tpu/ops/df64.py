@@ -1,0 +1,181 @@
+"""Double-word f32 ("df64") arithmetic for the TPU 1e-10 tier.
+
+TPU v5e has no native f64 (and emulated f64 faults the runtime on this
+stack — see benchmarks/RESULTS.json:cookbook2_f64). This module carries
+every value as an unevaluated pair (hi, lo) of f32 with |lo| <= ulp(hi)/2,
+giving ~49 significand bits (~1.8e-15 relative) — enough to track the
+reference's f64 CitcomS trajectories (bin/Citcom.c runs entirely in
+double) at the BASELINE.md 1e-10 tier while staying on the VPU.
+
+Algorithms are the classical error-free transformations:
+  two_sum   Knuth 2Sum (6 flops, branch-free)
+  split     Dekker split at 12 bits (f32 has 24-bit significand)
+  two_prod  Dekker product via split (no FMA primitive in XLA-TPU jnp)
+  add/mul   double-word add/mul (Dekker/Bailey style, |err| ~ 2^-49)
+
+All functions are shape-polymorphic and jit/vmap-safe; a DF value is just
+a (hi, lo) tuple of same-shape f32 arrays, so it threads through
+lax.while_loop/scan as a pytree.
+
+Role in the rebuild: replaces the f64 arithmetic of the reference's inner
+velocity CG (General_matrix_functions.c:307-433 conj_grad) and nodal
+stiffness matvec (Element_calculations.c:516-577 n_assemble_del2_u) on
+hardware without doubles.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DF = Tuple[jax.Array, jax.Array]
+
+_SPLITTER = np.float32(4097.0)        # 2^12 + 1 for f32 Dekker split
+
+
+def two_sum(a, b) -> DF:
+    """Exact a + b = s + e (Knuth, branch-free)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a, b) -> DF:
+    """Exact a + b = s + e assuming |a| >= |b| (Dekker)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a) -> DF:
+    t = _SPLITTER * a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def two_prod(a, b) -> DF:
+    """Exact a * b = p + e via Dekker split (no FMA needed)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+# ---------------------------------------------------------------------------
+# double-word ops: x = (xh, xl), |xl| <= ulp(xh)/2
+# ---------------------------------------------------------------------------
+
+def df(hi, lo=None) -> DF:
+    hi = jnp.asarray(hi, jnp.float32)
+    if lo is None:
+        lo = jnp.zeros_like(hi)
+    return hi, jnp.asarray(lo, jnp.float32)
+
+
+def add(x: DF, y: DF) -> DF:
+    """Accurate double-word add (two 2Sums; ~2^-49 relative even under
+    cancellation — the sloppy one-2Sum variant loses to 1e-12 there)."""
+    sh, se = two_sum(x[0], y[0])
+    th, te = two_sum(x[1], y[1])
+    vh, vl = fast_two_sum(sh, se + th)
+    return fast_two_sum(vh, te + vl)
+
+
+def add_f(x: DF, y) -> DF:
+    sh, se = two_sum(x[0], y)
+    return fast_two_sum(sh, se + x[1])
+
+
+def neg(x: DF) -> DF:
+    return -x[0], -x[1]
+
+
+def sub(x: DF, y: DF) -> DF:
+    return add(x, neg(y))
+
+
+def mul(x: DF, y: DF) -> DF:
+    ph, pe = two_prod(x[0], y[0])
+    pe = pe + (x[0] * y[1] + x[1] * y[0])
+    return fast_two_sum(ph, pe)
+
+
+def mul_f(x: DF, y) -> DF:
+    """DF * f32 (y exact)."""
+    ph, pe = two_prod(x[0], y)
+    pe = pe + x[1] * y
+    return fast_two_sum(ph, pe)
+
+
+def div(x: DF, y: DF) -> DF:
+    q1 = x[0] / y[0]
+    r = sub(x, mul_f(y, q1))
+    q2 = r[0] / y[0]
+    r2 = sub(r, mul_f(y, q2))
+    q3 = r2[0] / y[0]
+    q, e = fast_two_sum(q1, q2)
+    return fast_two_sum(q, e + q3)
+
+
+def sqrt(x: DF) -> DF:
+    s1 = jnp.sqrt(x[0])
+    s1 = jnp.where(x[0] <= 0, 0.0, s1)
+    # one Newton step in df: s = s1 + (x - s1^2) / (2 s1)
+    e = sub(x, mul_f((s1, jnp.zeros_like(s1)), s1))
+    corr = e[0] / jnp.where(s1 > 0, 2.0 * s1, 1.0)
+    return fast_two_sum(s1, corr)
+
+
+def select(pred, x: DF, y: DF) -> DF:
+    return jnp.where(pred, x[0], y[0]), jnp.where(pred, x[1], y[1])
+
+
+# ---------------------------------------------------------------------------
+# reductions
+# ---------------------------------------------------------------------------
+
+def sum_df(x: DF, axis=None) -> DF:
+    """Sum of a DF array in df64 via pairwise halving (log2(n) df adds)."""
+    if axis is not None:
+        raise NotImplementedError("axis-wise df sum not needed yet")
+    h = x[0].reshape(-1)
+    l = x[1].reshape(-1)
+    n = h.shape[0]
+    m = 1
+    while m < n:
+        m *= 2
+    h = jnp.concatenate([h, jnp.zeros((m - n,), h.dtype)])
+    l = jnp.concatenate([l, jnp.zeros((m - n,), l.dtype)])
+    while m > 1:
+        m //= 2
+        h, l = add((h[:m], l[:m]), (h[m:], l[m:]))
+    return h[0], l[0]
+
+
+def dot(x: DF, y: DF) -> DF:
+    """df64 dot product of two DF arrays (flattened)."""
+    return sum_df(mul((x[0].reshape(-1), x[1].reshape(-1)),
+                      (y[0].reshape(-1), y[1].reshape(-1))))
+
+
+# ---------------------------------------------------------------------------
+# host conversions
+# ---------------------------------------------------------------------------
+
+def from_f64(a) -> DF:
+    """Split a float64 host array into an exact (hi, lo) f32 pair
+    (exact when |a| is within f32 range and lo within subnormal range)."""
+    a = np.asarray(a, np.float64)
+    hi = a.astype(np.float32)
+    lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def to_f64(x: DF) -> np.ndarray:
+    return (np.asarray(x[0], np.float64)
+            + np.asarray(x[1], np.float64))

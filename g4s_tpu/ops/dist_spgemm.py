@@ -80,7 +80,7 @@ def dist_spgemm_numeric(mesh: Mesh, axis: str, stacked, nnz_max: int,
                         a_data, b_data):
     """C.data blocks (n_shards, nnz_max) via shard_map — no collectives:
     every device owns its row block's products end to end."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(sa, sb, sl, ad, bd):
         prod = jnp.take(ad, sa[0]) * jnp.take(bd, sb[0])

@@ -247,3 +247,58 @@ def spgemm_device_csr(a: CSR, b: CSR) -> CSR:
     np.add.at(indptr, rows + 1, 1)
     np.cumsum(indptr, out=indptr)
     return CSR(indptr, cols.astype(np.int64), vals, (m, n))
+
+
+@partial(jax.jit, static_argnames=("F", "n_cols"))
+def _device_expand_merge(a_indptr, a_indices, a_data, b_indptr, b_indices,
+                         b_data, F, n_cols):
+    """Expand/sort/merge with the EXPANSION MAP built on device too.
+
+    The host contributes only the static flop count F (one O(nnz) pass);
+    everything else — per-product source indices, elementary products,
+    sort, duplicate merge — runs on the TPU. This kills the cold-start
+    cost of shipping an O(F) host-built map to the device (the round-2
+    symbolic path moved ~25 bytes/flop over the host link; this moves
+    only the CSR arrays)."""
+    nnz_a = a_indices.shape[0]
+    m = a_indptr.shape[0] - 1
+    deg_b = b_indptr[1:] - b_indptr[:-1]
+    counts = jnp.take(deg_b, a_indices)                 # (nnz_a,)
+    offsets = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                               jnp.cumsum(counts)])     # (nnz_a+1,)
+    pos = jnp.arange(F, dtype=counts.dtype)
+    # src_a[p] = which A-entry product p belongs to
+    src_a = jnp.searchsorted(offsets, pos, side="right") - 1
+    src_b = (pos - jnp.take(offsets, src_a)
+             + jnp.take(jnp.take(b_indptr, a_indices), src_a))
+    deg_a = a_indptr[1:] - a_indptr[:-1]
+    a_rows = jnp.repeat(jnp.arange(m, dtype=counts.dtype), deg_a,
+                        total_repeat_length=nnz_a)
+    rows = jnp.take(a_rows, src_a)
+    cols = jnp.take(b_indices, src_b)
+    key = rows * n_cols + cols
+    val = jnp.take(a_data, src_a) * jnp.take(b_data, src_b)
+    key_s, val_s = jax.lax.sort((key, val), num_keys=1)
+    head = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    seg = (jnp.cumsum(head) - 1).astype(jnp.int32)
+    merged = sorted_segment_sum(val_s, seg, F)
+    nnz = seg[-1] + 1
+    out_keys = jnp.full((F,), -1, key_s.dtype)
+    out_keys = out_keys.at[seg].set(key_s)
+    return out_keys, merged, nnz
+
+
+def spgemm_device_full(a: CSR, b: CSR):
+    """One-shot SpGEMM with both structure discovery AND product
+    expansion on device. Host work: flop count + final CSR split.
+    Returns (keys, values, nnz) like spgemm_device_merge."""
+    m, n = a.shape[0], b.shape[1]
+    F = spgemm_flops(a, b) // 2
+    kt = np.int32 if max(m * n, F, a.nnz, b.nnz) < 2**31 else np.int64
+    return _device_expand_merge(
+        jnp.asarray(np.asarray(a.indptr).astype(kt)),
+        jnp.asarray(np.asarray(a.indices).astype(kt)),
+        jnp.asarray(a.data),
+        jnp.asarray(np.asarray(b.indptr).astype(kt)),
+        jnp.asarray(np.asarray(b.indices).astype(kt)),
+        jnp.asarray(b.data), int(F), n)

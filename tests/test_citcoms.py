@@ -37,6 +37,19 @@ def small_cfg(**kw):
     return CitcomConfig(**base)
 
 
+_MODEL_CACHE = {}
+
+
+def cached_model(cfg, **kw):
+    """Module-scoped CitcomModel cache: heavy geometry/jit setup is reused
+    across tests with identical configs (suite-hygiene: the round-2 suite
+    spent most of its 22 min rebuilding identical models)."""
+    key = (repr(cfg), tuple(sorted(kw.items(), key=lambda t: t[0])))
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = CitcomModel(cfg, **kw)
+    return _MODEL_CACHE[key]
+
+
 class TestConfig:
     def test_parse_cookbook2(self):
         cfg = config_from_table(parse_flat_config(COOKBOOK2_SNIPPET))
@@ -62,7 +75,7 @@ class TestConfig:
 class TestMesh:
     def test_volume(self):
         cfg = small_cfg()
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         analytic = ((cfg.fi_max - cfg.fi_min)
                     * (np.cos(cfg.theta_min) - np.cos(cfg.theta_max))
                     * (cfg.radius_outer ** 3 - cfg.radius_inner ** 3) / 3)
@@ -94,7 +107,7 @@ class TestMesh:
         np.testing.assert_allclose(T, expected, atol=1e-12)
 
     def test_elt_k_symmetric_psd(self):
-        model = CitcomModel(small_cfg())
+        model = cached_model(small_cfg())
         s = model.init_state()
         ops = model._build_ops(s.T)
         K = np.asarray(ops.elt_k)
@@ -111,7 +124,7 @@ class TestStokes:
 
         cfg = small_cfg(rayleigh=1e4, topvbc=1, topvbxval=10.0,
                         accuracy=1e-6)
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s = model.init_state()
         # seed a temperature field with lateral variation for buoyancy
         rng = np.random.default_rng(0)
@@ -179,7 +192,7 @@ class TestEnergy:
         cartesian-like thin shell; check residual decays the profile to
         steady state."""
         cfg = small_cfg(rayleigh=0.0)
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s = model.init_state()
         from g4s_tpu.models.citcoms import advection as adv
         V0 = jnp.zeros((model.mesh.nno, 3))
@@ -199,7 +212,7 @@ class TestEnergy:
 
     def test_cfl_timestep_positive(self):
         cfg = small_cfg()
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s = model.init_state()
         from g4s_tpu.models.citcoms import advection as adv
         V = jnp.ones((model.mesh.nno, 3)) * 10.0
@@ -210,7 +223,7 @@ class TestEnergy:
 class TestEndToEnd:
     def test_three_steps_stable(self):
         cfg = small_cfg(rayleigh=1e5, topvbc=1, topvbxval=100.0, maxstep=3)
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s, hist = model.run(3)
         assert len(hist) == 3
         T = np.asarray(s.T)
@@ -237,7 +250,7 @@ class TestDistributed:
         dist = DistributedCitcom(cfg, mesh)
         s2, diag = dist.step(dist.init_state())
 
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         ss2, d1 = model.step(model.init_state())
 
         assert abs(float(diag.dt) - float(d1.dt)) < 1e-12
@@ -267,7 +280,7 @@ class TestAltSolvers:
         from g4s_tpu.models.citcoms import assembly as asm, solvers as sol
         cfg = small_cfg(rayleigh=1e4, topvbc=1, topvbxval=10.0,
                         accuracy=1e-4)
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s = model.init_state()
         ops = model._build_ops(s.T)
         buoy = model.buoyancy(
@@ -294,7 +307,7 @@ class TestAltSolvers:
                         topvbc=1, topvbxval=100.0)
         hier = MGHierarchy(cfg, levels=2)
         assert len(hier.levels) == 2
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s = model.init_state()
         ops_all = hier.build_ops(s.T)
         buoy = model.buoyancy(
@@ -319,7 +332,7 @@ class TestAltSolvers:
         import dataclasses as dc
         cfg = small_cfg(nodex=9, nodey=9, nodez=5, rayleigh=1e5)
         cfg = dc.replace(cfg, visc0=(1.0, 1.0, 1e4, 1e4), num_mat=4)
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s = model.init_state()
         hier_gs = MGHierarchy(cfg, levels=2, smoother="gs")
         hier_j = MGHierarchy(cfg, levels=2, smoother="jacobi")
@@ -341,7 +354,7 @@ class TestAltSolvers:
         import dataclasses as dc
         cfg = small_cfg(nodex=9, nodey=9, nodez=5, rayleigh=1e5,
                         topvbc=1, topvbxval=100.0)
-        m_cg = CitcomModel(cfg)
+        m_cg = cached_model(cfg)
         m_mg = CitcomModel(dc.replace(cfg, solver_type="multigrid", levels=2))
         s_cg = m_cg.init_state(); s_mg = m_mg.init_state()
         s_cg, _ = m_cg.initial_solve(s_cg)
@@ -535,7 +548,7 @@ class TestObservables:
     def test_conductive_nusselt_is_one(self):
         from g4s_tpu.models.citcoms.observables import surface_heat_flux
         cfg = small_cfg()
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s = model.init_state()
         q, nu = surface_heat_flux(model, s.T)
         # linear profile: Nu ~ 1 up to geometric discretization factors
@@ -561,7 +574,7 @@ class TestObservables:
     def test_rms_velocity_matches_monitor(self):
         from g4s_tpu.models.citcoms.observables import rms_velocity
         cfg = small_cfg(rayleigh=1e5, topvbc=1, topvbxval=100.0)
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s, mon = model.initial_solve(model.init_state())
         np.testing.assert_allclose(float(rms_velocity(model, s.V)),
                                    float(mon.v_norm), rtol=1e-10)
@@ -680,7 +693,7 @@ class TestOutputFormats:
                                                 sphere_to_cart_velocity)
         cfg = small_cfg(rayleigh=1e4, storage_spacing=1,
                         datadir=str(tmp_path / "vtk"), output_format="vtk")
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s, _ = model.run(n_steps=1, write_output=True)
         vts = sorted(glob.glob(str(tmp_path / "vtk" / "*.vts")))
         assert len(vts) == 2  # step 0 + step 1
@@ -787,7 +800,7 @@ class TestThermochemical:
         cfg = small_cfg(rayleigh=1e5, nodez=9,
                         tracer=True, chemical_buoyancy=True,
                         buoyancy_ratio=2.0, z_interface=0.7)
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s = model.init_state()
         s, _ = model.initial_solve(s)
         pos, fl = seed_tracers(model.mesh, 8,
@@ -803,7 +816,7 @@ class TestThermochemical:
 
     def test_chemical_buoyancy_term(self):
         cfg = small_cfg(rayleigh=1e5, buoyancy_ratio=3.0)
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s = model.init_state()
         # laterally alternating composition (constant per column in z)
         grid = np.indices((cfg.nodey, cfg.nodex, cfg.nodez))
@@ -841,7 +854,7 @@ class TestAnisotropicViscosity:
         cfg_a0 = dataclasses.replace(cfg, ANIVISC=True,
                                      ani_vis2_factor=1e-16)
         cfg_a = dataclasses.replace(cfg, ANIVISC=True, ani_vis2_factor=0.5)
-        m = CitcomModel(cfg)
+        m = cached_model(cfg)
         m0 = CitcomModel(cfg_a0)
         ma = CitcomModel(cfg_a)
         s = m.init_state()
@@ -866,7 +879,7 @@ class TestLithAge:
         cfg = small_cfg(rayleigh=1e4, nodex=9, nodey=9, nodez=17,
                         lith_age=True, lith_age_depth=0.12,
                         lith_age_file=str(agef))
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s = model.init_state()
         Tg = np.asarray(s.T).reshape(9, 9, 17)
         assert Tg[4, 1, 15] > Tg[4, 7, 15] + 0.05   # young warmer at depth
@@ -904,7 +917,7 @@ class TestMineralPhysics:
         in Vp per the TVV Table-2 signs."""
         from g4s_tpu.models.citcoms.mineral_physics import seismic_model
         cfg = small_cfg(rayleigh=1e5, nodez=9)
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         s = model.init_state()
         T = np.array(s.T).reshape(cfg.nodey, cfg.nodex, cfg.nodez)
         T[2, 2, 4] = min(T[2, 2, 4] + 0.2, 1.0)
@@ -927,7 +940,7 @@ class TestGgrd:
         anomaly to the conductive profile and clips; netCDF is gated."""
         from g4s_tpu.models.citcoms import ggrd
         cfg = small_cfg(rayleigh=1e4)
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         lon = np.linspace(-20, 80, 41)
         lat = np.linspace(-30, 70, 36)
         depth = np.linspace(0, 1, 5)
@@ -990,7 +1003,7 @@ class TestAnelasticContinuity:
         Di, gam = 0.5, 1.2
         cfg = small_cfg(rayleigh=1e4, nodex=13, nodey=13, nodez=13,
                         disptn_number=Di, gruneisen=gam)
-        m = CitcomModel(cfg)
+        m = cached_model(cfg)
         s = m.init_state()
         ops = m._build_ops(s.T)
         assert ops.elt_c is not None
@@ -1011,7 +1024,7 @@ class TestAnelasticContinuity:
         cfg = small_cfg(rayleigh=1e4, nodez=5, num_perturbations=1,
                         perturbl=[2], perturbm=[2], perturblayer=[2],
                         perturbmag=[0.05], disptn_number=0.5)
-        m_tala = CitcomModel(cfg)
+        m_tala = cached_model(cfg)
         m_bous = CitcomModel(dc.replace(cfg, disptn_number=0.0))
         s = m_tala.init_state()
         s1, mon1 = m_tala.initial_solve(s)
@@ -1028,7 +1041,7 @@ class TestOutputH5AndCDEPV:
         import h5py
         cfg = small_cfg(rayleigh=1e4, storage_spacing=1,
                         datadir=str(tmp_path), output_format="hdf5")
-        m = CitcomModel(cfg)
+        m = cached_model(cfg)
         s, _ = m.run(n_steps=1, write_output=True)
         files = sorted(glob.glob(str(tmp_path / "*.h5")))
         assert len(files) == 2
@@ -1043,7 +1056,7 @@ class TestOutputH5AndCDEPV:
         sqrt(ff0 ff1)."""
         from g4s_tpu.models.citcoms.viscosity import viscosity_at_vpts
         cfg = small_cfg(rayleigh=1e4, CDEPV=True, cdepv_ff=[1.0, 100.0])
-        m = CitcomModel(cfg)
+        m = cached_model(cfg)
         s = m.init_state()
         e0 = viscosity_at_vpts(cfg, m.mat, s.T, m.ien, m.N,
                                C_nodes=jnp.zeros(m.mesh.nno))
@@ -1089,7 +1102,7 @@ class TestSDEPV:
         base = dict(rayleigh=1e4, nodez=5, topvbc=1, topvbxval=100.0)
         cfg = small_cfg(**base, SDEPV=True, sdepv_expt=[2.0],
                         VMIN=True, visc_min=1e-3, VMAX=True, visc_max=1e3)
-        m = CitcomModel(cfg)
+        m = cached_model(cfg)
         m_lin = CitcomModel(small_cfg(**base))
         s = m_lin.init_state()
         s_l, _ = m_lin.initial_solve(s)
@@ -1148,7 +1161,7 @@ class TestCombine:
         files = write_rank_outputs(dist, s2, 1)
         assert len(files) == 8
         merged = combine_velo(cfg, 4, 2, 1)
-        model = CitcomModel(cfg)
+        model = cached_model(cfg)
         ss2, _ = model.step(model.init_state())
         np.testing.assert_allclose(merged[:, 3], np.asarray(ss2.T),
                                    atol=1e-6)
@@ -1217,7 +1230,7 @@ class TestSurfBotmOutput:
         initial state matching the spherical-shell analytic value."""
         from g4s_tpu.models.citcoms.output import output_surf_botm
         cfg = small_cfg(rayleigh=1e4, nodez=9, datadir=str(tmp_path))
-        m = CitcomModel(cfg)
+        m = cached_model(cfg)
         s = m.init_state()
         ops = m._build_ops(s.T)
         files = output_surf_botm(m, s, ops, 0)
@@ -1238,7 +1251,7 @@ class TestHorizAvgOutput:
         linear conduction profile gives exactly monotone <T>(r)."""
         from g4s_tpu.models.citcoms.output import output_horiz_avg
         cfg = small_cfg(rayleigh=1e4, nodez=9, datadir=str(tmp_path))
-        m = CitcomModel(cfg)
+        m = cached_model(cfg)
         s = m.init_state()
         d = np.loadtxt(output_horiz_avg(m, s, 0))
         assert d.shape == (cfg.nodez, 4)
@@ -1257,7 +1270,7 @@ class TestMoreOutputWriters:
         from g4s_tpu.models.citcoms.tracers import seed_tracers
         cfg = small_cfg(rayleigh=1e4, nodez=9, topvbc=1, topvbxval=100.0,
                         datadir=str(tmp_path))
-        m = CitcomModel(cfg)
+        m = cached_model(cfg)
         s = m.init_state()
         s, _ = m.initial_solve(s)
         ops = m._build_ops(s.T)
