@@ -137,9 +137,14 @@ def bdf_solve(f: Callable, y0, t0, t1, *, rtol=1e-6, atol=1e-9,
     buf0 = buf0.at[0].set(_rec_fn(y0))
     buf_t0 = jnp.full((rec_size,), t0, dtype)
 
-    J0 = jac(t0, y0)
+    # the Newton matrix only steers the iteration (any nonsingular
+    # matrix converges); freezing it under differentiation is exactly
+    # CVODES's staggered scheme, where sensitivity systems REUSE the
+    # primal's factors instead of differentiating the factorization
+    J0 = jax.lax.stop_gradient(jac(t0, y0))
     c0 = h0 / alpha[1]
-    lu0 = jax.scipy.linalg.lu_factor(eye - c0 * J0)
+    lu0 = jax.lax.stop_gradient(
+        jax.scipy.linalg.lu_factor(eye - c0 * J0))
     st0 = _S(t0, h0, jnp.asarray(1, jnp.int32), D0, jnp.asarray(0, jnp.int32),
              J0, lu0, c0, jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
              jnp.asarray(1, jnp.int32), jnp.asarray(False),
@@ -183,7 +188,8 @@ def bdf_solve(f: Callable, y0, t0, t1, *, rtol=1e-6, atol=1e-9,
         order = st.order
         c = h / alpha[order]
         lu = jax.lax.cond(c != st.c_lu,
-                          lambda: jax.scipy.linalg.lu_factor(eye - c * st.J),
+                          lambda: jax.lax.stop_gradient(
+                              jax.scipy.linalg.lu_factor(eye - c * st.J)),
                           lambda: st.lu)
         t_new = st.t + h
 
@@ -198,8 +204,9 @@ def bdf_solve(f: Callable, y0, t0, t1, *, rtol=1e-6, atol=1e-9,
 
         # on failure: refresh Jacobian at the prediction and retry once
         def retry():
-            Jn = jac(t_new, y_pred)
-            lun = jax.scipy.linalg.lu_factor(eye - c * Jn)
+            Jn = jax.lax.stop_gradient(jac(t_new, y_pred))
+            lun = jax.lax.stop_gradient(
+                jax.scipy.linalg.lu_factor(eye - c * Jn))
             d2, conv2, nf2 = newton(t_new, y_pred, c, psi, scale, lun)
             return Jn, lun, d2, conv2, nf2, jnp.asarray(1, jnp.int32)
 
@@ -287,15 +294,20 @@ def bdf_solve(f: Callable, y0, t0, t1, *, rtol=1e-6, atol=1e-9,
 
 def bdf_solve_with_sensitivities(f_params, params, y0, t0, t1, *,
                                  rtol=1e-6, atol=1e-9, **kw):
-    """Forward sensitivity analysis (CVODES's CVodeSensInit role,
+    """STAGGERED forward sensitivity analysis (CVodeSensInit,
     cantera/src/numerics/CVodesIntegrator.cpp sensitivity interface).
 
-    f_params(params, t, y) -> dy/dt. Returns (BDFResult, dy1/dparams)
-    where the sensitivities are computed by forward-mode AD THROUGH the
-    entire adaptive integration (jax.jvp over the while_loop — the
-    discrete-adjoint-consistent analog of CVODES's staggered forward
-    sensitivity integration; the tangent system reuses the same steps,
-    orders and Jacobians as the primal).
+    f_params(params, t, y) -> dy/dt. Returns (BDFResult, dy1/dparams).
+
+    All parameter tangents propagate in ONE pass: jax.vmap over jvp
+    batches every tangent through a single adaptive integration. The
+    while_loop predicate and primal carry stay unbatched (the primal is
+    shared), so each BDF step advances the primal once and all n_p
+    tangent columns against the SAME step sizes, orders, and factored
+    Newton matrices — exactly CVODES's staggered scheme, where the
+    sensitivity systems reuse the primal's linear solver. Cost is
+    primal + O(n_p) back-substitutions per step, not n_p full
+    re-integrations (the round-2 implementation's behavior).
     """
     from jax.flatten_util import ravel_pytree
     params_flat, unravel = ravel_pytree(params)
@@ -309,9 +321,10 @@ def bdf_solve_with_sensitivities(f_params, params, y0, t0, t1, *,
     n_p = params_flat.shape[0]
     basis = jnp.eye(n_p, dtype=params_flat.dtype)
     y1, res = solve_y(params_flat)
-    sens = []
-    for k in range(n_p):
-        _, (dy, _) = jax.jvp(solve_y, (params_flat,), (basis[k],),
-                             has_aux=False)
-        sens.append(dy)
-    return res, jnp.stack(sens, axis=-1)    # (n_states, n_params)
+
+    def tangent(v):
+        _, (dy, _) = jax.jvp(solve_y, (params_flat,), (v,))
+        return dy
+
+    sens = jax.vmap(tangent)(basis)          # (n_params, n_states)
+    return res, sens.T                       # (n_states, n_params)

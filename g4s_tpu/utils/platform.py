@@ -15,6 +15,11 @@ def honor_env_platforms() -> None:
     env = os.environ.get("JAX_PLATFORMS")
     if not env:
         return
+    # always keep the CPU host backend available: the df64 tier and the
+    # f64 oracles run their exact-double parts on jax.devices("cpu")
+    # even when the accelerator platform is selected (JAX_PLATFORMS=axon
+    # is exported by the environment itself)
+    plats = env if "cpu" in env.split(",") else env + ",cpu"
     import jax
-    if jax.config.jax_platforms != env:
-        jax.config.update("jax_platforms", env)
+    if jax.config.jax_platforms != plats:
+        jax.config.update("jax_platforms", plats)

@@ -892,3 +892,58 @@ class TestBandedNewton:
         d_banded = _newton_linear_solve(J, rhs, hb)
         d_dense = _newton_linear_solve(J, rhs, None)
         np.testing.assert_allclose(d_banded, d_dense, rtol=1e-8, atol=1e-10)
+
+
+class TestStaggeredSensitivityCost:
+    def test_tangents_share_one_pass(self):
+        """The staggered scheme must scale far below n_p full
+        re-integrations: 12 parameter tangents in one vmapped pass vs
+        the primal alone (compiled wall-clock, generous 6x bound where
+        round-2's per-parameter re-integration would be ~13x)."""
+        import time
+        import jax
+        from g4s_tpu.ops.odeint import (bdf_solve,
+                                        bdf_solve_with_sensitivities)
+
+        n_p, m = 12, 96
+
+        def rhs(p, t, y):
+            # stiff linear cascade, mechanism-sized state (the staggered
+            # win shows when the Newton LU dominates, as for the
+            # 103-species dodecane mechanism): the first n_p rates are
+            # the analyzed parameters
+            k = jnp.concatenate([p, jnp.asarray(
+                np.logspace(0, 3, m - 1 - n_p))])
+            flow = k * y[:-1]
+            dy = jnp.zeros_like(y)
+            dy = dy.at[:-1].add(-flow)
+            dy = dy.at[1:].add(flow)
+            return dy
+
+        p0 = jnp.asarray(np.logspace(0, 3, n_p))
+        y0 = jnp.zeros(m).at[0].set(1.0)
+
+        prim = jax.jit(lambda p: bdf_solve(
+            lambda t, y: rhs(p, t, y), y0, 0.0, 1.0,
+            rtol=1e-8, atol=1e-12).y)
+        both = jax.jit(lambda p: bdf_solve_with_sensitivities(
+            rhs, p, y0, 0.0, 1.0, rtol=1e-8, atol=1e-12)[1])
+        jax.block_until_ready(prim(p0))
+        jax.block_until_ready(both(p0))
+
+        def best(f):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(p0))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t_prim = best(prim)
+        t_both = best(both)
+        # primal-for-result + one shared staggered pass; round-2's
+        # per-parameter re-integration would be ~13x
+        assert t_both < 5 * t_prim, (t_both, t_prim)
+        # and correctness: conservation => sensitivity columns sum to 0
+        s = np.asarray(both(p0))
+        np.testing.assert_allclose(s.sum(axis=0), 0.0, atol=1e-6)

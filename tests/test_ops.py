@@ -439,3 +439,41 @@ class TestDeviceSymbolicCSR:
         Cs = sp.csr_matrix((np.asarray(C.data), np.asarray(C.indices),
                             np.asarray(C.indptr)), shape=C.shape)
         assert abs((Cs - A @ B).toarray()).max() == 0.0
+
+
+class TestDF64:
+    """Double-word f32 arithmetic (ops/df64.py) vs numpy f64 oracles."""
+
+    def test_eft_ops(self):
+        from g4s_tpu.ops import df64 as dfm
+        rng = np.random.default_rng(0)
+        a64 = rng.normal(size=4096) * np.exp(rng.normal(size=4096) * 3)
+        b64 = rng.normal(size=4096) * np.exp(rng.normal(size=4096) * 3)
+        xa, xb = dfm.from_f64(a64), dfm.from_f64(b64)
+        for name, fn, ref in [("add", dfm.add, a64 + b64),
+                              ("mul", dfm.mul, a64 * b64),
+                              ("div", dfm.div, a64 / b64)]:
+            got = dfm.to_f64(jax.jit(fn)(xa, xb))
+            rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-300)
+            # input splitting alone carries ~2^-49; ops must not add more
+            # than cancellation amplifies
+            assert rel.max() < 5e-12, (name, rel.max())
+
+    def test_dot_beats_f32(self):
+        from g4s_tpu.ops import df64 as dfm
+        rng = np.random.default_rng(1)
+        v = rng.normal(size=30000)
+        w = rng.normal(size=30000)
+        got = dfm.to_f64(jax.jit(dfm.dot)(dfm.from_f64(v), dfm.from_f64(w)))
+        ref = float(np.dot(v, w))
+        assert abs(got - ref) / abs(ref) < 1e-12
+        f32 = float(np.dot(v.astype(np.float32), w.astype(np.float32)))
+        assert abs(got - ref) < abs(f32 - ref)
+
+    def test_sqrt(self):
+        from g4s_tpu.ops import df64 as dfm
+        rng = np.random.default_rng(2)
+        a = np.abs(rng.normal(size=1000)) + 1e-3
+        got = dfm.to_f64(jax.jit(dfm.sqrt)(dfm.from_f64(a)))
+        rel = np.abs(got - np.sqrt(a)) / np.sqrt(a)
+        assert rel.max() < 1e-13
