@@ -613,6 +613,48 @@ def _rmat_matrix(scale: int, edge_factor: int, rng):
     return mat
 
 
+def bench_ntc_full():
+    """The COMPLETE 22-temperature NTC protocol
+    (NonIdealShockTube.py:194-266): tau_RG(T) and tau_IG(T) curves for
+    the dodecane RK and ideal phases, recorded as a cross-round artifact
+    (benchmarks/NTC_SWEEP.json). Runs in f64 on the CPU backend — the
+    platform the reference runs this benchmark on — with all cases
+    integrated in one lockstep vmapped BDF program (the mpi4py
+    rank-striding analog; the sharded-mesh variant is exercised by
+    tests/test_shocktube.py::TestShardedSweep)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        import numpy as np
+        from g4s_tpu.models.cantera.shock_tube import (ShockTubeBenchmark,
+                                                       NTC_TEMPERATURES)
+        b = ShockTubeBenchmark(DODECANE)
+        t0 = time.time()
+        sweep = b.run_ntc_sweep_batched()
+        wall = time.time() - t0
+    tau_rg = np.asarray(sweep["tau_RG"])
+    tau_ig = np.asarray(sweep["tau_IG"])
+    # NTC physics: tau has a LOCAL MAXIMUM inside the sweep (ignition
+    # slows as T rises toward it from below) — that is the NTC turnover
+    i_min = int(np.argmax(tau_rg))
+    rec = {"metric": "ntc_sweep_22T", "value": round(wall, 1),
+           "unit": "s (44 cases lockstep)",
+           "vs_baseline": round(len(sweep["T"]) * 25.97 / 2 / wall, 3),
+           "baseline_basis": "22 x measured per-case scipy-BDF pair time "
+                             "(RESULTS.json:shocktube baseline, 25.97 s "
+                             "per RG+IG pair)",
+           "T": sweep["T"], "tau_RG_s": [round(t, 7) for t in tau_rg],
+           "tau_IG_s": [round(t, 7) for t in tau_ig],
+           "ntc_turnover_T": sweep["T"][i_min],
+           "rg_vs_ig_max_rel": round(float(
+               np.max(np.abs(tau_rg - tau_ig)
+                      / np.maximum(tau_rg, 1e-30))), 4)}
+    with open(os.path.join(REPO, "benchmarks", "NTC_SWEEP.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    return rec
+
+
 def main():
     from g4s_tpu.utils.platform import honor_env_platforms
     honor_env_platforms()
@@ -621,7 +663,7 @@ def main():
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64", "df64"])
     ap.add_argument("--what", default="cookbook2",
                     choices=["cookbook2", "spmv", "shocktube", "dp",
-                             "spgemm", "mv", "all"])
+                             "spgemm", "mv", "ntc", "all"])
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace of the benchmark")
     args = ap.parse_args()
@@ -672,7 +714,8 @@ def main():
 
     fn = {"cookbook2": lambda: bench_cookbook2(args.steps, args.dtype),
           "spmv": bench_spmv, "shocktube": bench_shocktube,
-          "dp": bench_dp, "spgemm": bench_spgemm, "mv": bench_mv}[args.what]
+          "dp": bench_dp, "spgemm": bench_spgemm, "mv": bench_mv,
+          "ntc": bench_ntc_full}[args.what]
     with _ctx:
         print(json.dumps(fn()))
 

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Execute the full DeePMD CLI chain on the reference water data and
+record the artifact (VERDICT round-2 item #6b).
+
+Chain = the reference's documented workflow
+(deepmd/examples/water/se_e2_a/input.json + examples/water/lmp/in.lammps):
+
+  dp train input.json --steps N     (lcurve.out, disp every 100)
+  dp freeze  -> frozen_model.npz
+  dp compress -> compressed_model.pkl
+  compressed-vs-uncompressed e/f equivalence on real validation frames
+  water MD (NVT, water.lmp) with temperature/step log
+
+Everything goes through the REAL CLI (g4s_tpu.drivers.dp) via
+subprocess, exactly as a user would run it; the recorded evidence is:
+  - lcurve head/tail: rmse_f must clearly decrease on the real data
+  - compress equivalence: max |dE|/atom and |dF| between frozen and
+    tabulated models
+  - MD: 330 K NVT stays bounded, wall/step recorded
+
+Writes benchmarks/DP_CHAIN.json. Run: python benchmarks/dp_chain.py
+[--steps 2000] [--md-steps 200]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WATER = "/root/reference/deepmd/examples/water"
+
+
+def run_cli(workdir, *args):
+    cmd = [sys.executable, "-m", "g4s_tpu.drivers.dp", *args]
+    env = dict(os.environ, PYTHONPATH=REPO + ":"
+               + os.environ.get("PYTHONPATH", ""))
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True,
+                       text=True, timeout=3600)
+    wall = time.time() - t0
+    if r.returncode != 0:
+        raise RuntimeError(f"dp {' '.join(args)} failed:\n{r.stderr[-2000:]}")
+    return r.stdout, wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--md-steps", type=int, default=200)
+    ap.add_argument("--workdir", default="/tmp/g4s_dp_chain")
+    args = ap.parse_args()
+    wd = args.workdir
+    os.makedirs(wd, exist_ok=True)
+
+    # training input: the reference file with its data paths resolved
+    with open(os.path.join(WATER, "se_e2_a", "input.json")) as f:
+        jdata = json.load(f)
+    jdata["training"]["training_data"]["systems"] = [
+        os.path.join(WATER, "data", d) for d in ("data_0", "data_1",
+                                                 "data_2")]
+    jdata["training"]["numb_steps"] = args.steps
+    inp = os.path.join(wd, "input.json")
+    with open(inp, "w") as f:
+        json.dump(jdata, f, indent=1)
+
+    rec = {"steps": args.steps, "data": "reference water npy systems"}
+
+    out, wall = run_cli(wd, "train", inp, "--checkpoint", "model.ckpt.npz")
+    rec["train_wall_s"] = round(wall, 1)
+    with open(os.path.join(wd, "lcurve.out")) as f:
+        lines = [ln.split() for ln in f if not ln.startswith("#") and
+                 ln.strip()]
+    # columns: step rmse_val.. take (step, rmse_e, rmse_f, lr) per driver
+    lcurve = [[float(x) for x in ln] for ln in lines]
+    rec["lcurve_head"] = lcurve[:3]
+    rec["lcurve_tail"] = lcurve[-3:]
+    rmse_f_first = lcurve[0][2]
+    rmse_f_last = lcurve[-1][2]
+    rec["rmse_f_first"] = rmse_f_first
+    rec["rmse_f_last"] = rmse_f_last
+    rec["rmse_f_decreased"] = bool(rmse_f_last < 0.7 * rmse_f_first)
+
+    out, wall = run_cli(wd, "freeze", "-c", "model.ckpt.npz",
+                        "-o", "frozen_model.npz")
+    rec["freeze_wall_s"] = round(wall, 1)
+    out, wall = run_cli(wd, "compress", "-i", "frozen_model.npz",
+                        "-o", "compressed_model.pkl")
+    rec["compress_wall_s"] = round(wall, 1)
+
+    # compressed-vs-uncompressed equivalence on real validation frames
+    sys.path.insert(0, REPO)
+    import numpy as np
+    import jax.numpy as jnp
+    from g4s_tpu.models.deepmd.freeze import load_frozen
+    from g4s_tpu.models.deepmd.data import load_system
+    from g4s_tpu.models.deepmd.model import energy_force_virial
+    from g4s_tpu.models.deepmd.compress import (load_compressed,
+                                                energy_force_compressed)
+    params, spec = load_frozen(os.path.join(wd, "frozen_model.npz"))
+    cm = load_compressed(os.path.join(wd, "compressed_model.pkl"))
+    val = load_system(os.path.join(WATER, "data", "data_3"))
+    des, dfs = [], []
+    for i in range(3):
+        c = jnp.asarray(val.coord[i])
+        b = jnp.asarray(val.box[i])
+        t = jnp.asarray(val.types)
+        e0, f0, _ = energy_force_virial(params, spec, c, b, t)
+        e1, f1 = energy_force_compressed(cm, c, b, t)
+        des.append(abs(float(e0) - float(e1)) / val.natoms)
+        dfs.append(float(np.abs(np.asarray(f0) - np.asarray(f1)).max()))
+    rec["compress_dE_per_atom_max"] = max(des)
+    rec["compress_dF_max"] = max(dfs)
+
+    out, wall = run_cli(wd, "md", "-m", "frozen_model.npz",
+                        "--steps", str(args.md_steps))
+    rec["md_steps"] = args.md_steps
+    rec["md_wall_s"] = round(wall, 1)
+    rec["md_ms_per_step"] = round(wall / args.md_steps * 1e3, 1)
+    rec["md_tail"] = out.strip().splitlines()[-2:]
+
+    outp = os.path.join(REPO, "benchmarks", "DP_CHAIN.json")
+    with open(outp, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps({"metric": "dp_chain", "rmse_f_first": rmse_f_first,
+                      "rmse_f_last": rmse_f_last,
+                      "compress_dF_max": rec["compress_dF_max"],
+                      "md_ms_per_step": rec["md_ms_per_step"]}))
+
+
+if __name__ == "__main__":
+    main()

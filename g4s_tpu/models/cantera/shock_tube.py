@@ -122,3 +122,45 @@ class ShockTubeBenchmark:
             out[f"tau_{name}"] = [float(ts[i, np.argmax(oh[i])])
                                   for i in range(len(temperatures))]
         return out
+
+    def run_ntc_sweep_sharded(self, mesh,
+                              temperatures: Sequence[float] = NTC_TEMPERATURES,
+                              P0: float = 40 * 101325.0, *,
+                              t_end: float = 0.005,
+                              rtol=1e-9, atol=1e-15, record_size=20000):
+        """The NTC sweep sharded over a device mesh — the TPU-native
+        analog of the reference's mpi4py rank-striding of cases
+        (NonIdealShockTube.py:229-231: `if counter % nprocs == rank`).
+
+        `mesh` is a 1-axis jax.sharding.Mesh ("case"); the 22-case batch
+        axis is padded to a multiple of the axis size and partitioned, so
+        every device integrates its own case block in the same compiled
+        lockstep BDF program. Results are identical to the single-device
+        batched sweep (pure SPMD, no cross-case coupling).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from g4s_tpu.ops.odeint import bdf_solve
+        n_dev = mesh.devices.size
+        temps = [float(t) for t in temperatures]
+        n_pad = (-len(temps)) % n_dev
+        temps_pad = temps + [temps[-1]] * n_pad
+        out = {"T": temps}
+        for name, mech, reactor in (("RG", self.mech_rk, self.r_rk),
+                                    ("IG", self.mech_ig, self.r_ig)):
+            X = stoich_mixture(mech, self.fuel)
+            k_oh = mech.species_index("oh")
+            y0 = jnp.stack([reactor.initial_state(float(T0), P0, X)
+                            for T0 in temps_pad])
+            sh = NamedSharding(mesh, P("case"))
+            y0 = jax.device_put(y0, sh)
+            solve = jax.jit(jax.vmap(lambda y: bdf_solve(
+                reactor.rhs, y, 0.0, t_end, rtol=rtol, atol=atol,
+                record_fn=lambda yy: jnp.stack([yy[0], yy[1 + k_oh]]),
+                record_size=record_size, max_steps=200000)),
+                in_shardings=(sh,))
+            res = solve(y0)
+            oh = np.asarray(res.record[:, :, 1])
+            ts = np.asarray(res.record_t)
+            out[f"tau_{name}"] = [float(ts[i, np.argmax(oh[i])])
+                                  for i in range(len(temps))]
+        return out

@@ -135,3 +135,11 @@ def energy_force_compressed(cm: CompressedModel, coords, box, types):
     e, g = jax.value_and_grad(
         lambda c: total_energy_compressed(cm, c, box, types))(coords)
     return e, -g
+
+
+def load_compressed(path) -> CompressedModel:
+    """Load a `dp compress` artifact (drivers/dp.py cmd_compress pickle)."""
+    import pickle
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return CompressedModel(d["tables"], d["params"], d["spec"])

@@ -55,3 +55,32 @@ class TestDodecaneIgnition:
         assert int(res.steps) < 20000
         # Jacobian refreshes should be a small fraction of steps
         assert int(res.n_jev) < 0.25 * int(res.steps)
+
+
+class TestShardedSweep:
+    def test_sharded_equals_batched(self):
+        """The mesh-sharded NTC sweep (mpi4py rank-striding analog) must
+        equal the single-device batched sweep exactly — pure SPMD over
+        the case axis. Uses the small H2/O2 mechanism for speed."""
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device (forced-host) platform")
+        from jax.sharding import Mesh
+        from g4s_tpu.models.cantera.shock_tube import ShockTubeBenchmark
+        b = ShockTubeBenchmark(
+            "/root/reference/cantera/data/h2o2.yaml",
+            rk_phase="ohmech", ig_phase="ohmech", fuel="h2")
+        temps = [1400.0, 1300.0, 1200.0, 1100.0]
+        kw = dict(P0=5 * 101325.0, t_end=2e-4, rtol=1e-8, atol=1e-14,
+                  record_size=4000)
+        single = b.run_ntc_sweep_batched(temps, kw["P0"],
+                                         t_end=kw["t_end"],
+                                         rtol=kw["rtol"], atol=kw["atol"])
+        mesh = Mesh(np.array(jax.devices()), ("case",))
+        shard = b.run_ntc_sweep_sharded(mesh, temps, **kw)
+        # tau is read off the per-step record grid; the two runs use
+        # different record buffer sizes so agree to step granularity
+        np.testing.assert_allclose(shard["tau_RG"], single["tau_RG"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(shard["tau_IG"], single["tau_IG"],
+                                   rtol=1e-5)
