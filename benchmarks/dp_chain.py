@@ -87,7 +87,8 @@ def main():
                         "-o", "frozen_model.npz")
     rec["freeze_wall_s"] = round(wall, 1)
     out, wall = run_cli(wd, "compress", "-i", "frozen_model.npz",
-                        "-o", "compressed_model.pkl")
+                        "-o", "compressed_model.pkl",
+                        "-s", os.path.join(WATER, "data", "data_0"))
     rec["compress_wall_s"] = round(wall, 1)
 
     # compressed-vs-uncompressed equivalence on real validation frames

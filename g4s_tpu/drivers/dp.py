@@ -115,11 +115,31 @@ def cmd_freeze(args):
 
 def cmd_compress(args):
     import numpy as np
+    import jax.numpy as jnp
     from g4s_tpu.models.deepmd.freeze import load_frozen
     from g4s_tpu.models.deepmd.compress import compress_model
     import pickle
     params, spec = load_frozen(args.input)
-    cm = compress_model(params, spec, stride=args.stride)
+    samples = None
+    if getattr(args, "system", None):
+        # data-driven table range (the reference's check_freq sampling
+        # role, utils/tabulate.py): tabulate over what the data reaches
+        from g4s_tpu.models.deepmd.data import load_system
+        from g4s_tpu.models.deepmd.descriptor import (env_mat,
+                                                      normalize_env_mat)
+        sysd = load_system(args.system)
+        ss = []
+        for i in range(min(5, sysd.nframes)):
+            R, _ = env_mat(jnp.asarray(sysd.coord[i]),
+                           jnp.asarray(sysd.box[i]),
+                           jnp.asarray(sysd.types), spec.descriptor)
+            Rn = normalize_env_mat(R, jnp.asarray(sysd.types),
+                                   params["stats"]["davg"],
+                                   params["stats"]["dstd"])
+            ss.append(np.asarray(Rn[:, :, 0]).ravel())
+        samples = np.concatenate(ss)
+    cm = compress_model(params, spec, stride=args.stride,
+                        sample_inputs=samples)
     with open(args.output, "wb") as f:
         pickle.dump({"tables": cm.tables, "params": params, "spec": spec}, f)
     print(f"# compressed model -> {args.output}")
@@ -217,6 +237,8 @@ def main():
     p.add_argument("-i", "--input", default="frozen_model.npz")
     p.add_argument("-o", "--output", default="compressed_model.pkl")
     p.add_argument("--stride", type=float, default=0.01)
+    p.add_argument("-s", "--system", default=None,
+                   help="data system for data-driven table ranges")
     p.set_defaults(fn=cmd_compress)
 
     p = sub.add_parser("test")

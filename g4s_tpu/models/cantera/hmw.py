@@ -1,0 +1,352 @@
+"""HMWSoln: Pitzer-model electrolyte activity coefficients.
+
+Reference: cantera/src/thermo/HMWSoln.cpp (MolalityVPSSTP phase with the
+Harvie-Moller-Weare formulation of Pitzer's equations: binary beta0/
+beta1/beta2/Cphi with alpha1/alpha2, like-charge theta, ternary psi,
+with the PITZER_TEMP_COMPLEX1 five-coefficient temperature model,
+HMWSoln.cpp:2003-2030). Standard states: liquid water through the
+IAPWS-95 EoS (water.py / PDSS_Water) and Mu0Poly ("piecewise-Gibbs")
+ions (src/thermo/Mu0Poly.cpp).
+
+Scope notes: the unsymmetrical higher-order electrostatic mixing terms
+(E-theta/E-theta', Pitzer's J(x) functions) are not yet implemented —
+they vanish for same-|z| mixing, which covers the reference's blessed
+NaCl/H/OH validation case (test/thermo/thermoFromYaml.cpp HMWSoln);
+loading a mechanism that mixes charge magnitudes among like-sign ions
+raises NotImplementedError rather than silently dropping the terms.
+
+Validated against the reference's blessed values (molality activity
+coefficients, activities, mu0) at its own 2e-4/2e-6 tolerances.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from g4s_tpu.models.cantera.mech import _yaml_load
+
+GAS_CONSTANT = 8314.46261815324   # J / kmol / K (Cantera ct_defs.h)
+T_PITZER_REF = 298.15
+
+
+def _coeff5(v):
+    if isinstance(v, (int, float)):
+        return np.array([float(v), 0, 0, 0, 0])
+    a = np.asarray([float(x) for x in v], np.float64)
+    out = np.zeros(5)
+    out[: a.size] = a
+    return out
+
+
+def _eval_complex1(q, T):
+    """PITZER_TEMP_COMPLEX1 (HMWSoln.cpp:2003-2030)."""
+    tlin = T - T_PITZER_REF
+    tquad = T * T - T_PITZER_REF * T_PITZER_REF
+    tln = np.log(T / T_PITZER_REF)
+    tinv = 1.0 / T - 1.0 / T_PITZER_REF
+    return q[..., 0] + q[..., 1] * tlin + q[..., 2] * tquad \
+        + q[..., 3] * tinv + q[..., 4] * tln
+
+
+class Mu0Poly(NamedTuple):
+    """Piecewise-Gibbs standard state (src/thermo/Mu0Poly.cpp): constant
+    cp on each knot interval, chained from h(T_ref)=h0; extrapolates
+    with the end interval's cp."""
+    T_knots: np.ndarray
+    h_knots: np.ndarray
+    s_knots: np.ndarray
+    cp: np.ndarray            # per interval
+
+    @staticmethod
+    def build(data: dict, h0: float, dimensionless: bool,
+              T_ref: float = 298.15) -> "Mu0Poly":
+        Ts = np.array(sorted(float(t) for t in data))
+        mu0 = np.array([float(v) for _, v in
+                        sorted(((float(k), v) for k, v in data.items()))])
+        if dimensionless:
+            mu0 = mu0 * GAS_CONSTANT * Ts
+        i_ref = int(np.argmin(np.abs(Ts - T_ref)))
+        n = Ts.size
+        h = np.zeros(n)
+        s = np.zeros(n)
+        cp = np.zeros(max(n - 1, 1))
+        h[i_ref] = h0
+        s[i_ref] = (h0 - mu0[i_ref]) / Ts[i_ref]
+        # forward sweep
+        for j in range(i_ref, n - 1):
+            dT = Ts[j + 1] - Ts[j]
+            lnr = np.log(Ts[j + 1] / Ts[j])
+            cp[j] = (mu0[j + 1] - h[j] + Ts[j + 1] * s[j]) \
+                / (dT - Ts[j + 1] * lnr)
+            h[j + 1] = h[j] + cp[j] * dT
+            s[j + 1] = s[j] + cp[j] * lnr
+        # backward sweep
+        for j in range(i_ref - 1, -1, -1):
+            dT = Ts[j] - Ts[j + 1]
+            lnr = np.log(Ts[j] / Ts[j + 1])
+            cp[j] = (mu0[j] - h[j + 1] + Ts[j] * s[j + 1]) \
+                / (dT - Ts[j] * lnr)
+            h[j] = h[j + 1] + cp[j] * dT
+            s[j] = s[j + 1] + cp[j] * lnr
+        return Mu0Poly(Ts, h, s, cp)
+
+    def mu0(self, T: float) -> float:
+        j = int(np.clip(np.searchsorted(self.T_knots, T) - 1, 0,
+                        max(self.T_knots.size - 2, 0)))
+        cp = self.cp[min(j, self.cp.size - 1)]
+        hT = self.h_knots[j] + cp * (T - self.T_knots[j])
+        sT = self.s_knots[j] + cp * np.log(T / self.T_knots[j])
+        return hT - T * sT
+
+
+class HMWPhase(NamedTuple):
+    species_names: tuple
+    charge: np.ndarray          # (ns,) solvent first
+    Mw_solvent: float           # kg/mol
+    A_debye: float
+    beta0: np.ndarray           # (ns, ns, 5)
+    beta1: np.ndarray
+    beta2: np.ndarray
+    Cphi: np.ndarray
+    alpha1: np.ndarray          # (ns, ns)
+    alpha2: np.ndarray
+    theta: np.ndarray           # (ns, ns, 5)
+    psi: np.ndarray             # (ns, ns, ns, 5)
+    mu0_models: tuple           # per species: ("iapws",) | ("mu0poly", Mu0Poly)
+    state_molalities: dict
+
+    @property
+    def nspec(self):
+        return len(self.species_names)
+
+    def species_index(self, name):
+        return self.species_names.index(name)
+
+
+def load_hmw(path, phase_name: str) -> HMWPhase:
+    doc = _yaml_load(path)
+    ph = next(p for p in doc["phases"] if p["name"] == phase_name)
+    assert ph["thermo"] == "HMW-electrolyte"
+    # species may live in a named section of the same file
+    spec_entry = ph["species"][0]
+    if isinstance(spec_entry, dict):
+        section, names = next(iter(spec_entry.items()))
+        table = {s["name"]: s for s in doc[section]}
+    else:
+        names = ph["species"]
+        table = {s["name"]: s for s in doc["species"]}
+    ns = len(names)
+    charge = np.zeros(ns)
+    mu0_models = []
+    for i, nm in enumerate(names):
+        sp = table[nm]
+        charge[i] = -sp["composition"].get("E", 0.0)
+        eos = sp.get("equation-of-state", {})
+        th = sp.get("thermo", {})
+        if eos.get("model") == "liquid-water-IAPWS95":
+            mu0_models.append(("iapws",))
+        elif th.get("model") == "piecewise-Gibbs":
+            # constant-volume PDSS: mu0(T,P) = mu0_ref(T) + V (P - Pref)
+            # (PDSS_ConstVol.cpp; molar-volume in m^3/kmol, Pref from
+            # the species' reference-pressure, default 1 bar)
+            vol = float(eos.get("molar-volume", 0.0))
+            pref = th.get("reference-pressure",
+                          eos.get("reference-pressure", "1 bar"))
+            pref = 1e5 if str(pref).strip() in ("1 bar", "1bar") \
+                else float(str(pref).split()[0])
+            mu0_models.append(("mu0poly", Mu0Poly.build(
+                th["data"], float(th.get("h0", 0.0)),
+                bool(th.get("dimensionless", False))), vol, pref))
+        else:
+            mu0_models.append(("none",))
+    # unsymmetrical-mixing guard (see module docstring)
+    for sgn in (1, -1):
+        mags = {abs(z) for z in charge if z * sgn > 0}
+        if len(mags) > 1:
+            raise NotImplementedError(
+                "HMW E-theta unsymmetrical mixing terms not implemented "
+                f"(like-sign ions with |z| in {sorted(mags)})")
+
+    act = ph["activity-data"]
+    A_debye = act["A_Debye"]
+    if isinstance(A_debye, str):
+        A_debye = float(A_debye.split()[0])
+    idx = {nm: i for i, nm in enumerate(names)}
+    b0 = np.zeros((ns, ns, 5))
+    b1 = np.zeros((ns, ns, 5))
+    b2 = np.zeros((ns, ns, 5))
+    cph = np.zeros((ns, ns, 5))
+    a1 = np.full((ns, ns), 2.0)
+    a2 = np.full((ns, ns), 12.0)
+    th_ = np.zeros((ns, ns, 5))
+    psi = np.zeros((ns, ns, ns, 5))
+    for inter in act.get("interactions", []):
+        sp = [idx[s] for s in inter["species"]]
+        if len(sp) == 2:
+            i, j = sp
+            for tgt, key in ((b0, "beta0"), (b1, "beta1"), (b2, "beta2"),
+                             (cph, "Cphi")):
+                if key in inter:
+                    tgt[i, j] = tgt[j, i] = _coeff5(inter[key])
+            if "alpha1" in inter:
+                a1[i, j] = a1[j, i] = float(inter["alpha1"])
+            if "alpha2" in inter:
+                a2[i, j] = a2[j, i] = float(inter["alpha2"])
+            if "theta" in inter:
+                th_[i, j] = th_[j, i] = _coeff5(inter["theta"])
+        elif len(sp) == 3:
+            c5 = _coeff5(inter["psi"])
+            import itertools
+            for p in itertools.permutations(sp):
+                psi[p] = c5
+    state = ph.get("state", {})
+    # solvent molar mass from Cantera's element weights (H 1.008,
+    # O 15.999 -> 18.015 g/mol), NOT the IAPWS EoS value 18.015268:
+    # getMolalities' 1/Mw uses the phase's element-derived weight
+    from g4s_tpu.models.cantera.mech import ELEMENT_WEIGHTS
+    comp0 = table[names[0]]["composition"]
+    Mw = sum(ELEMENT_WEIGHTS[el] * n for el, n in comp0.items()
+             if el != "E")          # ELEMENT_WEIGHTS already kg/mol
+    return HMWPhase(tuple(names), charge, Mw, float(A_debye),
+                    b0, b1, b2, cph, a1, a2, th_, psi, tuple(mu0_models),
+                    dict(state.get("molalities", {})))
+
+
+def _g(x):
+    x = np.where(np.abs(x) < 1e-12, 1e-12, x)
+    return 2.0 * (1.0 - (1.0 + x) * np.exp(-x)) / (x * x)
+
+
+def _gprime_over_I(x, I):
+    """(d/dI)[g(alpha sqrt(I))] * ... packaged as g'(x) with
+    B' = [b1 gp(a1 x1) + b2 gp(a2 x2)] / I, gp(x) = -2(1-(1+x+x^2/2)e^-x)/x^2."""
+    x = np.where(np.abs(x) < 1e-12, 1e-12, x)
+    return -2.0 * (1.0 - (1.0 + x + 0.5 * x * x) * np.exp(-x)) / (x * x)
+
+
+def activity_all(ph: HMWPhase, molalities=None, T: float = 298.15):
+    """Molality activity coefficients, activities, osmotic coefficient.
+
+    Returns dict with acMol (solvent slot = a_w / x_w), activities
+    (solvent a_w, solutes gamma*m), molalities (solvent slot =
+    1/Mw_solvent), mole fractions.
+    Formulas: Pitzer 1991 / HMWSoln.cpp s_updatePitzer_lnMolalityActCoeff.
+    """
+    ns = ph.nspec
+    m = np.zeros(ns)
+    if molalities is None:
+        for k, v in ph.state_molalities.items():
+            m[ph.species_index(k)] = float(v)
+    else:
+        m = np.asarray(molalities, np.float64).copy()
+    z = ph.charge
+    solute = np.arange(ns) != 0
+    msum = m[solute].sum()
+    I = 0.5 * np.sum(m * z * z)
+    sqI = np.sqrt(I)
+    Z = np.sum(m * np.abs(z))
+    b = 1.2
+    Aphi = ph.A_debye / 3.0
+
+    B0 = _eval_complex1(ph.beta0, T)
+    B1 = _eval_complex1(ph.beta1, T)
+    B2 = _eval_complex1(ph.beta2, T)
+    CPH = _eval_complex1(ph.Cphi, T)
+    TH = _eval_complex1(ph.theta, T)
+    PSI = _eval_complex1(ph.psi, T)
+
+    x1 = ph.alpha1 * sqI
+    x2 = ph.alpha2 * sqI
+    B = B0 + B1 * _g(x1) + B2 * _g(x2)
+    Bphi = B0 + B1 * np.exp(-x1) + B2 * np.exp(-x2)
+    Bprime = (B1 * _gprime_over_I(x1, I) + B2 * _gprime_over_I(x2, I)) / I
+    zz = np.abs(z[:, None] * z[None, :])
+    C = np.where(zz > 0, CPH / (2.0 * np.sqrt(np.where(zz > 0, zz, 1.0))),
+                 0.0)
+
+    cat = (z > 0)
+    an = (z < 0)
+    mc = np.where(cat, m, 0.0)
+    ma = np.where(an, m, 0.0)
+
+    # F (Pitzer's F function; theta constant in I -> Phi' = theta' = 0)
+    F = -Aphi * (sqI / (1.0 + b * sqI) + (2.0 / b) * np.log(1.0 + b * sqI))
+    F = F + np.einsum("i,j,ij->", mc, ma, Bprime)
+
+    # ln gamma for every solute ion i:
+    # z_i^2 F + sum_opp m_j (2B_ij + Z C_ij)
+    #        + sum_same m_j (2 theta_ij + sum_opp m_a psi_ija)
+    #        + sum over opposite-sign pairs m_j m_k psi_jki
+    #        + |z_i| sum_c sum_a m_c m_a C_ca
+    opp = np.where(z[:, None] * z[None, :] < 0, 1.0, 0.0)
+    same = np.where((z[:, None] * z[None, :] > 0)
+                    & (np.arange(ns)[:, None] != np.arange(ns)[None, :]),
+                    1.0, 0.0)
+    ln_g = z * z * F
+    ln_g = ln_g + np.einsum("ij,j,ij->i", opp, m, 2.0 * B + Z * C)
+    # psi with same-sign j and opposite-sign a: psi[i, j, a]
+    psi_term = np.einsum("ij,j,ja,a,ija->i", same, m, opp, m, PSI)
+    ln_g = ln_g + np.einsum("ij,j,ij->i", same, m, 2.0 * TH) + psi_term
+    # opposite-sign pair sum: for ion i, pairs (j,k) both opposite in
+    # sign to each other with i in the triplet: 0.5 m_j m_k psi_jki over
+    # same-sign-with-i j' pairs... the standard form: for cation M:
+    # sum_{a<a'} m_a m_a' psi_aa'M -> 0.5 einsum over distinct anions
+    pair_same = np.where((z[:, None] * z[None, :] > 0)
+                         & (np.arange(ns)[:, None]
+                            != np.arange(ns)[None, :]), 1.0, 0.0)
+    # for ion i: anion-anion pairs if i is cation, cation-cation if anion
+    mask_pairs = np.zeros(ns)
+    for i in range(ns):
+        if z[i] == 0:
+            continue
+        acc = 0.0
+        for j in range(ns):
+            for k in range(ns):
+                if j >= k or z[j] * z[k] <= 0:
+                    continue
+                if z[j] * z[i] < 0 and z[k] * z[i] < 0:
+                    acc += m[j] * m[k] * PSI[j, k, i]
+        mask_pairs[i] = acc
+    ln_g = ln_g + mask_pairs
+    ln_g = ln_g + np.abs(z) * np.einsum("i,j,ij->", mc, ma, C)
+    ln_g = np.where(solute, ln_g, 0.0)
+
+    # osmotic coefficient
+    phi_sum = -Aphi * I ** 1.5 / (1.0 + b * sqI)
+    phi_sum = phi_sum + np.einsum("i,j,ij->", mc, ma, Bphi + Z * C)
+    # like-sign pair terms (Phi^phi = theta here) + their psi sums
+    for sgn in (1, -1):
+        ions = [i for i in range(ns) if z[i] * sgn > 0]
+        for ii, i in enumerate(ions):
+            for j in ions[ii + 1:]:
+                inner = TH[i, j]
+                inner = inner + np.sum(np.where(
+                    z * sgn < 0, m * PSI[i, j, :], 0.0))
+                phi_sum = phi_sum + m[i] * m[j] * inner
+    phi = 1.0 + (2.0 / msum) * phi_sum
+    a_w = np.exp(-phi * msum * ph.Mw_solvent)
+
+    x_w = (1.0 / ph.Mw_solvent) / (1.0 / ph.Mw_solvent + msum)
+    mf = np.where(solute, m * x_w * ph.Mw_solvent, x_w)
+    acMol = np.where(solute, np.exp(ln_g), a_w / x_w)
+    activities = np.where(solute, np.exp(ln_g) * m, a_w)
+    moll = m.copy()
+    moll[0] = 1.0 / ph.Mw_solvent
+    return {"acMol": acMol, "activities": activities, "molalities": moll,
+            "mole_fractions": mf, "osmotic": phi, "a_w": a_w,
+            "ionic_strength": I}
+
+
+def standard_chem_potentials(ph: HMWPhase, T: float, P: float = 101325.0):
+    """mu0 per species [J/kmol] (getStandardChemPotentials)."""
+    out = np.zeros(ph.nspec)
+    for i, mdl in enumerate(ph.mu0_models):
+        if mdl[0] == "iapws":
+            from g4s_tpu.models.cantera.water import WaterStandardState
+            out[i] = float(WaterStandardState().mu0(T, P))
+        elif mdl[0] == "mu0poly":
+            out[i] = mdl[1].mu0(T) + mdl[2] * (P - mdl[3])
+    return out

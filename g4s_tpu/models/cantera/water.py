@@ -267,15 +267,26 @@ class WaterStandardState:
     h = -241.826e6 J/kmol.
     """
 
+    # anchoring constants, precomputed once by _compute_offsets() below
+    # (running the gas-branch Newton + property evals costs minutes of
+    # XLA compile; the values are deterministic and verified by
+    # tests/test_cantera.py::TestWaterIAPWS::test_offsets_reproduce)
+    EW_OFFSET = -287728568.2492926      # J/kmol
+    SW_OFFSET = 63307.076228570104      # J/kmol/K
+
     def __init__(self):
+        self.EW_Offset = self.EW_OFFSET
+        self.SW_Offset = self.SW_OFFSET
+
+    @staticmethod
+    def _compute_offsets():
         T0 = 298.15
         presLow = 1e-2
         rho_gas = float(density(T0, presLow, WATER_GAS, rho_guess=1e-9))
         s = float(entropy_mole(T0, rho_gas)) \
             - 8.31446261815324e3 * np.log(1e5 / presLow)
-        self.SW_Offset = 188.835e3 - s
         h = float(enthalpy_mole(T0, rho_gas))
-        self.EW_Offset = -241.826e6 - h
+        return -241.826e6 - h, 188.835e3 - s
 
     def mu0(self, T, P=ONE_ATM):
         """Standard chemical potential of liquid water [J/kmol]."""

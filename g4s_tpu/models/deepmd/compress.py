@@ -62,8 +62,16 @@ def tabulate_embedding(layers, lower: float, upper: float, stride: float,
 
 
 def eval_table(table: EmbeddingTable, u):
-    """u: (...,) -> (..., M1) via interval lookup + Horner."""
+    """u: (...,) -> (..., M1) via interval lookup + Horner.
+
+    Out-of-range inputs are clamped to the table edge (constant
+    extrapolation): a quintic Hermite polynomial evaluated at |t| >> 1
+    diverges catastrophically, which is how an untightened range turned
+    the water-model compression into garbage (round-3 dp-chain finding).
+    Build tables with data-driven ranges (sample_inputs) to avoid
+    clamping in the first place."""
     t_all = (u - table.lower) / table.stride
+    t_all = jnp.clip(t_all, 0.0, table.n_intervals - 1e-6)
     idx = jnp.clip(t_all.astype(jnp.int32), 0, table.n_intervals - 1)
     t = t_all - idx
     c = jnp.take(table.coeffs, idx, axis=0)                # (..., 6, M1)

@@ -947,3 +947,124 @@ class TestStaggeredSensitivityCost:
         # and correctness: conservation => sensitivity columns sum to 0
         s = np.asarray(both(p0))
         np.testing.assert_allclose(s.sum(axis=0), 0.0, atol=1e-6)
+
+
+class TestWaterIAPWS:
+    """IAPWS-95 real-water EoS (water.py) vs the IAPWS release check
+    values and the reference's PDSS_Water anchoring
+    (cantera/src/thermo/WaterPropsIAPWS.cpp, PDSS_Water.cpp)."""
+
+    def test_release_check_values(self):
+        from g4s_tpu.models.cantera import water
+        # Wagner & Pruss single-phase check point: T=500 K,
+        # rho=838.025 kg/m3 -> p = 10.0003858 MPa (Cantera's two tiny
+        # triple-point anchoring tweaks shift digit 8)
+        p = float(water.pressure(500.0, 838.025))
+        assert abs(p / 1e6 - 10.0003858) < 2e-5
+        rho = float(water.density(298.15, 101325.0))
+        assert abs(rho - 997.0476) < 1e-3
+
+    def test_mu0_matches_reference_blessed(self):
+        # PDSS_Water mu0 for liquid water at the HMW test state
+        # (thermoFromYaml.cpp HMWSoln mu0Ref[0], tolerance 2e-6 kJ/gmol)
+        from g4s_tpu.models.cantera.water import WaterStandardState
+        ss = WaterStandardState()
+        mu0 = float(ss.mu0(423.15, 101325.0)) / 1e6
+        assert abs(mu0 - (-317.175792)) < 2e-6
+
+    def test_offsets_reproduce(self):
+        # the hardcoded anchoring constants must equal the documented
+        # anchoring procedure's output (PDSS_Water.cpp:28-50)
+        from g4s_tpu.models.cantera.water import WaterStandardState
+        ew, sw = WaterStandardState._compute_offsets()
+        assert abs(ew - WaterStandardState.EW_OFFSET) < 1.0
+        assert abs(sw - WaterStandardState.SW_OFFSET) < 1e-3
+
+    def test_thermal_expansion_sign_change(self):
+        # liquid water's density maximum near 4 C: alpha < 0 at 276 K,
+        # > 0 at 300 K — a physics property no fit to the test suite
+        # could fake
+        from g4s_tpu.models.cantera import water
+        rho1 = float(water.density(276.15, 101325.0))
+        rho2 = float(water.density(300.0, 101325.0))
+        a1 = float(water.thermal_expansion_coeff(276.15, rho1))
+        a2 = float(water.thermal_expansion_coeff(300.0, rho2))
+        assert a1 < 0 < a2
+
+
+class TestHMWSoln:
+    """Pitzer electrolyte model vs the reference's blessed NaCl
+    validation (test/thermo/thermoFromYaml.cpp HMWSoln, its own
+    tolerances: 2e-4 on activities, 2e-6 kJ/gmol on mu0)."""
+
+    @pytest.fixture(scope="class")
+    def phase(self):
+        from g4s_tpu.models.cantera.hmw import load_hmw
+        return load_hmw(
+            "/root/reference/cantera/test/data/thermo-models.yaml",
+            "HMW-NaCl-electrolyte")
+
+    def test_activities_vs_blessed(self, phase):
+        from g4s_tpu.models.cantera.hmw import activity_all
+        r = activity_all(phase, T=423.15)
+        np.testing.assert_allclose(
+            r["acMol"], [0.9341, 1.0191, 3.9637, 1.0191, 0.4660],
+            atol=2e-4)
+        np.testing.assert_allclose(
+            r["activities"], [0.7658, 6.2164, 0.0, 6.2164, 0.0],
+            atol=2e-4)
+        np.testing.assert_allclose(
+            r["mole_fractions"], [0.8198, 0.0901, 0.0, 0.0901, 0.0],
+            atol=2e-4)
+        np.testing.assert_allclose(
+            r["molalities"], [55.5093, 6.0997, 0.0, 6.0997, 0.0],
+            atol=2e-4)
+
+    def test_mu0_vs_blessed(self, phase):
+        from g4s_tpu.models.cantera.hmw import standard_chem_potentials
+        mu0 = standard_chem_potentials(phase, 423.15, 101325.0) / 1e6
+        ref = [-317.175792, -186.014569, 0.0017225, -441.615456,
+               -322.000432]
+        np.testing.assert_allclose(mu0, ref, atol=2e-6)
+
+    def test_infinite_dilution_limit(self, phase):
+        # gamma -> Debye-Huckel limiting law as I -> 0
+        from g4s_tpu.models.cantera.hmw import activity_all
+        m = np.zeros(phase.nspec)
+        m[phase.species_index("Na+")] = 1e-5
+        m[phase.species_index("Cl-")] = 1e-5
+        r = activity_all(phase, m, T=298.15)
+        lngam = np.log(r["acMol"][phase.species_index("Na+")])
+        A_phi = phase.A_debye / 3.0
+        I = 1e-5
+        dh = -A_phi * np.sqrt(I) / (1 + 1.2 * np.sqrt(I)) * 1.0 \
+            - A_phi * (2 / 1.2) * np.log(1 + 1.2 * np.sqrt(I))
+        assert abs(lngam - dh) < 1e-5
+
+    def test_unsymmetrical_guard(self):
+        # mixing |z|=1 and |z|=2 like-sign ions must raise, not silently
+        # drop the E-theta terms
+        from g4s_tpu.models.cantera.hmw import load_hmw
+        import tempfile, os
+        yaml = """
+phases:
+- name: bad
+  species: [{sp: [H2O(L), Na+, Ca++, Cl-]}]
+  thermo: HMW-electrolyte
+  activity-data: {temperature-model: constant, A_Debye: 1.17,
+                  interactions: []}
+sp:
+- {name: H2O(L), composition: {H: 2, O: 1}, thermo: {model: constant-cp}}
+- {name: Na+, composition: {Na: 1, E: -1}, thermo: {model: constant-cp}}
+- {name: Ca++, composition: {Ca: 1, E: -2}, thermo: {model: constant-cp}}
+- {name: Cl-, composition: {Cl: 1, E: 1}, thermo: {model: constant-cp}}
+"""
+        with tempfile.NamedTemporaryFile("w", suffix=".yaml",
+                                         delete=False) as f:
+            f.write(yaml)
+            path = f.name
+        try:
+            with pytest.raises(NotImplementedError):
+                load_hmw(path, "bad")
+        finally:
+            os.unlink(path)
