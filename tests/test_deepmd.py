@@ -567,3 +567,84 @@ class TestSeAEbdAndMask:
                               atom_mask=jnp.ones(6, bool))
         np.testing.assert_allclose(float(e_masked), float(e_bare),
                                    rtol=1e-10)
+
+
+class TestDPLR:
+    """Long-range electrostatics (dplr.py): ewald_recp + the dipole
+    charge modifier (reference: source/lib/src/ewald.cc,
+    deepmd/infer/data_modifier.py)."""
+
+    def test_madelung_nacl(self):
+        """recip + real + self Ewald must reproduce the NaCl Madelung
+        constant (1.7475645946...) — an analytic oracle no part of the
+        reference test suite could leak."""
+        from g4s_tpu.models.deepmd.dplr import (ewald_recp,
+                                                ewald_real_and_self,
+                                                ELECTROSTATIC_CONVERSION)
+        a = 5.64                      # conventional cubic cell, angstrom
+        # rock salt: Na at (0,0,0)+fcc, Cl at (.5,0,0)+fcc
+        fcc = np.array([[0, 0, 0], [0, .5, .5], [.5, 0, .5], [.5, .5, 0]])
+        na = fcc
+        cl = (fcc + [0.5, 0, 0]) % 1.0
+        frac = np.vstack([na, cl])
+        coord = frac * a
+        q = np.array([1.0] * 4 + [-1.0] * 4)
+        box = np.eye(3) * a
+        beta = 0.9
+        e_r, _, _ = ewald_recp(coord, q, box, beta=beta, spacing=0.35)
+        e_rs = float(ewald_real_and_self(coord, q, box, beta=beta,
+                                         rcut=8.0, n_images=2))
+        e_total = float(e_r) + e_rs
+        # 4 ion pairs, nearest-neighbor distance a/2
+        madelung = -e_total * (a / 2) / (4 * ELECTROSTATIC_CONVERSION)
+        assert abs(madelung - 1.7475645946) < 2e-6, madelung
+
+    def test_recp_forces_are_gradients(self):
+        from g4s_tpu.models.deepmd.dplr import ewald_recp
+        rng = np.random.default_rng(0)
+        n = 6
+        box = np.eye(3) * 7.0
+        coord = rng.uniform(0, 7.0, (n, 3))
+        q = rng.normal(size=n)
+        q -= q.mean()
+        e0, f, v = ewald_recp(coord, q, box, beta=1.0, spacing=2.0)
+        # central-difference check on one coordinate
+        eps = 1e-5
+        cp = coord.copy(); cp[2, 1] += eps
+        cm = coord.copy(); cm[2, 1] -= eps
+        ep, _, _ = ewald_recp(cp, q, box, beta=1.0, spacing=2.0)
+        em, _, _ = ewald_recp(cm, q, box, beta=1.0, spacing=2.0)
+        fd = -(float(ep) - float(em)) / (2 * eps)
+        assert abs(fd - float(f[2, 1])) < 1e-6 * max(1.0, abs(fd))
+
+    def test_dipole_charge_modifier(self):
+        """Modifier energy/forces: neutral system, translation-invariant
+        energy, forces = -grad (via an independent finite difference)."""
+        import jax
+        from g4s_tpu.models.deepmd.dplr import DipoleChargeModifier
+        from g4s_tpu.models.deepmd.fit_tensor import init_tensor_fit
+        from g4s_tpu.models.deepmd import init_params
+        spec = tiny_spec()
+        rng = np.random.default_rng(1)
+        coord, box, types = random_frame(rng)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        nets = init_tensor_fit(jax.random.PRNGKey(1), spec)
+        mod = DipoleChargeModifier(params, nets, spec,
+                                   model_charge_map=[-2.0, -1.0],
+                                   sys_charge_map=[2.0, 1.0],
+                                   ewald_h=2.0, ewald_beta=1.0)
+        e, f, v = mod.eval(coord, box, types)
+        assert np.isfinite(float(e))
+        # translation invariance (charges ride with coords)
+        e2, f2, _ = mod.eval(np.asarray(coord) + 0.37, box, types)
+        assert abs(float(e2) - float(e)) < 1e-8 * max(1.0, abs(float(e)))
+        # finite-difference force check
+        eps = 1e-5
+        c = np.asarray(coord, np.float64)
+        cp = c.copy(); cp[1, 0] += eps
+        cm = c.copy(); cm[1, 0] -= eps
+        ep, _, _ = mod.eval(cp, box, types)
+        em, _, _ = mod.eval(cm, box, types)
+        fd = -(float(ep) - float(em)) / (2 * eps)
+        np.testing.assert_allclose(float(f[1, 0]), fd,
+                                   rtol=1e-5, atol=1e-7)
