@@ -1418,3 +1418,87 @@ class TestDF64Tier:
         model = cached_model(cfg)
         with pytest.raises(NotImplementedError):
             DF64Model(model)
+
+
+class TestExchangerHardening:
+    """Round-2 verdict #9: multi-step coupled stability/conservation and
+    a sharded-coarse variant (the reference's exchanger tests run
+    13-proc two-solver MPI jobs, citcoms/tests/test1.sh)."""
+
+    def _setup(self, two_way=True):
+        import dataclasses as dc
+        from g4s_tpu.models.citcoms.exchanger import CoupledRun
+        from g4s_tpu.models.citcoms.full_driver import FullSphereModel
+        coarse_cfg = CitcomConfig(nodex=5, nodey=5, nodez=5, rayleigh=1e4,
+                                  radius_inner=0.55, radius_outer=1.0,
+                                  maxstep=2, num_mat=4)
+        fine_cfg = small_cfg(nodex=9, nodey=9, nodez=5, rayleigh=1e4)
+        coarse = FullSphereModel(coarse_cfg)
+        fine = cached_model(fine_cfg)
+        sc = coarse.init_state()
+        sc = dc.replace(sc, T=sc.T + 0.05 * jnp.sin(
+            jnp.arange(coarse.mesh.nno) * 0.31))
+        sf = fine.init_state()
+        return CoupledRun(coarse, fine, two_way=two_way), sc, sf
+
+    def test_multi_step_stability_and_conservation(self):
+        run, sc, sf = self._setup(two_way=True)
+        t_means = [float(jnp.mean(sf.T))]
+        for k in range(5):
+            sc, sf, (d_c, d_f) = run.step(sc, sf)
+            # stability: bounded temperatures, finite fields, positive dt
+            assert np.isfinite(np.asarray(sf.T)).all()
+            assert np.isfinite(np.asarray(sc.T)).all()
+            assert float(jnp.min(sf.T)) > -0.25
+            assert float(jnp.max(sf.T)) < 1.25
+            assert float(d_f.dt) > 0 and float(d_c.dt) > 0
+            t_means.append(float(jnp.mean(sf.T)))
+        # conservation-style bound: with no internal heating, the fine
+        # region's mean temperature changes only through boundary
+        # advection/diffusion — a per-step drift above ~5% would signal
+        # a broken restriction or unconserved filter
+        drifts = np.abs(np.diff(t_means))
+        assert drifts.max() < 0.05, drifts
+        # interface consistency EVERY step on a one-way run (two-way
+        # restriction rewrites the coarse interior AFTER the exchange,
+        # so the check is only meaningful without it)
+        run1, sc, sf = self._setup(two_way=False)
+        for k in range(3):
+            sc, sf, _ = run1.step(sc, sf)
+            tbc_val, _ = run1._exchange(sc.T, sc.V)
+            bt = np.asarray(sf.T)[run1.b_nodes]
+            np.testing.assert_allclose(
+                bt, np.asarray(tbc_val)[run1.b_nodes], atol=1e-8)
+
+    def test_coupled_with_sharded_coarse_stokes(self):
+        """The coupled step with the coarse Stokes solve executed
+        element-sharded over the 8-device mesh must match the
+        single-device coupled step (multi-chip exchanger)."""
+        import jax
+        import dataclasses as dc
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device platform")
+        from jax.sharding import Mesh
+        from g4s_tpu.models.citcoms.full_driver import shard_full_sphere
+        run, sc, sf = self._setup(two_way=True)
+        sc1, sf1, _ = run.step(sc, sf)
+
+        mesh = Mesh(np.array(jax.devices()), ("e",))
+        sharded_stokes = shard_full_sphere(run.coarse, mesh)
+        V, P, _ = sharded_stokes(sc.T, sc.V, sc.P)
+        # element-sharded coarse solve matches the single-device one at
+        # the Uzawa tolerance (compile-order differences shift CG
+        # iterates; bitwise equality is covered by
+        # test_element_sharded_stokes_matches_single on a milder state)
+        V0, P0, _ = run.coarse._stokes(sc.T, sc.V, sc.P)
+        np.testing.assert_allclose(np.asarray(V), np.asarray(V0),
+                                   rtol=0, atol=2e-3
+                                   * float(jnp.abs(V0).max()))
+        # and driving the exchange with the sharded solution gives the
+        # same fine BCs
+        tbc1, vbc1 = run._exchange(sc.T, V)
+        tbc0, vbc0 = run._exchange(sc.T, V0)
+        np.testing.assert_allclose(np.asarray(tbc1), np.asarray(tbc0),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(vbc1), np.asarray(vbc0),
+                                   atol=2e-3 * float(jnp.abs(V0).max()))
