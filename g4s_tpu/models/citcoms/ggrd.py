@@ -27,14 +27,44 @@ def load_grid(path):
                 np.asarray(z["lat"], np.float64),
                 np.asarray(z["depth"], np.float64),
                 np.asarray(z["field"], np.float64))
-    try:
-        import netCDF4  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "netCDF4 is not installed in this image; convert the grd file "
-            "to the npz layout {lon, lat, depth, field} documented in "
-            "g4s_tpu.models.citcoms.ggrd") from e
-    raise NotImplementedError("netCDF grd reading: supply npz instead")
+    # netCDF grd: single file with a depth dimension, or use
+    # load_grd_layers for the reference's one-file-per-depth convention
+    from g4s_tpu.models.citcoms.netcdf3 import read_netcdf3
+    dims, vars_ = read_netcdf3(path)
+
+    def pick(*names):
+        for nm in names:
+            if nm in vars_:
+                return np.asarray(vars_[nm][0], np.float64)
+        return None
+    lon = pick("lon", "x")
+    lat = pick("lat", "y")
+    dep = pick("depth", "z_levels")
+    fld = pick("field", "z", "w")
+    if lon is None or lat is None or fld is None:
+        raise ValueError(f"unrecognized grd layout in {path}: {list(vars_)}")
+    if fld.ndim == 2:
+        fld = fld[None]
+        dep = np.zeros(1) if dep is None else dep
+    return lon, lat, dep, fld
+
+
+def load_grd_layers(paths, depths):
+    """The reference's per-depth-layer convention (Ggrd_handling.c:196:
+    one GMT grd file per radial layer) -> stacked (lon, lat, depth,
+    field[nd, ny, nx])."""
+    from g4s_tpu.models.citcoms.netcdf3 import read_grd
+    lons, lats, zs = None, None, []
+    for p in paths:
+        lon, lat, z = read_grd(p)
+        if lons is None:
+            lons, lats = lon, lat
+        else:
+            if not (np.allclose(lon, lons) and np.allclose(lat, lats)):
+                raise ValueError("layer grids must share lon/lat axes")
+        zs.append(z)
+    return (np.asarray(lons), np.asarray(lats),
+            np.asarray(depths, np.float64), np.stack(zs))
 
 
 def _interp1_weights(grid, x):

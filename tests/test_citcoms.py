@@ -1502,3 +1502,72 @@ class TestExchangerHardening:
                                    atol=1e-9)
         np.testing.assert_allclose(np.asarray(vbc1), np.asarray(vbc0),
                                    atol=2e-3 * float(jnp.abs(V0).max()))
+
+
+class TestGgrdNetCDF:
+    def test_reads_scipy_written_classic_grd(self, tmp_path):
+        """Pure-python netCDF-3 reader vs a scipy-written classic file
+        (the Ggrd_handling.c input path without the npz stand-in)."""
+        from scipy.io import netcdf_file
+        import warnings
+        path = str(tmp_path / "t.grd")
+        ny, nx = 7, 9
+        lon = np.linspace(0, 40, nx)
+        lat = np.linspace(-30, 30, ny)
+        rng = np.random.default_rng(0)
+        z = rng.normal(size=(ny, nx))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            f = netcdf_file(path, "w")
+            f.createDimension("lon", nx)
+            f.createDimension("lat", ny)
+            vlon = f.createVariable("lon", "d", ("lon",))
+            vlon[:] = lon
+            vlat = f.createVariable("lat", "d", ("lat",))
+            vlat[:] = lat
+            vz = f.createVariable("z", "f", ("lat", "lon"))
+            vz[:] = z.astype(np.float32)
+            f.close()
+        from g4s_tpu.models.citcoms.netcdf3 import read_grd
+        glon, glat, gz = read_grd(path)
+        np.testing.assert_allclose(glon, lon)
+        np.testing.assert_allclose(glat, lat)
+        np.testing.assert_allclose(gz, z, rtol=1e-6)
+
+    def test_layers_interpolate_to_mesh(self, tmp_path):
+        from scipy.io import netcdf_file
+        import warnings
+        from g4s_tpu.models.citcoms.ggrd import (load_grd_layers,
+                                                 interpolate_to_mesh)
+        # two depth layers of an analytic field: f = lat + 2*lon + 10*d
+        nx = ny = 12
+        lon = np.linspace(0.0, 46.0, nx)
+        lat = np.linspace(33.0, 66.0, ny)
+        paths = []
+        for li, d in enumerate((0.0, 1.0)):
+            p = str(tmp_path / f"l{li}.grd")
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                f = netcdf_file(p, "w")
+                f.createDimension("lon", nx)
+                f.createDimension("lat", ny)
+                v = f.createVariable("lon", "d", ("lon",))
+                v[:] = lon
+                v = f.createVariable("lat", "d", ("lat",))
+                v[:] = lat
+                v = f.createVariable("z", "d", ("lat", "lon"))
+                v[:] = (lat[:, None] + 2.0 * lon[None, :] + 10.0 * d)
+                f.close()
+            paths.append(p)
+        glon, glat, gd, gf = load_grd_layers(paths, [0.0, 1.0])
+        model = cached_model(small_cfg())
+        vals = interpolate_to_mesh(model.mesh, glon, glat, gd, gf)
+        sx = np.asarray(model.mesh.sx)
+        node_lat = 90.0 - np.degrees(sx[:, 0])
+        node_lon = np.degrees(sx[:, 1])
+        node_dep = 1.0 - sx[:, 2] / sx[:, 2].max()
+        expect = node_lat + 2.0 * node_lon + 10.0 * node_dep
+        inside = ((node_lat > lat[0]) & (node_lat < lat[-1])
+                  & (node_lon > lon[0]) & (node_lon < lon[-1]))
+        np.testing.assert_allclose(vals[inside], expect[inside],
+                                   rtol=1e-6)
