@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--md-steps", type=int, default=200)
     ap.add_argument("--workdir", default="/tmp/g4s_dp_chain")
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip train/freeze if the workdir already has them")
     args = ap.parse_args()
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
@@ -68,8 +70,13 @@ def main():
 
     rec = {"steps": args.steps, "data": "reference water npy systems"}
 
-    out, wall = run_cli(wd, "train", inp, "--checkpoint", "model.ckpt.npz")
-    rec["train_wall_s"] = round(wall, 1)
+    reuse = args.reuse and os.path.exists(os.path.join(wd, "frozen_model.npz"))
+    if not reuse:
+        out, wall = run_cli(wd, "train", inp, "--checkpoint",
+                            "model.ckpt.npz")
+        rec["train_wall_s"] = round(wall, 1)
+    else:
+        rec["train_wall_s"] = "reused"
     with open(os.path.join(wd, "lcurve.out")) as f:
         lines = [ln.split() for ln in f if not ln.startswith("#") and
                  ln.strip()]
@@ -83,9 +90,10 @@ def main():
     rec["rmse_f_last"] = rmse_f_last
     rec["rmse_f_decreased"] = bool(rmse_f_last < 0.7 * rmse_f_first)
 
-    out, wall = run_cli(wd, "freeze", "-c", "model.ckpt.npz",
-                        "-o", "frozen_model.npz")
-    rec["freeze_wall_s"] = round(wall, 1)
+    if not reuse:
+        out, wall = run_cli(wd, "freeze", "-c", "model.ckpt.npz",
+                            "-o", "frozen_model.npz")
+        rec["freeze_wall_s"] = round(wall, 1)
     out, wall = run_cli(wd, "compress", "-i", "frozen_model.npz",
                         "-o", "compressed_model.pkl",
                         "-s", os.path.join(WATER, "data", "data_0"))

@@ -81,11 +81,28 @@ def cmd_train(args):
     params["stats"]["davg"] = jnp.asarray(davg)
     params["stats"]["dstd"] = jnp.asarray(dstd)
     if args.restart:
-        # `dp train --restart` (entrypoints/main.py restart/init-model):
+        # `dp train --restart` (entrypoints/main.py restart):
         # resume parameters (incl. stats/bias) from a saved checkpoint
         tree, meta = ckpt.load_deepmd(args.restart, params)
         params = tree["params"]
         print(f"# restarted from {args.restart} (step {meta.get('step')})")
+    elif getattr(args, "init_model", None) or getattr(args, "finetune", None):
+        # init-from-frozen / finetune (trainer.py:1326-1416): start from
+        # a frozen model's parameters; --finetune additionally re-anchors
+        # the per-type energy bias on the NEW data by least-squares of
+        # the pretrained model's residual (change_energy_bias)
+        from g4s_tpu.models.deepmd.freeze import load_frozen
+        src = args.init_model or args.finetune
+        params, spec_loaded = load_frozen(src)
+        if spec_loaded.descriptor != spec.descriptor:
+            raise SystemExit("pretrained model descriptor != input.json")
+        spec = spec_loaded
+        if args.finetune:
+            from g4s_tpu.models.deepmd.train import change_energy_bias
+            params, delta = change_energy_bias(params, spec, data, ntypes)
+            print(f"# finetune: energy bias shifted by {delta}")
+        else:
+            print(f"# initialized from frozen model {src}")
 
     trainer = Trainer(spec, loss, lr)
     disp = jdata["training"].get("disp_freq", 100)
@@ -222,6 +239,11 @@ def main():
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--restart", default=None,
                    help="checkpoint to resume parameters from")
+    p.add_argument("--init-model", default=None, dest="init_model",
+                   help="frozen model to initialize parameters from")
+    p.add_argument("--finetune", default=None,
+                   help="frozen model to finetune (re-anchors energy "
+                        "bias on the new data)")
     p.add_argument("--checkpoint", default="model.ckpt.npz")
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32",
                    help="f32 is the TPU production dtype; f64 matches the "

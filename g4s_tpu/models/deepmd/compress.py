@@ -96,8 +96,12 @@ def compress_model(params, spec: ModelSpec, *, stride: float = 0.01,
     """
     lo, hi = -extrapolate, extrapolate
     if sample_inputs is not None:
+        # generous margin: frames OUTSIDE the sampled set stray past the
+        # sampled range, and the clamped edge would flatten their forces
         s = np.asarray(sample_inputs)
-        lo, hi = float(s.min()) - 0.5, float(s.max()) + 0.5
+        span = float(s.max()) - float(s.min())
+        lo = float(s.min()) - 0.25 * span - 1.0
+        hi = float(s.max()) + 0.25 * span + 1.0
     nt = spec.descriptor.ntypes
     tables = tuple(tuple(
         tabulate_embedding(params["embed"][tc][tn], lo, hi, stride, spec.m1)

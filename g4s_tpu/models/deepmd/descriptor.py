@@ -59,13 +59,19 @@ def switch_fn(r, rmin, rmax):
     return jnp.where(r < rmin, 1.0, jnp.where(r > rmax, 0.0, sw))
 
 
-def env_mat(coords, box, types, spec: DescriptorSpec):
+def env_mat(coords, box, types, spec: DescriptorSpec, *,
+            efield=None, ef_mode: str = "none"):
     """Environment matrix for one frame.
 
     coords: (N, 3) Angstrom; types: (N,) int; box: (3, 3).
     Returns R: (N, nnei, 4) and nlist: (N, nnei) neighbor indices (-1 pad).
     Slots are laid out per type section (sel[0] slots of type 0, ...),
     each section sorted by distance — exactly fmt_nlist's layout.
+
+    efield/ef_mode implement the se_a_ef variants (ComputeDescriptor.h
+    compute_descriptor_se_a_ef_para/_vert): the vector channels use the
+    component of r parallel ("para") or perpendicular ("vert") to the
+    per-atom unit field, while channel 0 keeps 1/r of the FULL distance.
     """
     n = coords.shape[0]
     disp = min_image_displacements(coords, box)          # (N, N, 3)
@@ -93,7 +99,17 @@ def env_mat(coords, box, types, spec: DescriptorSpec):
         sw = switch_fn(d, spec.rcut_smth, spec.rcut)
         s = jnp.where(valid, sw / d, 0.0)
         row0 = s
-        rows = s[:, :, None] * vec / jnp.where(valid, d, 1.0)[:, :, None]
+        if efield is not None and ef_mode != "none":
+            ef = efield / jnp.linalg.norm(efield, axis=-1,
+                                          keepdims=True)     # (N, 3)
+            dot = jnp.sum(vec * ef[:, None, :], axis=-1,
+                          keepdims=True)
+            para = dot * ef[:, None, :]
+            vec_eff = para if ef_mode == "para" else vec - para
+        else:
+            vec_eff = vec
+        rows = s[:, :, None] * vec_eff \
+            / jnp.where(valid, d, 1.0)[:, :, None]
         R_secs.append(jnp.concatenate([row0[:, :, None], rows], axis=-1)
                       * valid[:, :, None])
         nl_secs.append(jnp.where(valid, idx, -1))
@@ -291,3 +307,19 @@ def env_mat_nopbc(coords, types, spec: DescriptorSpec, *, atom_mask=None):
         R = R * am[:, None, None]                        # virtual centers
         nlist = jnp.where(am[:, None], nlist, -1)
     return R, nlist
+
+
+def atomic_descriptor_ef(params_para, params_vert, spec, coords, box,
+                         types, efield):
+    """se_a_ef descriptor (deepmd/descriptor/se_a_ef.py DescrptSeAEf):
+    two DescrptSeA-style sub-descriptors over the field-parallel and
+    field-perpendicular environment matrices, concatenated per atom.
+    `efield` is (N, 3) per-atom field vectors (normalized internally).
+    Each sub-descriptor carries its own embedding nets and stats."""
+    from g4s_tpu.models.deepmd.model import atomic_descriptor
+    outs = []
+    for prm, mode in ((params_para, "para"), (params_vert, "vert")):
+        R, _ = env_mat(coords, box, types, spec.descriptor,
+                       efield=efield, ef_mode=mode)
+        outs.append(atomic_descriptor(prm, spec, R, types))
+    return jnp.concatenate(outs, axis=-1)

@@ -169,3 +169,96 @@ def make_dp_train_step(spec: ModelSpec, loss_cfg: LossConfig,
         in_shardings=(replicated, replicated, batch_sharding, replicated),
         out_shardings=(replicated, replicated, replicated, replicated))
     return jitted, batch_sharding
+
+
+def change_energy_bias(params, spec, data, ntypes: int, *, n_frames: int = 10):
+    """Finetune bias correction (trainer.py:1326-1416 init-from-pretrained
+    role / deepmd's change_energy_bias): evaluate the pretrained model on
+    the NEW data, least-squares the per-type energy residual against type
+    counts, and shift each type's final fitting-layer output bias."""
+    import jax
+    import numpy as np
+    from g4s_tpu.models.deepmd.model import energy_force_virial
+
+    rows, res = [], []
+    for s in data.systems:
+        nf = min(n_frames, s.nframes)
+        count = np.bincount(s.types, minlength=ntypes).astype(np.float64)
+        types = jnp.asarray(s.types)
+        for i in range(nf):
+            e_pred, _, _ = energy_force_virial(
+                params, spec, jnp.asarray(s.coord[i]),
+                jnp.asarray(s.box[i]), types)
+            rows.append(count)
+            res.append(float(s.energy[i]) - float(e_pred))
+    delta, *_ = np.linalg.lstsq(np.stack(rows), np.asarray(res), rcond=None)
+    # the final fitting layer of each type-net carries the per-type bias
+    new_fit = []
+    for tc, net in enumerate(params["fit"]):
+        final = dict(net["final"],
+                     b=net["final"]["b"] + jnp.asarray(
+                         delta[tc], net["final"]["b"].dtype))
+        new_fit.append(dict(net, final=final))
+    return dict(params, fit=new_fit), delta
+
+
+class MultiTaskTrainer:
+    """Multi-task training (trainer.py multi-task mode): one SHARED
+    descriptor (embedding nets + stats) with per-task fitting heads and
+    per-task loss preferences, tasks sampled round-robin. The gradient
+    of a step updates the shared embeddings plus that task's head only
+    (the other heads receive zero gradient through masking-by-absence).
+    """
+
+    def __init__(self, spec, tasks):
+        """tasks: list of dicts {name, data, loss_cfg, lr_cfg}."""
+        self.spec = spec
+        self.tasks = tasks
+        self.trainers = [Trainer(spec, t.get("loss_cfg", LossConfig()),
+                                 t.get("lr_cfg", LRConfig()))
+                         for t in tasks]
+
+    def init_params(self, key, *, dtype=jnp.float64):
+        import jax
+        from g4s_tpu.models.deepmd.model import init_params
+        keys = jax.random.split(key, len(self.tasks) + 1)
+        base = init_params(keys[0], self.spec, dtype=dtype)
+        shared = {"embed": base["embed"], "stats": base["stats"]}
+        heads = []
+        for i, t in enumerate(self.tasks):
+            p = init_params(
+                keys[i + 1], self.spec,
+                bias_atom_e=t["data"].energy_bias(
+                    self.spec.descriptor.ntypes), dtype=dtype)
+            heads.append(p["fit"])
+        return {"shared": shared, "heads": heads}
+
+    def train(self, mt_params, numb_steps: int, *, disp_freq: int = 100,
+              callback=None):
+        states = [tr.init(self.task_params(mt_params, i))
+                  for i, tr in enumerate(self.trainers)]
+        hist = {t["name"]: [] for t in self.tasks}
+        for step in range(numb_steps):
+            i = step % len(self.tasks)
+            tr, task = self.trainers[i], self.tasks[i]
+            params_i = self.task_params(mt_params, i)
+            batch = {k: jnp.asarray(v)
+                     for k, v in task["data"].sample_batch().items()}
+            params_i, states[i], loss, aux = tr._update(
+                params_i, states[i], batch,
+                jnp.asarray(step // len(self.tasks),
+                            jnp.result_type(float)))
+            # write back: shared descriptor parts + this task's head only
+            mt_params = {
+                "shared": {"embed": params_i["embed"],
+                           "stats": params_i["stats"]},
+                "heads": [params_i["fit"] if j == i else h
+                          for j, h in enumerate(mt_params["heads"])]}
+            if step % disp_freq == 0 or step == numb_steps - 1:
+                hist[task["name"]].append(float(aux["rmse_f"]))
+                if callback:
+                    callback(step, task["name"], aux)
+        return mt_params, hist
+
+    def task_params(self, mt_params, i: int):
+        return {**mt_params["shared"], "fit": mt_params["heads"][i]}

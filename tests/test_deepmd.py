@@ -648,3 +648,143 @@ class TestDPLR:
         fd = -(float(ep) - float(em)) / (2 * eps)
         np.testing.assert_allclose(float(f[1, 0]), fd,
                                    rtol=1e-5, atol=1e-7)
+
+
+class TestSeAEf:
+    """se_a_ef descriptor (electric-field variants, se_a_ef.py /
+    ComputeDescriptor.h:879): parallel + perpendicular env mats."""
+
+    def test_para_plus_vert_recovers_standard(self):
+        import jax
+        from g4s_tpu.models.deepmd.descriptor import env_mat
+        spec = tiny_spec()
+        rng = np.random.default_rng(3)
+        coord, box, types = random_frame(rng)
+        ef = jnp.asarray(rng.normal(size=(coord.shape[0], 3)))
+        R0, _ = env_mat(coord, box, types, spec.descriptor)
+        Rp, _ = env_mat(coord, box, types, spec.descriptor,
+                        efield=ef, ef_mode="para")
+        Rv, _ = env_mat(coord, box, types, spec.descriptor,
+                        efield=ef, ef_mode="vert")
+        # channel 0 (1/r of the full distance) identical in all three;
+        # vector channels decompose exactly
+        np.testing.assert_allclose(np.asarray(Rp[..., 0]),
+                                   np.asarray(R0[..., 0]), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Rp[..., 1:] + Rv[..., 1:]),
+                                   np.asarray(R0[..., 1:]), atol=1e-10)
+
+    def test_descriptor_rotation_covariance(self):
+        """Rotating coords, box AND efield leaves the se_a_ef descriptor
+        invariant (the scalar contraction is rotation-invariant when the
+        field co-rotates)."""
+        import jax
+        from scipy.spatial.transform import Rotation
+        from g4s_tpu.models.deepmd import init_params
+        from g4s_tpu.models.deepmd.descriptor import atomic_descriptor_ef
+        spec = tiny_spec()
+        rng = np.random.default_rng(4)
+        coord, box, types = random_frame(rng)
+        pp = init_params(jax.random.PRNGKey(0), spec)
+        pv = init_params(jax.random.PRNGKey(1), spec)
+        ef = rng.normal(size=(np.asarray(coord).shape[0], 3))
+        D0 = atomic_descriptor_ef(pp, pv, spec, coord, box, types,
+                                  jnp.asarray(ef))
+        Q = Rotation.from_rotvec([0.3, -0.2, 0.9]).as_matrix()
+        D1 = atomic_descriptor_ef(
+            pp, pv, spec, jnp.asarray(np.asarray(coord) @ Q.T),
+            jnp.asarray(np.asarray(box) @ Q.T), types,
+            jnp.asarray(ef @ Q.T))
+        np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                                   rtol=2e-5, atol=1e-7)
+
+
+class TestFinetuneAndMultiTask:
+    def _two_datasets(self, rng):
+        """Two tiny in-memory 'systems' with different energy offsets."""
+        from g4s_tpu.models.deepmd.data import DataSystem
+
+        class _Sys:
+            pass
+
+        def mk(offset, seed):
+            r = np.random.default_rng(seed)
+            s = _Sys()
+            s.types = np.array([0, 0, 1, 1], np.int32)
+            s.natoms = 4
+            s.nframes = 8
+            base = r.uniform(1.5, 4.5, (1, 4, 3))
+            s.coord = (base + 0.05 * r.normal(size=(8, 4, 3))).astype(
+                np.float64)
+            s.box = np.tile(np.eye(3) * 6.0, (8, 1, 1))
+            s.energy = offset + 0.1 * r.normal(size=8)
+            s.force = 0.1 * r.normal(size=(8, 4, 3))
+            return s
+
+        class _Data:
+            def __init__(self, sys_):
+                self.systems = [sys_]
+                self.batch_size = 2
+                self.rng = np.random.default_rng(0)
+                self.probs = np.array([1.0])
+
+            def energy_bias(self, ntypes):
+                from g4s_tpu.models.deepmd.data import DataSystem
+                return DataSystem.energy_bias(self, ntypes)
+
+            def sample_batch(self):
+                from g4s_tpu.models.deepmd.data import DataSystem
+                return DataSystem.sample_batch(self)
+
+        return _Data(mk(-40.0, 1)), _Data(mk(+15.0, 2))
+
+    def test_change_energy_bias_kills_offset(self, rng):
+        import jax
+        from g4s_tpu.models.deepmd import init_params
+        from g4s_tpu.models.deepmd.model import energy_force_virial
+        from g4s_tpu.models.deepmd.train import change_energy_bias
+        spec = tiny_spec()
+        d1, d2 = self._two_datasets(rng)
+        params = init_params(jax.random.PRNGKey(0), spec,
+                             bias_atom_e=d1.energy_bias(2))
+        # 'finetune' onto dataset 2 whose energies sit +55 away
+        p2, delta = change_energy_bias(params, spec, d2, 2)
+        s = d2.systems[0]
+        res = []
+        for i in range(4):
+            e, _, _ = energy_force_virial(p2, spec,
+                                          jnp.asarray(s.coord[i]),
+                                          jnp.asarray(s.box[i]),
+                                          jnp.asarray(s.types))
+            res.append(float(s.energy[i]) - float(e))
+        # residual mean collapses to ~the intra-dataset noise (0.1)
+        assert abs(np.mean(res)) < 0.5, np.mean(res)
+
+    def test_multitask_shares_descriptor_trains_heads(self, rng):
+        import jax
+        from g4s_tpu.models.deepmd.train import MultiTaskTrainer
+        spec = tiny_spec()
+        d1, d2 = self._two_datasets(rng)
+        mt = MultiTaskTrainer(spec, [
+            {"name": "a", "data": d1}, {"name": "b", "data": d2}])
+        mtp = mt.init_params(jax.random.PRNGKey(0))
+        emb0 = np.asarray(
+            jax.tree_util.tree_leaves(mtp["shared"]["embed"])[0]).copy()
+        h0 = [np.asarray(jax.tree_util.tree_leaves(h)[0]).copy()
+              for h in mtp["heads"]]
+        mtp2, hist = mt.train(mtp, 8, disp_freq=4)
+        emb1 = np.asarray(
+            jax.tree_util.tree_leaves(mtp2["shared"]["embed"])[0])
+        h1 = [np.asarray(jax.tree_util.tree_leaves(h)[0])
+              for h in mtp2["heads"]]
+        # the shared descriptor AND both heads moved
+        assert np.abs(emb1 - emb0).max() > 0
+        assert np.abs(h1[0] - h0[0]).max() > 0
+        assert np.abs(h1[1] - h0[1]).max() > 0
+        # both tasks keep their own bias scale: evaluate each head
+        from g4s_tpu.models.deepmd.model import energy_force_virial
+        for i, d in enumerate((d1, d2)):
+            s = d.systems[0]
+            e, _, _ = energy_force_virial(
+                mt.task_params(mtp2, i), spec, jnp.asarray(s.coord[0]),
+                jnp.asarray(s.box[0]), jnp.asarray(s.types))
+            assert abs(float(e) - float(s.energy[0])) < 20.0
