@@ -328,3 +328,185 @@ def bdf_solve_with_sensitivities(f_params, params, y0, t0, t1, *,
 
     sens = jax.vmap(tangent)(basis)          # (n_params, n_states)
     return res, sens.T                       # (n_states, n_params)
+
+
+def dae_solve(F, y0, ydot0, t0, t1, *, rtol=1e-6, atol=1e-9,
+              first_step=None, max_steps=100000) -> BDFResult:
+    """Implicit DAE integration: variable-order BDF on F(t, y, y') = 0.
+
+    The IDA_Solver role (cantera/src/numerics/IDA_Solver.cpp — SUNDIALS
+    IDA is BDF applied to the implicit residual). Reuses bdf_solve's
+    backward-difference machinery; the corrector solves
+        F(t_new, y_pred + d, (psi + d) / c) = 0
+    by modified Newton with the iteration matrix M = dF/dy + (1/c) dF/dy'
+    (IDA's cj = 1/c), frozen across steps like the ODE path. For the
+    special case F = y' - f(t, y) this reduces exactly to bdf_solve's
+    corrector. `ydot0` must be consistent: F(t0, y0, ydot0) = 0 (as IDA
+    requires; no IC calculation pass yet).
+
+    Index-1 DAEs with nonsingular M are supported; the local error test
+    is applied to all components (IDA's default, suppressalg off).
+    """
+    y0 = jnp.asarray(y0)
+    ydot0 = jnp.asarray(ydot0)
+    n = y0.shape[0]
+    dtype = y0.dtype
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    jac_y = jax.jacfwd(F, argnums=1)
+    jac_yp = jax.jacfwd(F, argnums=2)
+
+    gamma = jnp.asarray(_GAMMA, dtype)
+    alpha = jnp.asarray(_ALPHA, dtype)
+    error_const = jnp.asarray(_ERROR_CONST, dtype)
+
+    if first_step is None:
+        scale0 = atol + rtol * jnp.abs(y0)
+        d0 = jnp.sqrt(jnp.mean((y0 / scale0) ** 2))
+        d1 = jnp.sqrt(jnp.mean((ydot0 / scale0) ** 2))
+        h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+        h0 = jnp.minimum(h0, jnp.abs(t1 - t0))
+    else:
+        h0 = jnp.asarray(first_step, dtype)
+
+    D0 = jnp.zeros((MAX_ORDER + 3, n), dtype)
+    D0 = D0.at[0].set(y0).at[1].set(ydot0 * h0)
+
+    def build_M(t, y, yp, c):
+        return jax.lax.stop_gradient(jax.scipy.linalg.lu_factor(
+            jac_y(t, y, yp) + jac_yp(t, y, yp) / c))
+
+    c0 = h0 / alpha[1]
+    lu0 = build_M(t0, y0, ydot0, c0)
+    buf0 = jnp.zeros((1, 1), dtype)
+    buf_t0 = jnp.full((1,), t0, dtype)
+    st0 = _S(t0, h0, jnp.asarray(1, jnp.int32), D0,
+             jnp.asarray(0, jnp.int32), jnp.zeros((n, n), dtype), lu0, c0,
+             jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
+             jnp.asarray(1, jnp.int32), jnp.asarray(False),
+             buf0, buf_t0, jnp.asarray(1, jnp.int32))
+
+    def newton(t_new, y_pred, c, psi, scale, lu):
+        def body(carry):
+            d, y, dwn_old, it, conv, div, nf = carry
+            yp = (psi + d) / c
+            res = F(t_new, y, yp)
+            dw = -jax.scipy.linalg.lu_solve(lu, res)
+            dwn = jnp.sqrt(jnp.mean((dw / scale) ** 2))
+            rate = dwn / jnp.maximum(dwn_old, 1e-300)
+            safe_rate = jnp.minimum(rate, 0.999)
+            diverged = (it > 0) & (rate >= 1.0)
+            d = d + dw
+            y = y_pred + d
+            conv_now = jnp.where(
+                it > 0, safe_rate / (1.0 - safe_rate) * dwn < 1e-3,
+                dwn < 1e-12)
+            return (d, y, dwn, it + 1, conv | conv_now, div | diverged,
+                    nf + 1)
+
+        def cnd(carry):
+            _, _, _, it, conv, div, _ = carry
+            return (it < NEWTON_MAXITER) & (~conv) & (~div)
+
+        init = (jnp.zeros_like(y_pred), y_pred, jnp.asarray(0.0, dtype),
+                jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                jnp.asarray(False), jnp.asarray(0, jnp.int32))
+        d, y, _, _, conv, div, nf = jax.lax.while_loop(cnd, body, init)
+        return d, conv & (~div), nf
+
+    def cond(st):
+        return (st.t < t1) & (~st.fail)
+
+    def body(st):
+        h = jnp.minimum(st.h, t1 - st.t)
+        D = jax.lax.cond(h < st.h,
+                         lambda: _rescale_D(st.D, st.order, h / st.h),
+                         lambda: st.D)
+        order = st.order
+        c = h / alpha[order]
+        t_new = st.t + h
+        idx = jnp.arange(MAX_ORDER + 3)
+        y_pred = jnp.sum(jnp.where((idx <= order)[:, None], D, 0.0), axis=0)
+        scale = atol + rtol * jnp.abs(y_pred)
+        g = gamma[jnp.clip(idx, 0, MAX_ORDER + 1)][:, None]
+        psi = jnp.sum(jnp.where(((idx >= 1) & (idx <= order))[:, None],
+                                D * g, 0.0), axis=0) / alpha[order]
+        yp_pred = (psi) / c
+        # refresh the iteration matrix when c changed (cj dependence is
+        # structural for DAEs, unlike the ODE (I - cJ) shift)
+        lu = jax.lax.cond(
+            c != st.c_lu,
+            lambda: build_M(t_new, y_pred, yp_pred, c),
+            lambda: st.lu)
+        d, conv, nf1 = newton(t_new, y_pred, c, psi, scale, lu)
+
+        def retry():
+            lun = build_M(t_new, y_pred, yp_pred, c)
+            d2, conv2, nf2 = newton(t_new, y_pred, c, psi, scale, lun)
+            return lun, d2, conv2, nf2, jnp.asarray(1, jnp.int32)
+
+        lu, d, conv, nf2, jev = jax.lax.cond(
+            conv,
+            lambda: (lu, d, conv, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(0, jnp.int32)),
+            retry)
+
+        err = error_const[order] * d
+        err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+        accept = conv & (err_norm <= 1.0)
+
+        def accepted():
+            Da = D.at[order + 2].set(d - D[order + 1]).at[order + 1].set(d)
+
+            def casc(i, Dx):
+                k = order - i
+                return Dx.at[k].add(Dx[k + 1])
+
+            Da = jax.lax.fori_loop(0, order + 1, casc, Da)
+            n_eq = st.n_eq_steps + 1
+
+            def adapt(Dx):
+                em = jnp.where(
+                    order > 1,
+                    error_const[order - 1]
+                    * jnp.sqrt(jnp.mean((Dx[order] / scale) ** 2)), jnp.inf)
+                ep = jnp.where(
+                    order < MAX_ORDER,
+                    error_const[jnp.minimum(order + 1, MAX_ORDER + 1)]
+                    * jnp.sqrt(jnp.mean((Dx[order + 2] / scale) ** 2)),
+                    jnp.inf)
+                errs = jnp.stack([em, jnp.maximum(err_norm, 1e-300), ep])
+                powers = 1.0 / (order + jnp.arange(3, dtype=dtype))
+                factors = jnp.power(jnp.maximum(errs, 1e-300), -powers)
+                best = jnp.argmax(factors)
+                new_order = jnp.clip(order + best - 1, 1,
+                                     MAX_ORDER).astype(jnp.int32)
+                fac = jnp.clip(0.9 * factors[best], MIN_FACTOR, MAX_FACTOR)
+                return new_order, fac, _rescale_D(Dx, new_order, fac), \
+                    jnp.asarray(0, jnp.int32)
+
+            def keep(Dx):
+                return order, jnp.asarray(1.0, dtype), Dx, n_eq
+
+            new_order, fac, Da2, n_eq2 = jax.lax.cond(
+                n_eq >= order + 1, adapt, keep, Da)
+            return t_new, h * fac, new_order, Da2, n_eq2
+
+        def rejected():
+            factor_rej = jnp.clip(
+                0.9 * err_norm ** (-1.0 / (order + 1)), MIN_FACTOR, 1.0)
+            factor_rej = jnp.where(conv, factor_rej, 0.5)
+            Dr = _rescale_D(D, order, factor_rej)
+            return st.t, h * factor_rej, order, Dr, jnp.asarray(0, jnp.int32)
+
+        t_nxt, h_nxt, ord_nxt, D_nxt, neq_nxt = jax.lax.cond(
+            accept, accepted, rejected)
+        fail = (h_nxt <= jnp.abs(t1 - t0) * 1e-14) | \
+               (st.steps + 1 >= max_steps)
+        return _S(t_nxt, h_nxt, ord_nxt, D_nxt, neq_nxt, st.J, lu, c,
+                  st.steps + 1, st.n_fev + nf1 + nf2 + 1,
+                  st.n_jev + jev, fail, st.buf, st.buf_t, st.rec)
+
+    out = jax.lax.while_loop(cond, body, st0)
+    return BDFResult(out.D[0], out.t, out.steps, out.n_fev, out.n_jev,
+                     (~out.fail) | (out.t >= t1), None, None)

@@ -1068,3 +1068,59 @@ sp:
                 load_hmw(path, "bad")
         finally:
             os.unlink(path)
+
+
+class TestDAESolver:
+    """dae_solve: BDF on F(t,y,y')=0 (IDA_Solver role)."""
+
+    def test_robertson_dae_matches_ode(self):
+        """The Robertson problem in its classic index-1 DAE form (third
+        equation algebraic: conservation) must match the pure-ODE BDF
+        solution — the standard IDA verification problem."""
+        from g4s_tpu.ops.odeint import bdf_solve, dae_solve
+        k1, k2, k3 = 0.04, 3e7, 1e4
+
+        def rhs(t, y):
+            return jnp.array([
+                -k1 * y[0] + k3 * y[1] * y[2],
+                k1 * y[0] - k2 * y[1] ** 2 - k3 * y[1] * y[2],
+                k2 * y[1] ** 2])
+
+        def F(t, y, yp):
+            return jnp.array([
+                yp[0] + k1 * y[0] - k3 * y[1] * y[2],
+                yp[1] - k1 * y[0] + k2 * y[1] ** 2 + k3 * y[1] * y[2],
+                y[0] + y[1] + y[2] - 1.0])      # algebraic constraint
+
+        y0 = jnp.array([1.0, 0.0, 0.0])
+        ydot0 = rhs(0.0, y0)                     # consistent ICs
+        res_ode = bdf_solve(rhs, y0, 0.0, 100.0, rtol=1e-9, atol=1e-12)
+        res_dae = dae_solve(F, y0, ydot0, 0.0, 100.0,
+                            rtol=1e-9, atol=1e-12)
+        assert bool(res_dae.success)
+        np.testing.assert_allclose(np.asarray(res_dae.y),
+                                   np.asarray(res_ode.y),
+                                   rtol=1e-6, atol=1e-12)
+        # conservation held exactly by the algebraic equation
+        assert abs(float(jnp.sum(res_dae.y)) - 1.0) < 1e-10
+
+    def test_linear_implicit_mass_matrix(self):
+        """M y' = A y with nondiagonal (nonsingular) M: y = exp(M^-1 A t) y0."""
+        from g4s_tpu.ops.odeint import dae_solve
+        import scipy.linalg
+        rng = np.random.default_rng(0)
+        n = 4
+        M = np.eye(n) + 0.2 * rng.normal(size=(n, n))
+        A = -np.eye(n) + 0.3 * rng.normal(size=(n, n))
+        Mj = jnp.asarray(M)
+        Aj = jnp.asarray(A)
+
+        def F(t, y, yp):
+            return Mj @ yp - Aj @ y
+
+        y0 = rng.normal(size=n)
+        ydot0 = np.linalg.solve(M, A @ y0)
+        res = dae_solve(F, jnp.asarray(y0), jnp.asarray(ydot0),
+                        0.0, 2.0, rtol=1e-10, atol=1e-12)
+        expect = scipy.linalg.expm(np.linalg.solve(M, A) * 2.0) @ y0
+        np.testing.assert_allclose(np.asarray(res.y), expect, rtol=1e-6)
