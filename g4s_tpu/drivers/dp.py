@@ -131,12 +131,26 @@ def cmd_freeze(args):
 
 
 def cmd_compress(args):
+    import jax
+    # tabulation differentiates the embedding nets twice (quintic
+    # Hermite needs g''); in f32 those second derivatives are noisy at
+    # the 1e-3 level, which surfaces as ~1% force errors in the
+    # compressed model. Build the tables in f64 on the CPU backend
+    # (values cast back at evaluation precision; the accelerator plugin
+    # does not accept x64 re-registration mid-process).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     import numpy as np
     import jax.numpy as jnp
     from g4s_tpu.models.deepmd.freeze import load_frozen
     from g4s_tpu.models.deepmd.compress import compress_model
     import pickle
     params, spec = load_frozen(args.input)
+    def _to64(x):
+        a = np.asarray(x)
+        return jnp.asarray(a, jnp.float64) if a.dtype.kind == "f" \
+            else jnp.asarray(a)
+    params = jax.tree_util.tree_map(_to64, params)
     samples = None
     if getattr(args, "system", None):
         # data-driven table range (the reference's check_freq sampling

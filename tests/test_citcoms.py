@@ -956,7 +956,10 @@ class TestGgrd:
         T = ggrd.ggrd_temp_init(model, str(tmp_path / "g.npz"),
                                 scale=1e-3)
         assert T.min() >= 0.0 and T.max() <= 1.0
-        with pytest.raises(ImportError):
+        # real netCDF grd files now load through the pure-python
+        # netCDF-3 reader (TestGgrdNetCDF); a missing file surfaces as
+        # FileNotFoundError rather than an import gate
+        with pytest.raises(FileNotFoundError):
             ggrd.load_grid("x.grd")
 
 
