@@ -195,10 +195,15 @@ class SELL:
     (mm/inc/BIN.h:100-122 `set_rows_offset`): instead of assigning rows to
     threads by flop prefix sums at runtime, we bin rows by degree on the host
     once and pad per-bin, bounding wasted lanes.
+
+    `iperm` (argsort of perm) lets kernels restore the original row order
+    with a gather — `y = packed[iperm]` — instead of a scatter
+    (`y.at[perm].set(packed)`); TPU scatters run ~50x slower than takes.
     """
 
     slices: Tuple[ELL, ...]          # per-slice padded blocks
     perm: Array                      # (n_rows,) original row index per packed row
+    iperm: Array                     # (n_rows,) packed position of each row
     slice_rows: Tuple[int, ...] = _static()  # rows per slice
     shape: Tuple[int, int] = _static()
 
@@ -208,7 +213,8 @@ class SELL:
 
     def to_device(self) -> "SELL":
         return SELL(tuple(s.to_device() for s in self.slices),
-                    jnp.asarray(self.perm), self.slice_rows, self.shape)
+                    jnp.asarray(self.perm), jnp.asarray(self.iperm),
+                    self.slice_rows, self.shape)
 
 
 @partial(jax.tree_util.register_dataclass)

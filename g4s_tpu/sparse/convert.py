@@ -131,39 +131,84 @@ def csr_to_ell(m: CSR, *, width: Optional[int] = None, pad_to: int = 1) -> ELL:
     return ELL(cols, vals, m.shape)
 
 
-def csr_to_sell(m: CSR, *, slice_height: int = 512, pad_to: int = 8) -> SELL:
-    """Degree-sorted sliced-ELL.
+def csr_to_sell(m: CSR, *, slice_height: int | None = None, pad_to: int = 8,
+                max_waste: float = 1.0) -> SELL:
+    """Degree-sorted sliced-ELL with geometric (waste-bounded) binning.
 
-    Rows are permuted by descending degree and cut into slices of
-    `slice_height` rows; each slice is padded only to its own max degree.
-    This bounds padding waste on power-law matrices, the same problem the
-    reference's BIN load balancer solves with flop prefix-sums (BIN.h:100-122).
+    Rows are permuted by descending degree; a new slice starts whenever the
+    next row's degree drops below `1/(1+max_waste)` of the slice's width, so
+    each slice's padding waste is bounded by `max_waste` regardless of how
+    skewed the degree distribution is (<= ~log2(max_deg) slices total).
+    This is the TPU form of the reference's FLOP-balanced binning
+    (mm/inc/BIN.h:100-122 `set_rows_offset`); passing `slice_height` instead
+    recovers the classic fixed-height SELL-C-sigma cut.
     """
     deg = np.diff(_as_np(m.indptr))
     perm = np.argsort(-deg, kind="stable").astype(np.int32)
     n = m.n_rows
-    indptr = _as_np(m.indptr)
+    indptr = _as_np(m.indptr).astype(np.int64)
     indices = _as_np(m.indices)
     data = _as_np(m.data)
+
+    # slice boundaries over the degree-sorted order
+    bounds = [0]
+    if slice_height is not None:
+        bounds.extend(range(slice_height, n, slice_height))
+    elif n:
+        sdeg = deg[perm].astype(np.float64)
+        thresh = 1.0 / (1.0 + max_waste)
+        s0 = 0
+        while s0 < n:
+            w_here = max(float(sdeg[s0]), float(pad_to))
+            if pad_to >= w_here * thresh:
+                # every remaining row pads to >= pad_to anyway, so the
+                # waste bound holds for the whole tail: one final slice
+                nxt = n
+            else:
+                # first position whose padded degree < thresh * slice width
+                nxt = int(np.searchsorted(-sdeg, -w_here * thresh,
+                                          side="left"))
+                nxt = min(max(nxt, s0 + 1), n)
+            if nxt < n:
+                bounds.append(nxt)
+            s0 = nxt
+    bounds.append(n)
+
     slices = []
     slice_rows = []
-    for s0 in range(0, n, slice_height):
-        rows = perm[s0: s0 + slice_height]
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        rows = perm[s0:s1]
         w = int(deg[rows].max()) if rows.size else 1
         w = max(_round_up(max(w, 1), pad_to), pad_to)
         cols = np.zeros((rows.size, w), dtype=np.int32)
         vals = np.zeros((rows.size, w), dtype=data.dtype)
-        for i, r in enumerate(rows):
-            a, b = indptr[r], indptr[r + 1]
-            cols[i, : b - a] = indices[a:b]
-            vals[i, : b - a] = data[a:b]
+        if rows.size:
+            # vectorized scatter of each row's entries into its padded slots
+            rdeg = deg[rows].astype(np.int64)
+            rr = np.repeat(np.arange(rows.size), rdeg)
+            slot = np.arange(rdeg.sum()) - np.repeat(
+                np.cumsum(rdeg) - rdeg, rdeg)
+            src = _row_entry_indices(indptr, rows)
+            cols[rr, slot] = indices[src]
+            vals[rr, slot] = data[src]
         slices.append(ELL(cols, vals, (rows.size, m.n_cols)))
         slice_rows.append(int(rows.size))
     if not slices:
         slices = [ELL(np.zeros((0, 1), np.int32),
                       np.zeros((0, 1), data.dtype), (0, m.n_cols))]
         slice_rows = [0]
-    return SELL(tuple(slices), perm, tuple(slice_rows), m.shape)
+    iperm = np.empty_like(perm)
+    iperm[perm] = np.arange(n, dtype=np.int32)
+    return SELL(tuple(slices), perm, iperm, tuple(slice_rows), m.shape)
+
+
+def _row_entry_indices(indptr: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    """Flat nnz indices of `rows`' entries, vectorized (no per-row Python)."""
+    starts = indptr[rows]
+    counts = indptr[rows + 1] - starts
+    out = np.repeat(starts - np.concatenate([[0], np.cumsum(counts)[:-1]]),
+                    counts)
+    return out + np.arange(counts.sum())
 
 
 def csr_to_dia(m: CSR, *, max_diags: Optional[int] = None) -> DIA:

@@ -73,6 +73,39 @@ def test_sell_covers_all_rows(rng):
     s = csr_to_sell(a, slice_height=32)
     assert sum(s.slice_rows) == 100
     assert sorted(np.asarray(s.perm).tolist()) == list(range(100))
+    np.testing.assert_array_equal(
+        np.asarray(s.perm)[np.asarray(s.iperm)], np.arange(100))
+
+
+def test_sell_waste_bounded_binning(rng):
+    # power-law degrees: one hub row plus a light tail
+    import scipy.sparse as sp
+    n = 300
+    rows, cols = [], []
+    for i in range(n):
+        deg = max(1, int(200 / (i + 1)))
+        rows += [i] * deg
+        cols += list(rng.integers(0, n, deg))
+    m = sp.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n)).tocsr()
+    m.sum_duplicates()
+    a = CSR(m.indptr.astype(np.int32), m.indices.astype(np.int32),
+            m.data, (n, n))
+    s = csr_to_sell(a, max_waste=0.5)
+    assert sum(s.slice_rows) == n
+    deg = np.diff(np.asarray(a.indptr))
+    # per-slice padding waste bounded: width <= (1 + max_waste) * min row deg
+    # (up to the pad_to rounding floor)
+    r0 = 0
+    for sl, nr in zip(s.slices, s.slice_rows):
+        rows_here = np.asarray(s.perm)[r0:r0 + nr]
+        w = sl.cols.shape[1]
+        assert w <= max(1.5 * deg[rows_here].min(), 8) + 8
+        r0 += nr
+    # numerics identical to dense
+    from g4s_tpu.ops import spmv_sell
+    x = rng.standard_normal(n)
+    y = np.asarray(spmv_sell(s.to_device(), x))
+    np.testing.assert_allclose(y, csr_to_dense(a) @ x, rtol=1e-10)
 
 
 def test_mtx_roundtrip(tmp_path, rng):
