@@ -480,36 +480,35 @@ def bench_spmv(dtype_str: str = "f32"):
             times[nrep] = min(ts)
         per = (times[100] - times[2]) / 98
         headline = stencil_bytes / per / 1e9
-        # permute cost: single-dispatch delta between 3-sort and 1-sort
-        # jits (cancels the remote-dispatch overhead; sorts cannot be
-        # chained in fori_loop without a compile blowup on this backend)
-        xd = jnp.ones((n3,), jnp.float32)
-
-        def sorts(m):
-            def f(x):
-                for _ in range(m):
-                    x = jax.lax.sort_key_val(g3.iperm, x * 0.999)[1]
-                return x
-            return jax.jit(f)
-        ts_ = {}
-        for m in (1, 3):
-            h = sorts(m)
-            h(xd).block_until_ready()
-            tt = []
-            for _ in range(7):
+        # per-call mode: mxv including both permutes, chained directly
+        # (the Benes routing plans of ops/route.py make the permutes
+        # loop-chainable; the old sort fallback blew compile time)
+        def chain_full(nrep):
+            return jax.jit(lambda x: jax.lax.fori_loop(
+                0, nrep, lambda i, u: mxv(g3, u * 0.999), x))
+        times_f = {}
+        for nrep in (2, 30):
+            h = chain_full(nrep)
+            h(jnp.ones((n3,), jnp.float32)).block_until_ready()
+            ts = []
+            for k in range(3):
+                x = jnp.full((n3,), 1.0 + 0.001 * k, jnp.float32)
                 t0 = time.time()
-                h(xd).block_until_ready()
-                tt.append(time.time() - t0)
-            ts_[m] = min(tt)
-        sort_s = max((ts_[3] - ts_[1]) / 2, 0.0)
-        per_full = per + 2 * sort_s
+                h(x).block_until_ready()
+                ts.append(time.time() - t0)
+            times_f[nrep] = min(ts)
+        per_full = (times_f[30] - times_f[2]) / 28
         out["stencil_wsell"] = {
             "gbs_hoisted": round(headline, 1), "ms": round(per * 1e3, 3),
             "k_windows": g3.wsell.k,
-            "sort_ms": round(sort_s * 1e3, 3),
+            "permute_ms": round(max(per_full - per, 0.0) * 1e3, 3),
+            "permute_via": "benes_route" if g3.route_in is not None
+            else "sort",
             "gbs_incl_permutes": round(stencil_bytes / per_full / 1e9, 1),
             "note": "hoisted = solver mode (operator-form callers solve "
-                    "in RCM space, permuting once per solve)",
+                    "in RCM space, permuting once per solve); "
+                    "incl_permutes = per-call mode through the "
+                    "Clos/Benes routing plans (ops/route.py)",
             "roofline": roofline(seconds=per, bytes_moved=stencil_bytes)}
     else:   # CPU or fallback path
         per, headline = measure(g3, n3, g3m.nnz, reps=(1, 6))
@@ -581,6 +580,34 @@ def bench_spmv(dtype_str: str = "f32"):
     out["rmat_skew"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 2),
                         "variant": g5.variant,
                         "max_deg": int(np.diff(rmat.indptr).max())}
+
+    # ---- the permutation primitive itself (ops/route.py): Clos/Benes
+    # routing vs the sort_key_val fallback at n ~ 1M (radix_sort.h role) ----
+    if g3.route_in is not None:
+        from g4s_tpu.ops.route import apply_permute
+
+        def delta(f, z, k1=10, k2=60):
+            def chain(K):
+                h = jax.jit(lambda z: jax.lax.fori_loop(
+                    0, K, lambda i, v: f(v), z))
+                h(z).block_until_ready()
+                ts = []
+                for _ in range(5):
+                    t0 = time.time()
+                    h(z).block_until_ready()
+                    ts.append(time.time() - t0)
+            # median-of-5 per chain length
+                return float(np.median(ts))
+            return (chain(k2) - chain(k1)) / (k2 - k1)
+        zp = jnp.ones((g3.route_in.m,), jnp.float32)
+        t_b = delta(lambda v: apply_permute(g3.route_in, v), zp)
+        t_s = delta(lambda v: jax.lax.sort_key_val(g3.iperm, v[:n3])[1],
+                    zp[:n3])
+        out["permute_1M"] = {
+            "benes_us": round(t_b * 1e6, 1), "sort_us": round(t_s * 1e6, 1),
+            "speedup": round(t_s / t_b, 2), "m": int(g3.route_in.m),
+            "note": "static-permutation primitive (ops/route.py): 5-stage "
+                    "Clos of fused Benes butterflies vs lax.sort_key_val"}
 
     roofline_target = 0.7 * 819.0  # 70% of v5e HBM roofline (BASELINE.md)
     return {"metric": "spmv_bandwidth", "value": round(headline, 2),

@@ -62,6 +62,10 @@ class Graph:
     iperm: Optional[jax.Array]    # inverse permutation
     variant: str = _static()      # 'ell' | 'csr' | 'dia' | 'dense'
     shape: Tuple[int, int] = _static()
+    # Clos/Benes routing plans for the static permutes (ops/route.py):
+    # ~5-10x faster than the sort_key_val fallback at n >= 1M on TPU
+    route_in: Optional[object] = None    # applies x -> x[perm]
+    route_out: Optional[object] = None   # applies y_p -> y (y[perm[i]]=y_p[i])
 
     @property
     def n_rows(self) -> int:
@@ -124,10 +128,11 @@ def build_graph(a: CSR, *, variant: str | None = None,
                 inv = np.empty_like(perm)
                 inv[perm] = np.arange(perm.size)
                 dia = csr_to_dia(CSR.from_scipy(ap)).to_device()
+                rin, rout = _route_plans(perm, inv)
                 return Graph(None, None, dia, None, jnp.asarray(deg),
                              None, None, jnp.asarray(perm.astype(np.int32)),
                              jnp.asarray(inv.astype(np.int32)), "dia",
-                             a.shape)
+                             a.shape, rin, rout)
             if jax.default_backend() == "tpu":
                 # RCM localized but not to a narrow band (mesh matrices:
                 # bandwidth ~n^(2/3)) -> the general WSELL-K Pallas
@@ -141,12 +146,13 @@ def build_graph(a: CSR, *, variant: str | None = None,
                     inv[perm] = np.arange(perm.size)
                     row_ids = np.repeat(
                         np.arange(a.shape[0], dtype=np.int32), deg)
+                    rin, rout = _route_plans(perm, inv)
                     return Graph(None, a.to_device(), None,
                                  jnp.asarray(row_ids), jnp.asarray(deg),
                                  None, packed,
                                  jnp.asarray(perm.astype(np.int32)),
                                  jnp.asarray(inv.astype(np.int32)),
-                                 "wsell", a.shape)
+                                 "wsell", a.shape, rin, rout)
                 except ValueError:
                     pass
         if variant is None and jax.default_backend() == "tpu" \
@@ -195,11 +201,34 @@ def build_graph(a: CSR, *, variant: str | None = None,
                  None, None, None, None, "csr", a.shape)
 
 
+def _route_plans(perm: np.ndarray, inv: np.ndarray):
+    """Clos/Benes routing plans for the RCM permutes (ops/route.py).
+
+    Host-side one-time work like the RCM ordering itself; pays off when
+    mxv is called per-iteration without hoisting (the sort_key_val
+    fallback costs ~2.5 ms/M elements, the routed apply ~5-10x less)."""
+    if jax.default_backend() != "tpu":
+        return None, None
+    from g4s_tpu.ops.route import MAX_M, build_permute_plan
+    n = perm.size
+    # crossover vs the sort fallback measured at ~0.3-0.4M elements
+    # (routed apply has a ~250 us 5-kernel launch floor)
+    if n < (1 << 19) or n > MAX_M:
+        return None, None
+    return build_permute_plan(perm), build_permute_plan(inv)
+
+
 def permute_in(g: Graph, x):
-    """x -> permuted space (x[perm]) via sort (fast path for static perms
-    on TPU; large gathers lower to a ~0.5 GB/s serial path)."""
+    """x -> permuted space (x[perm]) via the Benes routing plan when one
+    was built, else sort (large gathers lower to a ~0.5 GB/s serial
+    path on TPU, so even the sort fallback beats jnp.take)."""
     if g.perm is None:
         return x
+    if g.route_in is not None:
+        from g4s_tpu.ops.route import apply_permute
+        n = x.shape[0]
+        xp = jnp.zeros((g.route_in.m,), x.dtype).at[:n].set(x)
+        return apply_permute(g.route_in, xp)[:n]
     return jax.lax.sort_key_val(g.iperm, x)[1]
 
 
@@ -207,6 +236,11 @@ def permute_out(g: Graph, y_p):
     """permuted-space result -> original numbering (y[perm[i]] = y_p[i])."""
     if g.perm is None:
         return y_p
+    if g.route_out is not None:
+        from g4s_tpu.ops.route import apply_permute
+        n = y_p.shape[0]
+        yp = jnp.zeros((g.route_out.m,), y_p.dtype).at[:n].set(y_p)
+        return apply_permute(g.route_out, yp)[:n]
     return jax.lax.sort_key_val(g.perm, y_p)[1]
 
 
