@@ -568,17 +568,31 @@ def bench_spmv(dtype_str: str = "f32"):
         (rr.normal(size=nnz_r).astype(np.float32),
          (rr.integers(0, nr, nnz_r), rr.integers(0, nr, nnz_r))),
         shape=(nr, nr)).tocsr()
-    g4 = build_graph(CSR.from_scipy(rand), reorder=False, variant="csr")
-    per, gbs = measure(g4, nr, rand.nnz, reps=(1, 6))
-    out["random_csr"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 2)}
+    t0 = time.time()
+    g4 = build_graph(CSR.from_scipy(rand), reorder=False)
+    build_s = time.time() - t0
+    reps_r = (2, 30) if g4.variant == "stream" else (1, 6)
+    per, gbs = measure(g4, nr, rand.nnz, reps=reps_r)
+    out["random_" + g4.variant] = {
+        "gbs": round(gbs, 1), "ms": round(per * 1e3, 2),
+        "variant": g4.variant, "plan_build_s": round(build_s, 1)}
+    # forced-CSR fallback number for reference (the XLA gather path)
+    g4c = build_graph(CSR.from_scipy(rand), reorder=False, variant="csr")
+    per_c, gbs_c = measure(g4c, nr, rand.nnz, reps=(1, 4))
+    out["random_csr"] = {"gbs": round(gbs_c, 1), "ms": round(per_c * 1e3, 2),
+                         "note": "forced fallback (XLA gather+segment-sum)"}
 
     # ---- RMAT power-law skew (G500-style corpus family,
     # mm/src/mkl_spgemm.cpp:19-37) ----
     rmat = _rmat_matrix(17, 16, np.random.default_rng(7))
+    t0 = time.time()
     g5 = build_graph(CSR.from_scipy(rmat), reorder=False)
-    per, gbs = measure(g5, rmat.shape[0], rmat.nnz, reps=(1, 6))
+    build_s = time.time() - t0
+    reps_r = (2, 30) if g5.variant == "stream" else (1, 6)
+    per, gbs = measure(g5, rmat.shape[0], rmat.nnz, reps=reps_r)
     out["rmat_skew"] = {"gbs": round(gbs, 1), "ms": round(per * 1e3, 2),
                         "variant": g5.variant,
+                        "plan_build_s": round(build_s, 1),
                         "max_deg": int(np.diff(rmat.indptr).max())}
 
     # ---- the permutation primitive itself (ops/route.py): Clos/Benes

@@ -66,6 +66,8 @@ class Graph:
     # ~5-10x faster than the sort_key_val fallback at n >= 1M on TPU
     route_in: Optional[object] = None    # applies x -> x[perm]
     route_out: Optional[object] = None   # applies y_p -> y (y[perm[i]]=y_p[i])
+    # streaming schedule for unstructured patterns (ops/stream_spmv.py)
+    stream: Optional[object] = None
 
     @property
     def n_rows(self) -> int:
@@ -171,6 +173,22 @@ def build_graph(a: CSR, *, variant: str | None = None,
                 pass
         if variant is None:
             variant = "ell" if waste <= max_padding_waste else "csr"
+        if variant == "csr" and jax.default_backend() == "tpu" \
+                and nnz >= (1 << 16):
+            # unstructured pattern with no usable window locality: the
+            # gather-free streaming schedule (expand -> route -> reduce,
+            # ops/stream_spmv.py) replaces the ~0.5 GB/s XLA gather path
+            from g4s_tpu.ops.stream_spmv import build_stream_plan
+            try:
+                splan = build_stream_plan(a.to_scipy().tocsr())
+                row_ids = np.repeat(
+                    np.arange(a.shape[0], dtype=np.int32), deg)
+                return Graph(None, a.to_device(), None,
+                             jnp.asarray(row_ids), jnp.asarray(deg),
+                             None, None, None, None, "stream", a.shape,
+                             stream=splan)
+            except NotImplementedError:
+                pass
     if variant == "dense":
         from g4s_tpu.sparse.convert import csr_to_dense
         d = jnp.asarray(csr_to_dense(a), dtype)
@@ -275,6 +293,19 @@ def mxv(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
                 "build the graph with variant='ell' or 'csr'")
         from g4s_tpu.ops.spmv import spmv_dia
         y = permute_out(g, spmv_dia(g.dia, permute_in(g, x)))
+        if mask is not None:
+            y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
+        return y
+    if g.variant == "stream":
+        if semiring is PLUS_TIMES:
+            from g4s_tpu.ops.stream_spmv import spmv_stream
+            y = spmv_stream(g.stream, x)
+        else:
+            csr = g.csr
+            prod = semiring.mul(csr.data, jnp.take(x, csr.indices, axis=0))
+            y = segment_reduce(prod, g.row_ids, g.shape[0],
+                               op=_ADD_OPS[semiring.name],
+                               indices_are_sorted=True)
         if mask is not None:
             y = jnp.where(mask, y, jnp.asarray(semiring.zero, y.dtype))
         return y

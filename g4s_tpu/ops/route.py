@@ -47,7 +47,7 @@ import numpy as np
 
 C = 128               # lane width: butterfly granularity
 TILE = C * C          # plan granularity: m is padded to a multiple of 128^2
-MAX_M = C * C * C     # largest m one plan covers (q2 <= 128)
+MAX_M = C * C * 512   # largest m one plan covers (q2 <= 512, VMEM-bound)
 
 
 def _static():
@@ -90,6 +90,12 @@ def _euler_split(a: np.ndarray, b: np.ndarray,
     m = a.size
     if m == 0:
         return np.zeros(0, bool)
+    if m >= 1 << 15:
+        # native O(m) cycle walker (~50x the numpy path at m = 1M)
+        from g4s_tpu.runtime.native_lib import euler_split_native
+        color = euler_split_native(a, b)
+        if color is not None:
+            return color
     if two_regular:
         pa = _pair_two_regular(a)
         pb = _pair_two_regular(b)
@@ -170,6 +176,11 @@ def benes_route(sigma: np.ndarray) -> np.ndarray:
     B, n = sigma.shape
     if n < 2 or n & (n - 1):
         raise ValueError(f"n={n} must be a power of two >= 2")
+    if B * n >= 1 << 15:
+        from g4s_tpu.runtime.native_lib import benes_route_native
+        bits = benes_route_native(sigma)
+        if bits is not None:
+            return bits
     S = 2 * int(np.log2(n)) - 1
     bits = np.zeros((B, n), np.int32)
 
@@ -413,7 +424,10 @@ def _mid_kernel(q2):
     return kernel
 
 
-_MID_LANES = 8
+def _mid_lanes(q2: int) -> int:
+    """Lanes of the 128 column streams per mid grid step: keep each block
+    at <= 8*128*128 elements (512 KB f32) regardless of q2."""
+    return min(C, max(1, 8 * C // q2))
 
 
 def apply_permute(plan: PermutePlan, z):
@@ -432,7 +446,7 @@ def apply_permute(plan: PermutePlan, z):
             v = jnp.concatenate(
                 [v, jnp.zeros((C, R2 - R), z2.dtype)], axis=1)
         v = v.reshape(C, q2, C)
-        bl = _MID_LANES
+        bl = _mid_lanes(q2)
         spec3 = pl.BlockSpec((bl, q2, C), lambda c: (c, 0, 0))
         v = pl.pallas_call(
             _mid_kernel(q2),

@@ -55,6 +55,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_long]
         lib.g4s_spgemm_flops.restype = ctypes.c_long
         lib.g4s_spgemm_symbolic.restype = ctypes.c_long
+        lib.g4s_euler_split.restype = ctypes.c_long
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        lib.g4s_euler_split.argtypes = [
+            I64, I64, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.g4s_benes_route.restype = ctypes.c_long
+        lib.g4s_benes_route.argtypes = [
+            I64, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
         return _lib
 
@@ -72,6 +81,46 @@ def parse_numbers(body: str, ncomp: int, max_entries: int) -> np.ndarray:
         raw, len(raw), ncomp,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_entries)
     return out[:n]
+
+
+def euler_split_native(a: np.ndarray, b: np.ndarray):
+    """2-color an even-degree bipartite multigraph's edges (see
+    host_kernels.cc g4s_euler_split); None if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = a.size
+    a = np.ascontiguousarray(a, np.int64)
+    b = np.ascontiguousarray(b, np.int64)
+    ka = int(a.max()) + 1 if m else 1
+    kb = int(b.max()) + 1 if m else 1
+    color = np.empty(m, np.uint8)
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.g4s_euler_split(
+        a.ctypes.data_as(I64), b.ctypes.data_as(I64), ctypes.c_long(m),
+        ctypes.c_long(ka), ctypes.c_long(kb),
+        color.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    return color.astype(bool)
+
+
+def benes_route_native(sigma: np.ndarray):
+    """Benes routing bits for batched row permutations (the full level
+    recursion of ops/route.py in C); None if unavailable or on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B, n = sigma.shape
+    sigma = np.ascontiguousarray(sigma, np.int64)
+    bits = np.empty((B, n), np.int32)
+    rc = lib.g4s_benes_route(
+        sigma.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_long(B), ctypes.c_long(n),
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        return None
+    return bits
 
 
 def spgemm_symbolic_native(a_indptr, a_indices, b_indptr, b_indices,

@@ -77,8 +77,9 @@ class TestPermutePlan:
         assert len(leaves) == 3  # bits1, bits5, mid_small
 
     def test_too_large_raises(self):
+        from g4s_tpu.ops.route import MAX_M
         with pytest.raises(NotImplementedError):
-            build_permute_plan(np.arange(128 ** 3 + 1))
+            build_permute_plan(np.arange(MAX_M + 1))
 
 
 class TestDeviceApply:
