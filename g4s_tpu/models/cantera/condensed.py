@@ -53,7 +53,7 @@ ONE_ATM = 101325.0
 # ---------------------------------------------------------------------------
 
 _UNIT_SCALE = {
-    "J": 1.0, "kJ": 1e3, "cal": 4184.0e-3 * 1e3, "kcal": 4184.0,
+    "J": 1.0, "kJ": 1e3, "cal": 4.184, "kcal": 4184.0,
     "mol": 1e-3, "gmol": 1e-3, "kmol": 1.0, "molec": 1e-3 / 6.02214076e23,
     "m": 1.0, "cm": 1e-2, "mm": 1e-3, "L": 1e-3, "mL": 1e-6,
     "kg": 1.0, "g": 1e-3,
@@ -80,12 +80,13 @@ def parse_qty(v, default: float = 1.0) -> float:
     for i, tok in enumerate(num_den):
         if not tok:
             continue
-        if "^" in tok:
-            base, exp = tok.split("^")
-            p = float(exp)
-        else:
-            base, p = tok, 1.0
-        s = _UNIT_SCALE[base] ** p
+        s = 1.0
+        for f in tok.split("*"):
+            if "^" in f:
+                base, exp = f.split("^")
+                s *= _UNIT_SCALE[base] ** float(exp)
+            else:
+                s *= _UNIT_SCALE[f]
         scale = scale * s if i == 0 else scale / s
     return x * scale
 

@@ -130,14 +130,21 @@ def load_hmw(path, phase_name: str) -> HMWPhase:
     doc = _yaml_load(path)
     ph = next(p for p in doc["phases"] if p["name"] == phase_name)
     assert ph["thermo"] == "HMW-electrolyte"
-    # species may live in a named section of the same file
-    spec_entry = ph["species"][0]
-    if isinstance(spec_entry, dict):
-        section, names = next(iter(spec_entry.items()))
-        table = {s["name"]: s for s in doc[section]}
-    else:
-        names = ph["species"]
-        table = {s["name"]: s for s in doc["species"]}
+    # species may live in named sections of the same file (possibly
+    # several, e.g. {HMW-species: [H2O(L)]} + {HKFT-species: [...]})
+    names, table = [], {}
+    for spec_entry in ph["species"]:
+        if isinstance(spec_entry, dict):
+            section, sec_names = next(iter(spec_entry.items()))
+            sec_table = {s["name"]: s for s in doc[section]}
+            if sec_names == "all":
+                sec_names = [s["name"] for s in doc[section]]
+        else:
+            sec_names = [spec_entry]
+            sec_table = {s["name"]: s for s in doc["species"]}
+        for n in sec_names:
+            names.append(n)
+            table[n] = sec_table[n]
     ns = len(names)
     charge = np.zeros(ns)
     mu0_models = []
@@ -148,6 +155,9 @@ def load_hmw(path, phase_name: str) -> HMWPhase:
         th = sp.get("thermo", {})
         if eos.get("model") == "liquid-water-IAPWS95":
             mu0_models.append(("iapws",))
+        elif eos.get("model") == "HKFT":
+            from g4s_tpu.models.cantera.hkft import load_hkft_species
+            mu0_models.append(("hkft", load_hkft_species(sp)))
         elif th.get("model") == "piecewise-Gibbs":
             # constant-volume PDSS: mu0(T,P) = mu0_ref(T) + V (P - Pref)
             # (PDSS_ConstVol.cpp; molar-volume in m^3/kmol, Pref from
@@ -173,7 +183,10 @@ def load_hmw(path, phase_name: str) -> HMWPhase:
     act = ph["activity-data"]
     A_debye = act["A_Debye"]
     if isinstance(A_debye, str):
-        A_debye = float(A_debye.split()[0])
+        if A_debye.strip() == "variable":
+            A_debye = float("nan")      # computed from WaterProps at (T,P)
+        else:
+            A_debye = float(A_debye.split()[0])
     idx = {nm: i for i, nm in enumerate(names)}
     b0 = np.zeros((ns, ns, 5))
     b1 = np.zeros((ns, ns, 5))
@@ -227,7 +240,8 @@ def _gprime_over_I(x, I):
     return -2.0 * (1.0 - (1.0 + x + 0.5 * x * x) * np.exp(-x)) / (x * x)
 
 
-def activity_all(ph: HMWPhase, molalities=None, T: float = 298.15):
+def activity_all(ph: HMWPhase, molalities=None, T: float = 298.15,
+                 P: float = 101325.0):
     """Molality activity coefficients, activities, osmotic coefficient.
 
     Returns dict with acMol (solvent slot = a_w / x_w), activities
@@ -242,21 +256,54 @@ def activity_all(ph: HMWPhase, molalities=None, T: float = 298.15):
             m[ph.species_index(k)] = float(v)
     else:
         m = np.asarray(molalities, np.float64).copy()
+
+    Aphi = _aphi(ph, T, P)
+    coeffs = tuple(_eval_complex1(q, T) for q in
+                   (ph.beta0, ph.beta1, ph.beta2, ph.Cphi, ph.theta,
+                    ph.psi))
+    ln_g, phi_sum = _pitzer_terms(ph, m, coeffs, Aphi)
+
     z = ph.charge
     solute = np.arange(ns) != 0
     msum = m[solute].sum()
     I = 0.5 * np.sum(m * z * z)
+
+    phi = 1.0 + (2.0 / msum) * phi_sum
+    a_w = np.exp(-phi * msum * ph.Mw_solvent)
+    x_w = (1.0 / ph.Mw_solvent) / (1.0 / ph.Mw_solvent + msum)
+    mf = np.where(solute, m * x_w * ph.Mw_solvent, x_w)
+    acMol = np.where(solute, np.exp(ln_g), a_w / x_w)
+    activities = np.where(solute, np.exp(ln_g) * m, a_w)
+    moll = m.copy()
+    moll[0] = 1.0 / ph.Mw_solvent
+    return {"acMol": acMol, "activities": activities, "molalities": moll,
+            "mole_fractions": mf, "osmotic": phi, "a_w": a_w,
+            "ionic_strength": I}
+
+
+def _aphi(ph: HMWPhase, T: float, P: float = 101325.0) -> float:
+    """A^phi = A_Debye/3, constant or variable (WaterProps::ADebye)."""
+    if np.isnan(ph.A_debye):
+        from g4s_tpu.models.cantera.hkft import a_debye
+        return float(a_debye(T, P)) / 3.0
+    return ph.A_debye / 3.0
+
+
+def _pitzer_terms(ph: HMWPhase, m, coeffs, Aphi):
+    """The Pitzer sums (HMWSoln.cpp s_updatePitzer_lnMolalityActCoeff):
+    returns (ln_gamma solutes vector, phi_sum with phi = 1 +
+    (2/msum) phi_sum). LINEAR in (Aphi, B0, B1, B2, CPH, TH, PSI) at
+    fixed molalities, so temperature/pressure derivatives of ln_gamma
+    are the same sums evaluated at the coefficient derivatives
+    (the s_update_dlnMolalityActCoeff_dT/_dP role)."""
+    B0, B1, B2, CPH, TH, PSI = coeffs
+    ns = ph.nspec
+    z = ph.charge
+    solute = np.arange(ns) != 0
+    I = 0.5 * np.sum(m * z * z)
     sqI = np.sqrt(I)
     Z = np.sum(m * np.abs(z))
     b = 1.2
-    Aphi = ph.A_debye / 3.0
-
-    B0 = _eval_complex1(ph.beta0, T)
-    B1 = _eval_complex1(ph.beta1, T)
-    B2 = _eval_complex1(ph.beta2, T)
-    CPH = _eval_complex1(ph.Cphi, T)
-    TH = _eval_complex1(ph.theta, T)
-    PSI = _eval_complex1(ph.psi, T)
 
     x1 = ph.alpha1 * sqI
     x2 = ph.alpha2 * sqI
@@ -326,18 +373,7 @@ def activity_all(ph: HMWPhase, molalities=None, T: float = 298.15):
                 inner = inner + np.sum(np.where(
                     z * sgn < 0, m * PSI[i, j, :], 0.0))
                 phi_sum = phi_sum + m[i] * m[j] * inner
-    phi = 1.0 + (2.0 / msum) * phi_sum
-    a_w = np.exp(-phi * msum * ph.Mw_solvent)
-
-    x_w = (1.0 / ph.Mw_solvent) / (1.0 / ph.Mw_solvent + msum)
-    mf = np.where(solute, m * x_w * ph.Mw_solvent, x_w)
-    acMol = np.where(solute, np.exp(ln_g), a_w / x_w)
-    activities = np.where(solute, np.exp(ln_g) * m, a_w)
-    moll = m.copy()
-    moll[0] = 1.0 / ph.Mw_solvent
-    return {"acMol": acMol, "activities": activities, "molalities": moll,
-            "mole_fractions": mf, "osmotic": phi, "a_w": a_w,
-            "ionic_strength": I}
+    return ln_g, phi_sum
 
 
 def standard_chem_potentials(ph: HMWPhase, T: float, P: float = 101325.0):
@@ -349,4 +385,117 @@ def standard_chem_potentials(ph: HMWPhase, T: float, P: float = 101325.0):
             out[i] = float(WaterStandardState().mu0(T, P))
         elif mdl[0] == "mu0poly":
             out[i] = mdl[1].mu0(T) + mdl[2] * (P - mdl[3])
+        elif mdl[0] == "hkft":
+            from g4s_tpu.models.cantera import hkft
+            out[i] = float(hkft.mu0(mdl[1], T, P))
     return out
+
+
+def _eval_complex1_dT(q, T):
+    """d/dT of _eval_complex1."""
+    return q[..., 1] + 2.0 * q[..., 2] * T - q[..., 3] / (T * T) \
+        + q[..., 4] / T
+
+
+def _standard_states(ph: HMWPhase, T: float, P: float):
+    """(mu0, V0, S0, H0) arrays over species [Cantera SI]."""
+    import jax
+    import jax.numpy as jnp
+    ns = ph.nspec
+    mu0 = np.zeros(ns)
+    V0 = np.zeros(ns)
+    S0 = np.zeros(ns)
+    H0 = np.zeros(ns)
+    for i, mdl in enumerate(ph.mu0_models):
+        if mdl[0] == "iapws":
+            from g4s_tpu.models.cantera import water
+            from g4s_tpu.models.cantera.water import WaterStandardState
+            ss = WaterStandardState()
+            rho = water.density(T, P)
+            mu0[i] = float(ss.mu0(T, P))
+            # PDSS_Water::molarVolume uses the IAPWS molar mass
+            # (18.015268), not the phase's element-derived 18.015
+            V0[i] = float(water.M_WATER) / float(rho)
+            H0[i] = float(water.enthalpy_mole(T, rho)) + ss.EW_Offset
+            S0[i] = (H0[i] - mu0[i]) / T
+        elif mdl[0] == "mu0poly":
+            mu0[i] = mdl[1].mu0(T) + mdl[2] * (P - mdl[3])
+            V0[i] = mdl[2]
+            dmu = jax.grad(lambda t: mdl[1].mu0(float(t)))  # noqa: F841
+            # piecewise model: finite difference suffices (only used in
+            # tests that don't probe mu0poly enthalpies)
+            h = 1e-3
+            S0[i] = -(mdl[1].mu0(T + h) - mdl[1].mu0(T - h)) / (2 * h)
+            H0[i] = mu0[i] + T * S0[i]
+        elif mdl[0] == "hkft":
+            from g4s_tpu.models.cantera import hkft
+            g, V, S, H = hkft.standard_state(mdl[1], T, P)
+            mu0[i], V0[i], S0[i], H0[i] = map(float, (g, V, S, H))
+    return mu0, V0, S0, H0
+
+
+def partial_molar_props(ph: HMWPhase, T: float = 298.15,
+                        P: float = 101325.0, molalities=None):
+    """Mole-fraction activity coefficients, partial molar volumes and
+    enthalpies (HMWSoln::getActivityCoefficients /
+    getPartialMolarVolumes / getPartialMolarEnthalpies).
+
+        vbar_k = V0_k + RT  dln(gamma_k)/dP
+        hbar_k = H0_k - RT^2 dln(gamma_k)/dT
+
+    The Pitzer sums are linear in the interaction coefficients and in
+    A^phi, so the T/P derivatives are the same sums evaluated at the
+    coefficient derivatives (d/dT of the complex-1 model; dA/dT, dA/dP
+    by autodiff of the variable Debye parameter through the IAPWS
+    density and Bradley-Pitzer permittivity). Solvent slots use
+    ln(gamma_o) = -phi m_sum M_o - ln x_w."""
+    import jax
+    import jax.numpy as jnp
+    ns = ph.nspec
+    m = np.zeros(ns)
+    if molalities is None:
+        for k, v in ph.state_molalities.items():
+            m[ph.species_index(k)] = float(v)
+    else:
+        m = np.asarray(molalities, np.float64).copy()
+    z = ph.charge
+    solute = np.arange(ns) != 0
+    msum = m[solute].sum()
+
+    base = activity_all(ph, m, T, P)
+    coeffs_dT = tuple(_eval_complex1_dT(q, T) for q in
+                      (ph.beta0, ph.beta1, ph.beta2, ph.Cphi, ph.theta,
+                       ph.psi))
+    zeros = tuple(np.zeros(q.shape[:-1]) for q in
+                  (ph.beta0, ph.beta1, ph.beta2, ph.Cphi, ph.theta,
+                   ph.psi))
+    if np.isnan(ph.A_debye):
+        from g4s_tpu.models.cantera.hkft import a_debye
+        T64 = jnp.asarray(T, jnp.float64)
+        P64 = jnp.asarray(P, jnp.float64)
+        dAphi_dT = float(jax.grad(lambda t: a_debye(t, P64))(T64)) / 3.0
+        dAphi_dP = float(jax.grad(lambda p: a_debye(T64, p))(P64)) / 3.0
+    else:
+        dAphi_dT = dAphi_dP = 0.0
+
+    dln_dT, dps_dT = _pitzer_terms(ph, m, coeffs_dT, dAphi_dT)
+    dln_dP, dps_dP = _pitzer_terms(ph, m, zeros, dAphi_dP)
+    dphi_dT = (2.0 / msum) * dps_dT
+    dphi_dP = (2.0 / msum) * dps_dP
+    # solvent: ln gamma_o = -phi msum Mw - ln x_w (x_w T,P-independent)
+    dln_dT = dln_dT.copy()
+    dln_dP = dln_dP.copy()
+    dln_dT[0] = -msum * ph.Mw_solvent * dphi_dT
+    dln_dP[0] = -msum * ph.Mw_solvent * dphi_dP
+
+    mu0, V0, S0, H0 = _standard_states(ph, T, P)
+    RT = GAS_CONSTANT * T
+    vbar = V0 + RT * dln_dP
+    hbar = H0 - RT * T * dln_dT
+    # getActivityCoefficients (MolalityVPSSTP): molality-scale gamma
+    # divided by the solvent mole fraction for solutes; a_w/x_w solvent
+    x_w = (1.0 / ph.Mw_solvent) / (1.0 / ph.Mw_solvent + msum)
+    acoeff = np.where(solute, base["acMol"] / x_w, base["acMol"])
+    return {"acoeff": acoeff, "vbar": vbar, "hbar": hbar,
+            "acMol": base["acMol"], "mu0": mu0, "V0": V0, "H0": H0,
+            "osmotic": base["osmotic"]}
