@@ -8,12 +8,16 @@ HMWSoln.cpp:2003-2030). Standard states: liquid water through the
 IAPWS-95 EoS (water.py / PDSS_Water) and Mu0Poly ("piecewise-Gibbs")
 ions (src/thermo/Mu0Poly.cpp).
 
-Scope notes: the unsymmetrical higher-order electrostatic mixing terms
-(E-theta/E-theta', Pitzer's J(x) functions) are not yet implemented —
-they vanish for same-|z| mixing, which covers the reference's blessed
-NaCl/H/OH validation case (test/thermo/thermoFromYaml.cpp HMWSoln);
-loading a mechanism that mixes charge magnitudes among like-sign ions
-raises NotImplementedError rather than silently dropping the terms.
+Unsymmetrical higher-order electrostatic mixing (E-theta/E-theta',
+Pitzer 1975's J(x) integral in the reference's closed-form c1..c4
+approximation, HMWSoln.cpp calc_lambdas/calc_thetas) is implemented for
+like-sign ions of unequal charge; it vanishes identically for same-|z|
+pairs, so the reference's blessed NaCl/H/OH case is unaffected. As in
+the reference, the Debye parameter inside J(x) is pinned at its 25 C
+value (aphi = 0.392, calc_lambdas), which makes E-theta exactly T/P-
+independent: the derivative paths (partial molar volumes/enthalpies)
+carry no E-theta contribution, matching s_update_dlnMolalityActCoeff_dT
+(m_Phi_IJ_L = m_Theta_ij_L with zero Phiprime).
 
 Validated against the reference's blessed values (molality activity
 coefficients, activities, mu0) at its own 2e-4/2e-6 tolerances.
@@ -172,14 +176,6 @@ def load_hmw(path, phase_name: str) -> HMWPhase:
                 bool(th.get("dimensionless", False))), vol, pref))
         else:
             mu0_models.append(("none",))
-    # unsymmetrical-mixing guard (see module docstring)
-    for sgn in (1, -1):
-        mags = {abs(z) for z in charge if z * sgn > 0}
-        if len(mags) > 1:
-            raise NotImplementedError(
-                "HMW E-theta unsymmetrical mixing terms not implemented "
-                f"(like-sign ions with |z| in {sorted(mags)})")
-
     act = ph["activity-data"]
     A_debye = act["A_Debye"]
     if isinstance(A_debye, str):
@@ -261,7 +257,7 @@ def activity_all(ph: HMWPhase, molalities=None, T: float = 298.15,
     coeffs = tuple(_eval_complex1(q, T) for q in
                    (ph.beta0, ph.beta1, ph.beta2, ph.Cphi, ph.theta,
                     ph.psi))
-    ln_g, phi_sum = _pitzer_terms(ph, m, coeffs, Aphi)
+    ln_g, phi_sum = _pitzer_terms(ph, m, coeffs, Aphi, with_etheta=True)
 
     z = ph.charge
     solute = np.arange(ns) != 0
@@ -289,13 +285,64 @@ def _aphi(ph: HMWPhase, T: float, P: float = 101325.0) -> float:
     return ph.A_debye / 3.0
 
 
-def _pitzer_terms(ph: HMWPhase, m, coeffs, Aphi):
+def _etheta_matrices(z, I):
+    """E-theta(i,j) and E-theta'(i,j) = d(E-theta)/dI species-pair
+    matrices for like-sign ions (zero for opposite signs and for equal
+    |z|, where the combination cancels exactly).
+
+    HMWSoln.cpp calc_lambdas (Pitzer 1975 closed-form approximation of
+    the J(x) electrostatic integral, accurate ~1%; aphi pinned at the
+    25 C value 0.392 as in the reference) + calc_thetas (Pitzer 1987):
+
+      x_mn    = 6 z_m z_n aphi sqrt(I)
+      J(x)    = x / (4 + c1 x^-c2 exp(-c3 x^c4))
+      lam_mn  = z_m z_n J(x)/(4I);  lam'_mn = d(lam)/dI
+      Etheta  = lam_mn - (m/2n) lam_nn - (n/2m) lam_mm
+    """
+    ns = z.size
+    ETH = np.zeros((ns, ns))
+    ETHP = np.zeros((ns, ns))
+    if I < 1e-150:
+        return ETH, ETHP
+    c1, c2, c3, c4 = 4.581, 0.7237, 0.0120, 0.528
+    aphi = 0.392
+    zp = np.arange(17, dtype=np.float64)      # zprod = |z_m z_n| in 1..16
+    elam = np.zeros(17)
+    elam1 = np.zeros(17)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = 6.0 * zp * aphi * np.sqrt(I)
+        jf = x / (4.0 + c1 * x ** -c2 * np.exp(-c3 * x ** c4))
+        t = c3 * c4 * x ** c4
+        dj = c1 * x ** (-c2 - 1.0) * (c2 + t) * np.exp(-c3 * x ** c4)
+        jp = (jf / x) * (1.0 + jf * dj)
+    elam[1:] = zp[1:] * jf[1:] / (4.0 * I)
+    elam1[1:] = (3.0 * zp[1:] ** 2 * aphi * jp[1:] / (4.0 * np.sqrt(I))
+                 - elam[1:]) / I
+    zi = np.abs(z).astype(np.int64)
+    like = (z[:, None] * z[None, :] > 0)
+    i_ = np.maximum(zi, 1)[:, None]
+    j_ = np.maximum(zi, 1)[None, :]
+    f1 = i_ / (2.0 * j_)
+    f2 = j_ / (2.0 * i_)
+    ETH = np.where(like, elam[np.clip(i_ * j_, 0, 16)]
+                   - f1 * elam[np.clip(j_ * j_, 0, 16)]
+                   - f2 * elam[np.clip(i_ * i_, 0, 16)], 0.0)
+    ETHP = np.where(like, elam1[np.clip(i_ * j_, 0, 16)]
+                    - f1 * elam1[np.clip(j_ * j_, 0, 16)]
+                    - f2 * elam1[np.clip(i_ * i_, 0, 16)], 0.0)
+    return ETH, ETHP
+
+
+def _pitzer_terms(ph: HMWPhase, m, coeffs, Aphi, with_etheta=False):
     """The Pitzer sums (HMWSoln.cpp s_updatePitzer_lnMolalityActCoeff):
     returns (ln_gamma solutes vector, phi_sum with phi = 1 +
     (2/msum) phi_sum). LINEAR in (Aphi, B0, B1, B2, CPH, TH, PSI) at
     fixed molalities, so temperature/pressure derivatives of ln_gamma
     are the same sums evaluated at the coefficient derivatives
-    (the s_update_dlnMolalityActCoeff_dT/_dP role)."""
+    (the s_update_dlnMolalityActCoeff_dT/_dP role). `with_etheta` adds
+    the unsymmetrical E-theta terms (base evaluation only: they are
+    T/P-independent because the reference pins aphi inside J(x), so
+    derivative calls leave it False)."""
     B0, B1, B2, CPH, TH, PSI = coeffs
     ns = ph.nspec
     z = ph.charge
@@ -319,7 +366,12 @@ def _pitzer_terms(ph: HMWPhase, m, coeffs, Aphi):
     mc = np.where(cat, m, 0.0)
     ma = np.where(an, m, 0.0)
 
-    # F (Pitzer's F function; theta constant in I -> Phi' = theta' = 0)
+    if with_etheta:
+        ETH, ETHP = _etheta_matrices(z, I)
+    else:
+        ETH = ETHP = np.zeros((ns, ns))
+
+    # F (Pitzer's F function; theta is I-independent, so Phi' = Etheta')
     F = -Aphi * (sqI / (1.0 + b * sqI) + (2.0 / b) * np.log(1.0 + b * sqI))
     F = F + np.einsum("i,j,ij->", mc, ma, Bprime)
 
@@ -332,11 +384,16 @@ def _pitzer_terms(ph: HMWPhase, m, coeffs, Aphi):
     same = np.where((z[:, None] * z[None, :] > 0)
                     & (np.arange(ns)[:, None] != np.arange(ns)[None, :]),
                     1.0, 0.0)
+    # unsymmetrical-mixing contribution to F: like-sign pair Phi' sums
+    # (HMWSoln.cpp: F += m_c m_c' Phiprime_cc' + m_a m_a' Phiprime_aa')
+    F = F + 0.5 * np.einsum("i,j,ij->", m, m, same * ETHP)
     ln_g = z * z * F
     ln_g = ln_g + np.einsum("ij,j,ij->i", opp, m, 2.0 * B + Z * C)
     # psi with same-sign j and opposite-sign a: psi[i, j, a]
     psi_term = np.einsum("ij,j,ja,a,ija->i", same, m, opp, m, PSI)
-    ln_g = ln_g + np.einsum("ij,j,ij->i", same, m, 2.0 * TH) + psi_term
+    # Phi_ij = theta_ij + Etheta(z_i, z_j)
+    ln_g = ln_g + np.einsum("ij,j,ij->i", same, m, 2.0 * (TH + ETH)) \
+        + psi_term
     # opposite-sign pair sum: for ion i, pairs (j,k) both opposite in
     # sign to each other with i in the triplet: 0.5 m_j m_k psi_jki over
     # same-sign-with-i j' pairs... the standard form: for cation M:
@@ -364,12 +421,13 @@ def _pitzer_terms(ph: HMWPhase, m, coeffs, Aphi):
     # osmotic coefficient
     phi_sum = -Aphi * I ** 1.5 / (1.0 + b * sqI)
     phi_sum = phi_sum + np.einsum("i,j,ij->", mc, ma, Bphi + Z * C)
-    # like-sign pair terms (Phi^phi = theta here) + their psi sums
+    # like-sign pair terms (Phi^phi = theta + Etheta + I Etheta')
+    # + their psi sums
     for sgn in (1, -1):
         ions = [i for i in range(ns) if z[i] * sgn > 0]
         for ii, i in enumerate(ions):
             for j in ions[ii + 1:]:
-                inner = TH[i, j]
+                inner = TH[i, j] + ETH[i, j] + I * ETHP[i, j]
                 inner = inner + np.sum(np.where(
                     z * sgn < 0, m * PSI[i, j, :], 0.0))
                 phi_sum = phi_sum + m[i] * m[j] * inner

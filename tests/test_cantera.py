@@ -1041,22 +1041,66 @@ class TestHMWSoln:
             - A_phi * (2 / 1.2) * np.log(1 + 1.2 * np.sqrt(I))
         assert abs(lngam - dh) < 1e-5
 
-    def test_unsymmetrical_guard(self):
-        # mixing |z|=1 and |z|=2 like-sign ions must raise, not silently
-        # drop the E-theta terms
-        from g4s_tpu.models.cantera.hmw import load_hmw
+    def test_etheta_identities(self):
+        """E-theta vanishes for equal |z|, is symmetric, and matches a
+        scalar transcription of calc_lambdas/calc_thetas
+        (HMWSoln.cpp:4237-4305)."""
+        from g4s_tpu.models.cantera.hmw import _etheta_matrices
+        z = np.array([0.0, 1.0, 2.0, -1.0, -2.0])
+        for I in (0.1, 1.0, 6.0):
+            ETH, ETHP = _etheta_matrices(z, I)
+            # neutral rows/cols, opposite signs, equal |z| all zero
+            assert ETH[0].max() == 0 and ETH[:, 0].max() == 0
+            assert ETH[1, 3] == 0 and ETH[2, 4] == 0   # opposite signs
+            assert ETH[1, 1] == pytest.approx(0, abs=1e-300)
+            assert ETH[3, 4] == pytest.approx(ETH[1, 2], rel=1e-14)
+            np.testing.assert_allclose(ETH, ETH.T, rtol=1e-14)
+            np.testing.assert_allclose(ETHP, ETHP.T, rtol=1e-14)
+            # scalar hand evaluation for the (1,2) pair
+            c1, c2, c3, c4, aphi = 4.581, 0.7237, 0.0120, 0.528, 0.392
+
+            def lam(zp):
+                x = 6.0 * zp * aphi * np.sqrt(I)
+                jf = x / (4.0 + c1 * x ** -c2 * np.exp(-c3 * x ** c4))
+                return zp * jf / (4.0 * I)
+            want = lam(2) - (1 / 4) * lam(4) - 1.0 * lam(1)
+            assert ETH[1, 2] == pytest.approx(want, rel=1e-12)
+
+    def test_etheta_large_x_limit(self):
+        """J(x) -> x/4 as x -> inf, so lam_mn -> 6 (z_m z_n)^2 aphi
+        sqrt(I) / (16 I) ... checked through the combination."""
+        from g4s_tpu.models.cantera.hmw import _etheta_matrices
+        z = np.array([1.0, 2.0])
+        I = 1e6
+        ETH, _ = _etheta_matrices(z, I)
+        # at J ~ x/4 the Etheta combination cancels exactly:
+        # lam ~ (6 aphi sqrt(I)/16) (z1 z2)^2/... combination -> 0
+        assert abs(ETH[0, 1]) < 1e-3
+
+    def test_gibbs_duhem_mixed_charge(self):
+        """d/dm_k [sum_i m_i (1 - phi + ln gamma_i)] = ln gamma_k on a
+        Na-Mg-Cl brine (Harvie-Weare parameters): only holds if every
+        E-theta placement (F, ln gamma, phi) is consistent with one
+        excess Gibbs function."""
+        from g4s_tpu.models.cantera.hmw import activity_all, load_hmw
         import tempfile, os
         yaml = """
 phases:
-- name: bad
-  species: [{sp: [H2O(L), Na+, Ca++, Cl-]}]
+- name: brine
+  species: [{sp: [H2O(L), Na+, Mg++, Cl-]}]
   thermo: HMW-electrolyte
-  activity-data: {temperature-model: constant, A_Debye: 1.17,
-                  interactions: []}
+  activity-data:
+    temperature-model: constant
+    A_Debye: 1.17
+    interactions:
+    - {species: [Na+, Cl-], beta0: 0.0765, beta1: 0.2644, Cphi: 0.00127}
+    - {species: [Mg++, Cl-], beta0: 0.35235, beta1: 1.6815, Cphi: 0.00519}
+    - {species: [Na+, Mg++], theta: 0.07}
+    - {species: [Na+, Mg++, Cl-], psi: -0.012}
 sp:
 - {name: H2O(L), composition: {H: 2, O: 1}, thermo: {model: constant-cp}}
 - {name: Na+, composition: {Na: 1, E: -1}, thermo: {model: constant-cp}}
-- {name: Ca++, composition: {Ca: 1, E: -2}, thermo: {model: constant-cp}}
+- {name: Mg++, composition: {Mg: 1, E: -2}, thermo: {model: constant-cp}}
 - {name: Cl-, composition: {Cl: 1, E: 1}, thermo: {model: constant-cp}}
 """
         with tempfile.NamedTemporaryFile("w", suffix=".yaml",
@@ -1064,10 +1108,35 @@ sp:
             f.write(yaml)
             path = f.name
         try:
-            with pytest.raises(NotImplementedError):
-                load_hmw(path, "bad")
+            ph = load_hmw(path, "brine")
         finally:
             os.unlink(path)
+        iNa, iMg, iCl = (ph.species_index(s)
+                         for s in ("Na+", "Mg++", "Cl-"))
+        m0 = np.zeros(ph.nspec)
+        m0[iNa], m0[iMg], m0[iCl] = 2.0, 1.0, 4.0   # electroneutral
+
+        def gex(m):
+            r = activity_all(ph, m, T=298.15)
+            sol = np.arange(ph.nspec) != 0
+            lng = np.where(sol, np.log(np.where(sol, r["acMol"], 1.0)), 0.0)
+            return float(np.sum(m * sol * (1.0 - r["osmotic"] + lng)))
+
+        r0 = activity_all(ph, m0, T=298.15)
+        h = 1e-6
+        for k in (iNa, iMg, iCl):
+            mp, mm = m0.copy(), m0.copy()
+            mp[k] += h
+            mm[k] -= h
+            dg = (gex(mp) - gex(mm)) / (2 * h)
+            assert dg == pytest.approx(float(np.log(r0["acMol"][k])),
+                                       rel=2e-5, abs=2e-7), k
+
+        # and the E-theta terms are genuinely active on this system
+        from g4s_tpu.models.cantera.hmw import _etheta_matrices
+        I = float(r0["ionic_strength"])
+        ETH, _ = _etheta_matrices(ph.charge, I)
+        assert abs(ETH[iNa, iMg]) > 1e-3
 
 
 class TestDAESolver:
