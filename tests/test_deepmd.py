@@ -788,3 +788,118 @@ class TestFinetuneAndMultiTask:
                 mt.task_params(mtp2, i), spec, jnp.asarray(s.coord[0]),
                 jnp.asarray(s.box[0]), jnp.asarray(s.types))
             assert abs(float(e) - float(s.energy[0])) < 20.0
+
+
+class TestIPIDriver:
+    """i-PI wire protocol driver (source/ipi/driver.cc role): an
+    in-process mock i-PI server exchanges the exact byte protocol and
+    the returned energy/forces/virial must match a direct DeepPot eval
+    (unit-converted, cell-transposed)."""
+
+    def _model(self, tmp_path):
+        spec = tiny_spec()
+        p = init_params(jax.random.PRNGKey(7), spec)
+        path = tmp_path / "ipi_model.npz"
+        freeze(p, spec, path)
+        return path
+
+    def test_protocol_roundtrip(self, tmp_path, rng):
+        import struct
+        from g4s_tpu.models.deepmd.infer import DeepPot
+        from g4s_tpu.models.deepmd.ipi import (CVT_ENER, CVT_F, CVT_LEN,
+                                               IPIDriver, wrap_coords)
+        path = self._model(tmp_path)
+        coord, box, types = random_frame(rng)
+        names = ["O" if t == 0 else "H" for t in np.asarray(types)]
+        drv = IPIDriver(str(path), names, {"O": 0, "H": 1})
+
+        # build the byte stream an i-PI server would send
+        cell_bohr = (np.asarray(box).T / CVT_LEN).astype("<f8")  # columns
+        icell = np.linalg.inv(cell_bohr).astype("<f8")
+        coords_bohr = (np.asarray(coord) / CVT_LEN).astype("<f8")
+        inbox = [cell_bohr.tobytes(), icell.tobytes(),
+                 struct.pack("<i", len(names)), coords_bohr.tobytes()]
+        instream = b"".join(inbox)
+        pos = [0]
+
+        def recv(n):
+            b = instream[pos[0]: pos[0] + n]
+            pos[0] += n
+            return b
+        sent = []
+        # STATUS before data -> READY
+        drv.handle_message(b"STATUS      ", recv, sent.append)
+        assert sent[-1].strip() == b"READY"
+        drv.handle_message(b"POSDATA     ", recv, sent.append)
+        drv.handle_message(b"STATUS      ", recv, sent.append)
+        assert sent[-1].strip() == b"HAVEDATA"
+        drv.handle_message(b"GETFORCE    ", recv, sent.append)
+        msg = sent[-1]
+        assert msg[:12].strip() == b"FORCEREADY"
+        off = 12
+        (ener,) = struct.unpack_from("<d", msg, off); off += 8
+        (nat,) = struct.unpack_from("<i", msg, off); off += 4
+        force = np.frombuffer(msg[off: off + 24 * nat], "<f8") \
+            .reshape(nat, 3); off += 24 * nat
+        virial = np.frombuffer(msg[off: off + 72], "<f8").reshape(3, 3)
+        off += 72
+        (ln,) = struct.unpack_from("<i", msg, off); off += 4
+        assert msg[off: off + ln] == b"nothing"
+
+        # oracle: direct DeepPot eval on the wrapped coordinates
+        pot = DeepPot(str(path))
+        xyz = wrap_coords(np.asarray(coord), np.asarray(box))
+        e0, f0, v0 = pot.eval(xyz, box, types)
+        assert ener == pytest.approx(float(e0) / CVT_ENER, rel=1e-10)
+        np.testing.assert_allclose(force, np.asarray(f0) / CVT_F,
+                                   rtol=1e-6, atol=1e-12)
+        np.testing.assert_allclose(
+            virial, np.asarray(v0).reshape(3, 3).T / CVT_ENER,
+            rtol=1e-6, atol=1e-12)
+
+    def test_socket_transport(self, tmp_path, rng):
+        """serve_forever over a real socketpair with a minimal server."""
+        import socket
+        import struct
+        import threading
+        from g4s_tpu.models.deepmd.ipi import CVT_LEN, IPIDriver
+        path = self._model(tmp_path)
+        coord, box, types = random_frame(rng, natoms=8)
+        names = ["O" if t == 0 else "H" for t in np.asarray(types)]
+        drv = IPIDriver(str(path), names, {"O": 0, "H": 1})
+        srv, cli = socket.socketpair()
+        drv.sock = cli
+        th = threading.Thread(target=drv.serve_forever, daemon=True)
+        th.start()
+
+        def sendall(b):
+            srv.sendall(b)
+
+        def recvn(n):
+            buf = b""
+            while len(buf) < n:
+                buf += srv.recv(n - len(buf))
+            return buf
+        sendall(b"STATUS      ")
+        assert recvn(12).strip() == b"READY"
+        sendall(b"INIT        " + struct.pack("<i", 5) + b"hello")
+        cell = (np.asarray(box).T / CVT_LEN).astype("<f8")
+        sendall(b"POSDATA     " + cell.tobytes()
+                + np.linalg.inv(cell).astype("<f8").tobytes()
+                + struct.pack("<i", len(names))
+                + (np.asarray(coord) / CVT_LEN).astype("<f8").tobytes())
+        sendall(b"STATUS      ")
+        assert recvn(12).strip() == b"HAVEDATA"
+        sendall(b"GETFORCE    ")
+        head = recvn(12)
+        assert head.strip() == b"FORCEREADY"
+        recvn(8 + 4 + 24 * len(names) + 72 + 4 + 7)
+        srv.close()
+        th.join(timeout=10)
+        assert not th.is_alive()
+
+    def test_read_xyz_names(self, tmp_path):
+        from g4s_tpu.models.deepmd.ipi import read_xyz_names
+        p = tmp_path / "w.xyz"
+        p.write_text("3\nwater\nO 0 0 0\nH 1 0 0\nH 0 1 0\n")
+        assert read_xyz_names(str(p)) == ["O", "H", "H"]
