@@ -1,0 +1,293 @@
+"""Gather-free SpGEMM: expand / sort / compress with class-tiled MXU-style
+broadcasting (C = A @ B on TPU without a single dynamic gather).
+
+The reference's three CPU SpGEMM engines all pivot on scatter-friendly
+memory (hash probes mm/inc/hash_mult.h:558-608, heap merges
+heap_mult.h:123-174, atomic bucket appends outer_mult.h:334,347). TPU has
+neither scatter nor fast dynamic gather — XLA's take runs ~100 M elem/s —
+so the round-2 numeric phase (two takes + segment_sum over the flop
+stream) was gather-bound. This engine removes every gather:
+
+  expand   elementary products a_ik * b_kj are materialized by *shape*,
+           not by index: inner index k is partitioned into classes of
+           equal padded (M̂ = pow2-rounded A-column count, W = rounded
+           B-row length); one class is a dense (nb, M̂, W) tile product
+           of a (nb, M̂, 1) A-slab and a (nb, 1, W) B-slab — a pure XLA
+           broadcast-multiply. The slabs are filled by two conflict-free
+           monotone log-shift spreads (ops/shifts.py) from the value
+           arrays, after one small static reorder (nnz-scale, via
+           stable sort_key_val on precomputed ranks).
+  sort     the only unavoidable all-to-all: products move to C-slot
+           order by ONE stable lax.sort under precomputed static keys
+           (row * n + col); everything about the sort's outcome is known
+           at plan time, so the merge metadata below is static.
+  compress pad products drop via a monotone `compact`; equal-slot runs
+           reduce with `runsum` (exact tree adds, no prefix-sum
+           cancellation); head sums compact to C.data.
+
+Two-phase split mirrors hash_mult.h:495-508: `esc_plan` is the symbolic
+phase (pure O(flop) numpy, no Benes routing, no host sort of the flop
+stream beyond one np.argsort), `esc_numeric` is the jitted value phase,
+reusable across value updates like the reference apps reuse sparsity
+(CitcomS re-assembles elt_k values on a fixed incidence each Stokes
+solve). Structure of C (indptr/indices) comes out of the plan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from g4s_tpu.ops.shifts import compact, runsum, spread, stages_for
+from g4s_tpu.sparse.containers import CSR
+
+
+def _static():
+    return field(metadata=dict(static=True))
+
+
+@partial(jax.tree_util.register_dataclass)
+@dataclasses.dataclass(frozen=True)
+class ESCPlan:
+    """Static schedule for C = A @ B at fixed sparsity."""
+
+    a_rank: jax.Array       # (nnz_a,) stable-sort rank -> class-major order
+    b_rank: jax.Array       # (nnz_b,)
+    d_a: jax.Array          # (Na,) spread dists into the A slabs (-1 dead)
+    d_b: jax.Array          # (Nb,)
+    d_pad: jax.Array        # (m2,) pad-compaction dists
+    keys: jax.Array         # (F,) static C-slot keys of the compacted stream
+    off_c: jax.Array        # (F,) position within equal-key run after sort
+    d_head: jax.Array       # (F,) head-compaction dists
+    c_indptr: np.ndarray
+    c_indices: np.ndarray
+    # classes: (nb, Mh, W, a_off, b_off) per class, product regions in order
+    classes: Tuple[Tuple[int, int, int, int, int], ...] = _static()
+    na: int = _static()     # Σ nb*Mh
+    nb_len: int = _static()  # Σ nb*W
+    m2: int = _static()     # Σ nb*Mh*W (padded product stream)
+    flops: int = _static()  # F = number of real elementary products
+    nnz: int = _static()
+    t_a: int = _static()
+    t_b: int = _static()
+    t_pad: int = _static()
+    t_sum: int = _static()
+    t_head: int = _static()
+    shape: Tuple[int, int] = _static()
+
+    def to_device(self) -> "ESCPlan":
+        return dataclasses.replace(
+            self, a_rank=jnp.asarray(self.a_rank),
+            b_rank=jnp.asarray(self.b_rank), d_a=jnp.asarray(self.d_a),
+            d_b=jnp.asarray(self.d_b), d_pad=jnp.asarray(self.d_pad),
+            keys=jnp.asarray(self.keys), off_c=jnp.asarray(self.off_c),
+            d_head=jnp.asarray(self.d_head))
+
+
+def _round_width(l: np.ndarray) -> np.ndarray:
+    """Waste-bounded width levels: exact <= 8, mult-of-4 <= 32, mult-of-16
+    <= 128, pow2 beyond (<= 17% pad waste, bounded class count)."""
+    w = l.copy()
+    m = (l > 8) & (l <= 32)
+    w[m] = -(-l[m] // 4) * 4
+    m = (l > 32) & (l <= 128)
+    w[m] = -(-l[m] // 16) * 16
+    m = l > 128
+    if m.any():
+        w[m] = 2 ** np.ceil(np.log2(l[m])).astype(np.int64)
+    return w
+
+
+def _expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate ranges [starts[i], starts[i]+counts[i]) (vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    idx = np.arange(total, dtype=np.int64)
+    owner = np.searchsorted(ends, idx, side="right")
+    return starts[owner] + idx - (ends[owner] - counts[owner])
+
+
+def esc_plan(a: CSR, b: CSR) -> ESCPlan:
+    """Symbolic phase: class partition, spread distances, sort metadata
+    and C's exact structure. Pure vectorized numpy, O(flop)."""
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
+    m, n = a.shape[0], b.shape[1]
+    a_sp = a.to_scipy().tocsc()
+    a_sp.sort_indices()
+    ac_indptr = a_sp.indptr.astype(np.int64)
+    ac_rows = a_sp.indices.astype(np.int64)
+    # map CSC entry -> position in a.data (CSR): stable-sort CSR entries
+    # by column gives CSC order
+    a_csr_cols = np.asarray(a.indices, dtype=np.int64)
+    csc_of_csr = np.argsort(a_csr_cols, kind="stable")  # csc pos -> csr pos
+
+    b_indptr = np.asarray(b.indptr).astype(np.int64)
+    b_indices = np.asarray(b.indices).astype(np.int64)
+
+    K = a.shape[1]
+    M_all = np.diff(ac_indptr)
+    L_all = np.diff(b_indptr)
+    active = np.nonzero((M_all > 0) & (L_all > 0))[0]
+    if active.size == 0:
+        raise ValueError("empty product")
+    M = M_all[active]
+    L = L_all[active]
+    Mh = np.maximum(1, 2 ** np.ceil(np.log2(M)).astype(np.int64))
+    W = _round_width(L)
+
+    # class-major block order
+    order = np.lexsort((active, Mh * (1 << 40) + W))
+    kk, M, L, Mh, W = active[order], M[order], L[order], Mh[order], W[order]
+    cls_key = Mh * (1 << 40) + W
+    cls_start = np.nonzero(np.concatenate(
+        [[True], cls_key[1:] != cls_key[:-1]]))[0]
+    cls_end = np.append(cls_start[1:], kk.size)
+
+    a_off = np.concatenate([[0], np.cumsum(Mh)])        # per block
+    b_off = np.concatenate([[0], np.cumsum(W)])
+    p_off = np.concatenate([[0], np.cumsum(Mh * W)])
+    na, nb_len, m2 = int(a_off[-1]), int(b_off[-1]), int(p_off[-1])
+
+    classes = tuple(
+        (int(e - s), int(Mh[s]), int(W[s]), int(a_off[s]), int(b_off[s]))
+        for s, e in zip(cls_start, cls_end))
+
+    # ---- A side: CSC entries -> class-major (block, r) order -----------
+    a_src = _expand(ac_indptr[kk], M)        # csc positions, class-major
+    n_arows = a_src.size                     # == nnz over active columns
+    a_rank_pos = np.full(a.nnz, np.int64(1) << 60)
+    a_rank_pos[csc_of_csr[a_src]] = np.arange(n_arows, dtype=np.int64)
+    # stable sort by rank puts inactive entries at the tail
+    a_dest = _expand(a_off[:-1], M)          # slab dest per (block, r)
+    d_a = np.full(na, -1, np.int32)
+    d_a[:n_arows] = (a_dest - np.arange(n_arows)).astype(np.int32)
+    t_a = stages_for(int(d_a[:n_arows].max(initial=0)))
+
+    # ---- B side: CSR entries -> class-major block order ----------------
+    b_src = _expand(b_indptr[kk], L)         # b.data positions
+    n_brows = b_src.size
+    b_rank_pos = np.full(b.nnz, np.int64(1) << 60)
+    b_rank_pos[b_src] = np.arange(n_brows, dtype=np.int64)
+    b_dest = _expand(b_off[:-1], L)
+    d_b = np.full(nb_len, -1, np.int32)
+    d_b[:n_brows] = (b_dest - np.arange(n_brows)).astype(np.int32)
+    t_b = stages_for(int(d_b[:n_brows].max(initial=0)))
+
+    # ---- product stream: real positions, keys, pad compaction ----------
+    # level 1: (block, r) rows, r < M
+    row_block = np.repeat(np.arange(kk.size, dtype=np.int64), M)
+    row_r = np.arange(row_block.size, dtype=np.int64) - \
+        np.repeat(np.cumsum(M) - M, M)
+    row_pos = p_off[row_block] + row_r * W[row_block]   # start of row's lane
+    row_i = ac_rows[a_src]                              # C-row of each row
+    # level 2: lanes l < L of each (block, r) row
+    Lr = L[row_block]
+    real_pos = _expand(row_pos, Lr)
+    F = real_pos.size
+    j_cols = b_indices[_expand(b_indptr[kk][row_block], Lr)]
+    i_rows = np.repeat(row_i, Lr)
+
+    key_t = np.int32 if m * n < (1 << 31) else np.int64
+    keys_real = (i_rows * n + j_cols).astype(key_t)
+
+    d_pad = np.zeros(m2, np.int32)
+    d_pad[real_pos] = (real_pos - np.arange(F, dtype=np.int64)) \
+        .astype(np.int32)
+    t_pad = stages_for(int(d_pad.max(initial=0)))
+
+    # ---- simulate the stable sort: merge metadata ----------------------
+    s_ord = np.argsort(keys_real, kind="stable")
+    keys_s = keys_real[s_ord]
+    head = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+    heads = np.nonzero(head)[0]
+    nnz = heads.size
+    grp = np.cumsum(head) - 1
+    off_c = (np.arange(F, dtype=np.int64) - heads[grp]).astype(np.int32)
+    t_sum = stages_for(int(off_c.max(initial=0)))
+    d_head = np.zeros(F, np.int32)
+    d_head[heads] = (heads - np.arange(nnz, dtype=np.int64)) \
+        .astype(np.int32)
+    t_head = stages_for(int(d_head.max(initial=0)))
+
+    uniq = keys_s[heads].astype(np.int64)
+    c_rows = uniq // n
+    c_indices = (uniq % n).astype(np.int32)
+    c_indptr = np.zeros(m + 1, np.int64)
+    np.add.at(c_indptr, c_rows + 1, 1)
+    np.cumsum(c_indptr, out=c_indptr)
+
+    return ESCPlan(
+        a_rank=a_rank_pos.astype(np.int64), b_rank=b_rank_pos.astype(np.int64),
+        d_a=d_a, d_b=d_b, d_pad=d_pad, keys=keys_real,
+        off_c=off_c, d_head=d_head, c_indptr=c_indptr, c_indices=c_indices,
+        classes=classes, na=na, nb_len=nb_len, m2=m2, flops=F, nnz=nnz,
+        t_a=t_a, t_b=t_b, t_pad=t_pad, t_sum=t_sum, t_head=t_head,
+        shape=(m, n))
+
+
+@partial(jax.jit, static_argnames=("classes", "na", "nb_len", "m2", "flops",
+                                   "nnz", "t_a", "t_b", "t_pad", "t_sum",
+                                   "t_head"))
+def _esc_numeric_impl(a_data, b_data, a_rank, b_rank, d_a, d_b, d_pad,
+                      keys, off_c, d_head, *, classes, na, nb_len, m2,
+                      flops, nnz, t_a, t_b, t_pad, t_sum, t_head):
+    # small static reorders (stable sort by precomputed rank)
+    av = jax.lax.sort((a_rank, a_data), num_keys=1)[1]
+    bv = jax.lax.sort((b_rank, b_data), num_keys=1)[1]
+    # spread into the class-major slabs
+    xa = spread(_fit(av, na), d_a, t_a)
+    xb = spread(_fit(bv, nb_len), d_b, t_b)
+    # expand: per-class dense tile products (pure broadcast, no indexing)
+    parts = []
+    for nb, mh, w, aoff, boff in classes:
+        ta = jax.lax.dynamic_slice_in_dim(xa, aoff, nb * mh) \
+            .reshape(nb, mh, 1)
+        tb = jax.lax.dynamic_slice_in_dim(xb, boff, nb * w) \
+            .reshape(nb, 1, w)
+        parts.append((ta * tb).reshape(-1))
+    prod = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    # compress: drop pads, sort to slot order, reduce runs, compact heads
+    prod = compact(prod, d_pad, t_pad)[:flops]
+    prod_s = jax.lax.sort((keys, prod), num_keys=1)[1]
+    sums = runsum(prod_s, off_c, t_sum)
+    return compact(sums, d_head, t_head)[:nnz]
+
+
+def _fit(x, n):
+    if x.shape[0] == n:
+        return x
+    if x.shape[0] > n:
+        return x[:n]
+    return jnp.concatenate([x, jnp.zeros(n - x.shape[0], x.dtype)])
+
+
+def esc_numeric(a_data, b_data, plan: ESCPlan):
+    """Value phase: C.data (in plan.c_indptr/c_indices order) from A/B
+    values. Jit-safe, reusable across value updates."""
+    return _esc_numeric_impl(
+        jnp.asarray(a_data), jnp.asarray(b_data),
+        jnp.asarray(plan.a_rank),
+        jnp.asarray(plan.b_rank), jnp.asarray(plan.d_a),
+        jnp.asarray(plan.d_b), jnp.asarray(plan.d_pad),
+        jnp.asarray(plan.keys), jnp.asarray(plan.off_c),
+        jnp.asarray(plan.d_head),
+        classes=plan.classes, na=plan.na, nb_len=plan.nb_len, m2=plan.m2,
+        flops=plan.flops, nnz=plan.nnz, t_a=plan.t_a, t_b=plan.t_b,
+        t_pad=plan.t_pad, t_sum=plan.t_sum, t_head=plan.t_head)
+
+
+def spgemm_esc(a: CSR, b: CSR, *, plan: ESCPlan | None = None) -> CSR:
+    """C = A @ B through the gather-free ESC engine."""
+    if plan is None:
+        plan = esc_plan(a, b)
+    c_data = esc_numeric(np.asarray(a.data), np.asarray(b.data), plan)
+    return CSR(plan.c_indptr, plan.c_indices, c_data, plan.shape)

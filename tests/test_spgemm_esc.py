@@ -1,0 +1,102 @@
+"""Gather-free ESC SpGEMM vs scipy oracle (ops/spgemm_esc.py)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from g4s_tpu.ops.spgemm_esc import esc_numeric, esc_plan, spgemm_esc
+from g4s_tpu.sparse.containers import CSR
+
+
+def _check(A_s, B_s, rtol=2e-5):
+    A, B = CSR.from_scipy(A_s.tocsr()), CSR.from_scipy(B_s.tocsr())
+    plan = esc_plan(A, B)
+    C = spgemm_esc(A, B, plan=plan)
+    ref = (A_s.astype(np.float64) @ B_s.astype(np.float64)).tocsr()
+    ref.sort_indices()
+    ref.eliminate_zeros()
+    got = sp.csr_matrix((np.array(C.data, np.float64),
+                         np.array(C.indices), np.array(C.indptr)),
+                        shape=C.shape)
+    got.eliminate_zeros()
+    # structure without numerically-cancelled zeros must match exactly
+    dense_ref = ref.toarray()
+    dense_got = got.toarray()
+    np.testing.assert_allclose(dense_got, dense_ref, rtol=rtol,
+                               atol=rtol * max(1.0, np.abs(dense_ref).max()))
+    return plan
+
+
+class TestESC:
+    def test_small_dense_oracle(self, rng):
+        A = sp.random(40, 30, density=0.2, random_state=np.random.RandomState(3),
+                      format="csr", dtype=np.float32)
+        B = sp.random(30, 50, density=0.15,
+                      random_state=np.random.RandomState(4), format="csr",
+                      dtype=np.float32)
+        _check(A, B)
+
+    def test_square_er(self, rng):
+        A = sp.random(500, 500, density=16 / 500,
+                      random_state=np.random.RandomState(5), format="csr",
+                      dtype=np.float32)
+        _check(A, A)
+
+    def test_skewed_rmat_like(self, rng):
+        # power-law row/col degrees: stresses the class binning
+        r = np.random.RandomState(7)
+        n, nnz = 800, 12000
+        rows = np.minimum((n * r.power(0.25, nnz)).astype(int), n - 1)
+        cols = np.minimum((n * r.power(0.25, nnz)).astype(int), n - 1)
+        A = sp.coo_matrix((r.randn(nnz).astype(np.float32), (rows, cols)),
+                          shape=(n, n)).tocsr()
+        A.sum_duplicates()
+        plan = _check(A, A)
+        assert plan.flops > 0
+
+    def test_rectangular_chain(self, rng):
+        A = sp.random(120, 60, density=0.1,
+                      random_state=np.random.RandomState(8), format="csr",
+                      dtype=np.float32)
+        B = sp.random(60, 200, density=0.08,
+                      random_state=np.random.RandomState(9), format="csr",
+                      dtype=np.float32)
+        _check(A, B)
+
+    def test_f64(self, rng):
+        A = sp.random(300, 300, density=0.05,
+                      random_state=np.random.RandomState(10), format="csr",
+                      dtype=np.float64)
+        _check(A, A, rtol=1e-12)
+
+    def test_plan_reuse_new_values(self, rng):
+        A_s = sp.random(200, 200, density=0.08,
+                        random_state=np.random.RandomState(11), format="csr",
+                        dtype=np.float32)
+        A = CSR.from_scipy(A_s)
+        plan = esc_plan(A, A)
+        d1 = esc_numeric(np.asarray(A.data), np.asarray(A.data), plan)
+        new_vals = np.asarray(A.data) * 2.5
+        d2 = np.asarray(esc_numeric(new_vals, new_vals, plan))
+        np.testing.assert_allclose(d2, 6.25 * np.asarray(d1), rtol=1e-6)
+
+    def test_structure_matches_scipy(self, rng):
+        A_s = sp.random(150, 150, density=0.1,
+                        random_state=np.random.RandomState(12), format="csr",
+                        dtype=np.float32)
+        A = CSR.from_scipy(A_s)
+        plan = esc_plan(A, A)
+        ref = (A_s @ A_s).tocsr()
+        ref.sort_indices()
+        np.testing.assert_array_equal(plan.c_indptr, ref.indptr)
+        np.testing.assert_array_equal(plan.c_indices, ref.indices)
+
+    def test_empty_rows_cols(self, rng):
+        # rows/cols with no entries and inactive inner indices
+        A = sp.csr_matrix((np.array([1.0, 2.0, 3.0], np.float32),
+                           np.array([1, 3, 1]),
+                           np.array([0, 2, 2, 3, 3])), shape=(4, 5))
+        B = sp.csr_matrix((np.array([4.0, 5.0], np.float32),
+                           np.array([0, 2]),
+                           np.array([0, 1, 1, 1, 2, 2])), shape=(5, 3))
+        _check(A, B)
