@@ -300,76 +300,112 @@ def bench_dp(steps: int = 60):
             "device": str(dev), "dtype": "f32"}
 
 
+def _rmat_like(n: int, nnz: int, seed: int = 7, cap: int = 256):
+    """Power-law (G500/RMAT-role) square matrix: Zipf row/col degrees
+    capped at `cap` (configuration model), the skew class where padded
+    layouts hurt (VERDICT r2 missing #9)."""
+    import numpy as np
+    import scipy.sparse as sp
+    r = np.random.RandomState(seed)
+    deg = np.minimum(r.zipf(1.6, size=n), cap).astype(np.int64)
+    deg = deg[r.permutation(n)]
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)[:nnz]
+    deg2 = np.minimum(r.zipf(1.6, size=n), cap).astype(np.int64)
+    cols = np.repeat(np.arange(n, dtype=np.int64),
+                     deg2[r.permutation(n)])[:nnz]
+    r.shuffle(cols)
+    m = min(rows.size, cols.size)
+    A = sp.coo_matrix((r.randn(m).astype(np.float32),
+                       (rows[:m], cols[:m])), shape=(n, n)).tocsr()
+    A.sum_duplicates()
+    return A
+
+
 def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
     import numpy as np
     import scipy.sparse as sp
-    import jax
-    import jax.numpy as jnp
-    from g4s_tpu.ops.spgemm import spgemm_flops, spgemm_numeric, spgemm_plan
+    from g4s_tpu.ops.spgemm import spgemm_flops
+    from g4s_tpu.ops.spgemm_esc import esc_numeric, esc_plan
     from g4s_tpu.sparse import CSR
 
-    rng = np.random.RandomState(42)
-    A_s = sp.random(n, n, density=avg_deg / n, random_state=rng,
-                    format="csr", dtype=np.float32)
-    A = CSR.from_scipy(A_s)
-    flops = spgemm_flops(A, A)
+    def measure(A_s):
+        """ESC engine on one matrix: plan (symbolic) + timed numeric +
+        measured scipy baseline (the reference driver's CPU-library
+        role, mkl_spgemm.cpp:67-81 protocol: warmup + averaged reps)."""
+        A = CSR.from_scipy(A_s)
+        flops = spgemm_flops(A, A)
+        t0 = time.perf_counter()
+        plan = esc_plan(A, A)
+        symbolic_s = time.perf_counter() - t0
+        dplan = plan.to_device()
+        a_d = np.asarray(A.data)
+        esc_numeric(a_d, a_d, dplan).block_until_ready()   # compile (warm)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            c = esc_numeric(a_d, a_d, dplan)
+        c.block_until_ready()
+        numeric_s = (time.perf_counter() - t0) / reps
+        gflops = flops / numeric_s / 1e9
 
-    t0 = time.perf_counter()
-    plan = spgemm_plan(A, A)
-    symbolic_s = time.perf_counter() - t0
-    dplan = plan.to_device()
+        A64 = A_s.astype(np.float64)
+        _ = A64 @ A64                                      # warmup
+        t0 = time.perf_counter()
+        for _ in range(3):
+            C = A64 @ A64
+        scipy_s = (time.perf_counter() - t0) / 3
+        assert abs(float(np.asarray(c).sum()) - float(C.sum())) \
+            < 1e-3 * max(abs(float(C.sum())), 1.0)
+        return {"gflops": round(gflops, 3),
+                "numeric_ms": round(numeric_s * 1e3, 2),
+                "symbolic_ms": round(symbolic_s * 1e3, 1),
+                "cold_ms": round((symbolic_s + numeric_s) * 1e3, 1),
+                "scipy_ms": round(scipy_s * 1e3, 1),
+                "vs_scipy": round(scipy_s / numeric_s, 2),
+                "cold_vs_scipy": round(scipy_s / (symbolic_s + numeric_s),
+                                       3),
+                "nnz": A.nnz, "flops": int(flops),
+                "classes": len(plan.classes),
+                "pad_ratio": round(plan.m2 / max(plan.flops, 1), 2)}
+
+    rng = np.random.RandomState(42)
+    er = measure(sp.random(n, n, density=avg_deg / n, random_state=rng,
+                           format="csr", dtype=np.float32))
+    rmat = measure(_rmat_like(n, n * avg_deg))
+
+    # legacy take+segment_sum path for comparison (the round-2 engine)
+    from g4s_tpu.ops.spgemm import spgemm_numeric, spgemm_plan
+    import jax
+    import jax.numpy as jnp
+    A_s = sp.random(n, n, density=avg_deg / n,
+                    random_state=np.random.RandomState(42), format="csr",
+                    dtype=np.float32)
+    A = CSR.from_scipy(A_s)
+    tplan = spgemm_plan(A, A).to_device()
     a_d = jnp.asarray(A.data)
     num = jax.jit(spgemm_numeric)
-    num(a_d, a_d, dplan).block_until_ready()        # warmup (protocol)
+    num(a_d, a_d, tplan).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(reps):
-        c = num(a_d, a_d, dplan)
+    c = num(a_d, a_d, tplan)
     c.block_until_ready()
-    numeric_s = (time.perf_counter() - t0) / reps
-    gflops = flops / numeric_s / 1e9
+    take_ms = (time.perf_counter() - t0) * 1e3
 
-    # COLD START: one-shot C=A*A with device-side structure discovery
-    # (spgemm_device_csr: expand/sort/merge on TPU, outer_mult.h analog).
-    # Warm the jit on a tiny DIFFERENT shape problem first so the timed
-    # run still pays all per-pattern work but not XLA compilation (the
-    # reference's MKL baseline also holds its library code warm).
-    from g4s_tpu.ops.spgemm import spgemm_device_csr
-    A_tiny = CSR.from_scipy(sp.random(512, 512, density=avg_deg / 512,
-                                      random_state=rng, format="csr",
-                                      dtype=np.float32))
-    _ = spgemm_device_csr(A_tiny, A_tiny)
-    _ = spgemm_device_csr(A, A)          # compile at full shape
-    t0 = time.perf_counter()
-    c_cold = spgemm_device_csr(A, A)
-    cold_s = time.perf_counter() - t0
-
-    # measured CPU-library baseline (the MKL role)
-    A64 = A_s.astype(np.float64)
-    _ = A64 @ A64                                    # warmup
-    t0 = time.perf_counter()
-    for _ in range(3):
-        C = A64 @ A64
-    scipy_s = (time.perf_counter() - t0) / 3
-    scipy_gflops = flops / scipy_s / 1e9
-    assert abs(float(np.asarray(c_cold.data).sum())
-               - float(C.sum())) < 1e-3 * abs(float(C.sum()))
-    return {"metric": "spgemm_gflops_numeric", "value": round(gflops, 2),
+    return {"metric": "spgemm_gflops_numeric", "value": er["gflops"],
             "unit": "GFLOPS",
-            "vs_baseline": round(gflops / scipy_gflops, 3),
-            "baseline_gflops": round(scipy_gflops, 2),
-            "baseline_basis": f"scipy.sparse CSR matmul ({scipy_s*1e3:.1f} "
-                              "ms), the reference driver's CPU-library role",
-            "symbolic_ms": round(symbolic_s * 1e3, 1),
-            "numeric_ms": round(numeric_s * 1e3, 2),
-            "cold_start_ms": round(cold_s * 1e3, 1),
-            "cold_vs_scipy": round(scipy_s / cold_s, 3),
-            "cold_note": "one-shot end-to-end incl. device expand/sort/"
-                         "merge structure discovery + host CSR split "
-                         "(no plan reuse)",
-            "numeric_note": "bounded by XLA-TPU gather throughput "
-                            "(measured 114 M elem/s at this size); the "
-                            "plan amortizes symbolic across value updates",
-            "n": n, "nnz": A.nnz, "flops": int(flops), "reps": reps}
+            "vs_baseline": round(er["vs_scipy"], 3),
+            "baseline_basis": f"scipy.sparse CSR matmul ({er['scipy_ms']} "
+                              "ms), the reference driver's CPU-library role"
+                              "; ESC gather-free engine (expand/sort/"
+                              "compress), value phase under plan reuse",
+            "numeric_ms": er["numeric_ms"],
+            "symbolic_ms": er["symbolic_ms"],
+            "cold_start_ms": er["cold_ms"],
+            "cold_vs_scipy": er["cold_vs_scipy"],
+            "cold_note": "cold = O(flop) numpy plan build + one numeric "
+                         "run (XLA compile excluded; the reference's MKL "
+                         "baseline also holds library code warm)",
+            "er": er, "rmat_skew": rmat,
+            "take_path_ms": round(take_ms, 1),
+            "n": n, "nnz": er["nnz"], "flops": er["flops"], "reps": reps}
 
 
 def bench_mv(dim: int = 4096, reps: int = 20):

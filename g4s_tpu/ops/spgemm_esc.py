@@ -115,9 +115,19 @@ def _expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return starts[owner] + idx - (ends[owner] - counts[owner])
 
 
-def esc_plan(a: CSR, b: CSR) -> ESCPlan:
+def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
     """Symbolic phase: class partition, spread distances, sort metadata
-    and C's exact structure. Pure vectorized numpy, O(flop)."""
+    and C's exact structure. Pure vectorized numpy, O(flop).
+
+    order_by="row" merges products in row-major slot order and emits
+    CSR structure (the hash engine's strategy, hash_mult.h:558-608);
+    order_by="col" merges COLUMN-major — the genuinely column-wise
+    engine of the reference's HeapSpGEMM (heap_mult.h:47-223: walk
+    columns, k-way merge sorted contributions): the single stable sort
+    under j*m+i keys IS the k-way column merge, C comes out as CSC with
+    rows sorted within each column by construction."""
+    if order_by not in ("row", "col"):
+        raise ValueError(f"order_by must be 'row' or 'col': {order_by}")
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
     m, n = a.shape[0], b.shape[1]
@@ -162,10 +172,14 @@ def esc_plan(a: CSR, b: CSR) -> ESCPlan:
         for s, e in zip(cls_start, cls_end))
 
     # ---- A side: CSC entries -> class-major (block, r) order -----------
+    if max(a.nnz, b.nnz) >= (1 << 31) - 1:
+        raise NotImplementedError("nnz >= 2^31 needs int64 rank streams")
     a_src = _expand(ac_indptr[kk], M)        # csc positions, class-major
     n_arows = a_src.size                     # == nnz over active columns
-    a_rank_pos = np.full(a.nnz, np.int64(1) << 60)
-    a_rank_pos[csc_of_csr[a_src]] = np.arange(n_arows, dtype=np.int64)
+    # int32 sentinel: inactive entries sort (stably) to the tail; int64
+    # sentinels would overflow under jax's default-x64-off int32 cast
+    a_rank_pos = np.full(a.nnz, np.iinfo(np.int32).max, np.int32)
+    a_rank_pos[csc_of_csr[a_src]] = np.arange(n_arows, dtype=np.int32)
     # stable sort by rank puts inactive entries at the tail
     a_dest = _expand(a_off[:-1], M)          # slab dest per (block, r)
     d_a = np.full(na, -1, np.int32)
@@ -175,8 +189,8 @@ def esc_plan(a: CSR, b: CSR) -> ESCPlan:
     # ---- B side: CSR entries -> class-major block order ----------------
     b_src = _expand(b_indptr[kk], L)         # b.data positions
     n_brows = b_src.size
-    b_rank_pos = np.full(b.nnz, np.int64(1) << 60)
-    b_rank_pos[b_src] = np.arange(n_brows, dtype=np.int64)
+    b_rank_pos = np.full(b.nnz, np.iinfo(np.int32).max, np.int32)
+    b_rank_pos[b_src] = np.arange(n_brows, dtype=np.int32)
     b_dest = _expand(b_off[:-1], L)
     d_b = np.full(nb_len, -1, np.int32)
     d_b[:n_brows] = (b_dest - np.arange(n_brows)).astype(np.int32)
@@ -197,7 +211,13 @@ def esc_plan(a: CSR, b: CSR) -> ESCPlan:
     i_rows = np.repeat(row_i, Lr)
 
     key_t = np.int32 if m * n < (1 << 31) else np.int64
-    keys_real = (i_rows * n + j_cols).astype(key_t)
+    if key_t is np.int64 and not jax.config.jax_enable_x64:
+        raise NotImplementedError(
+            "m*n >= 2^31 needs int64 slot keys: enable jax x64")
+    if order_by == "row":
+        keys_real = (i_rows * n + j_cols).astype(key_t)
+    else:                                   # column-major: CSC output
+        keys_real = (j_cols * m + i_rows).astype(key_t)
 
     d_pad = np.zeros(m2, np.int32)
     d_pad[real_pos] = (real_pos - np.arange(F, dtype=np.int64)) \
@@ -219,14 +239,17 @@ def esc_plan(a: CSR, b: CSR) -> ESCPlan:
     t_head = stages_for(int(d_head.max(initial=0)))
 
     uniq = keys_s[heads].astype(np.int64)
-    c_rows = uniq // n
-    c_indices = (uniq % n).astype(np.int32)
-    c_indptr = np.zeros(m + 1, np.int64)
-    np.add.at(c_indptr, c_rows + 1, 1)
+    if order_by == "row":
+        major, minor, n_major = uniq // n, uniq % n, m
+    else:
+        major, minor, n_major = uniq // m, uniq % m, n
+    c_indices = minor.astype(np.int32)
+    c_indptr = np.zeros(n_major + 1, np.int64)
+    np.add.at(c_indptr, major + 1, 1)
     np.cumsum(c_indptr, out=c_indptr)
 
     return ESCPlan(
-        a_rank=a_rank_pos.astype(np.int64), b_rank=b_rank_pos.astype(np.int64),
+        a_rank=a_rank_pos, b_rank=b_rank_pos,
         d_a=d_a, d_b=d_b, d_pad=d_pad, keys=keys_real,
         off_c=off_c, d_head=d_head, c_indptr=c_indptr, c_indices=c_indices,
         classes=classes, na=na, nb_len=nb_len, m2=m2, flops=F, nnz=nnz,
@@ -291,3 +314,18 @@ def spgemm_esc(a: CSR, b: CSR, *, plan: ESCPlan | None = None) -> CSR:
         plan = esc_plan(a, b)
     c_data = esc_numeric(np.asarray(a.data), np.asarray(b.data), plan)
     return CSR(plan.c_indptr, plan.c_indices, c_data, plan.shape)
+
+
+def spgemm_esc_col(a: CSR, b: CSR, *, plan: ESCPlan | None = None):
+    """Column-wise C = A @ B: the HeapSpGEMM role (heap_mult.h:47-223).
+
+    Same gather-free expansion, but the merge sorts under column-major
+    keys, so the one stable sort is a k-way merge of each C column's
+    sorted contributions and the result materializes directly as CSC
+    with in-column rows sorted by construction — a distinct numeric
+    engine, not a transpose wrapper around the row-wise path."""
+    from g4s_tpu.sparse.containers import CSC
+    if plan is None:
+        plan = esc_plan(a, b, order_by="col")
+    c_data = esc_numeric(np.asarray(a.data), np.asarray(b.data), plan)
+    return CSC(plan.c_indptr, plan.c_indices, c_data, plan.shape)

@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 import scipy.sparse as sp
 
-from g4s_tpu.ops.spgemm_esc import esc_numeric, esc_plan, spgemm_esc
+from g4s_tpu.ops.spgemm_esc import (esc_numeric, esc_plan, spgemm_esc,
+                                    spgemm_esc_col)
 from g4s_tpu.sparse.containers import CSR
 
 
@@ -90,6 +91,48 @@ class TestESC:
         ref.sort_indices()
         np.testing.assert_array_equal(plan.c_indptr, ref.indptr)
         np.testing.assert_array_equal(plan.c_indices, ref.indices)
+
+    def test_column_merge_csc(self, rng):
+        # heap-role engine: CSC out, rows sorted within columns
+        A_s = sp.random(180, 140, density=0.08,
+                        random_state=np.random.RandomState(13), format="csr",
+                        dtype=np.float32)
+        B_s = sp.random(140, 90, density=0.1,
+                        random_state=np.random.RandomState(14), format="csr",
+                        dtype=np.float32)
+        C = spgemm_esc_col(CSR.from_scipy(A_s), CSR.from_scipy(B_s))
+        ref = (A_s @ B_s).tocsc()
+        ref.sort_indices()
+        np.testing.assert_array_equal(np.asarray(C.indptr), ref.indptr)
+        np.testing.assert_array_equal(np.asarray(C.indices), ref.indices)
+        np.testing.assert_allclose(np.asarray(C.data), ref.data, rtol=2e-5)
+        # in-column rows sorted by construction
+        for c in range(C.shape[1]):
+            s, e = int(C.indptr[c]), int(C.indptr[c + 1])
+            seg = np.asarray(C.indices[s:e])
+            assert np.all(np.diff(seg) > 0)
+
+    def test_plan_streams_are_int32(self, rng):
+        # int64 streams would overflow under jax's default x64-off cast
+        # (the sentinel-rank bug): keep every shipped stream int32
+        A_s = sp.random(100, 100, density=0.05,
+                        random_state=np.random.RandomState(15), format="csr",
+                        dtype=np.float32)
+        # ensure some inactive entries exist (empty B row hit by A)
+        A_s = A_s.tolil()
+        A_s[:, 50] = 0.0
+        A_s[3, 50] = 1.0   # A uses column 50, B row 50 is empty
+        A_s = A_s.tocsr()
+        A_s.eliminate_zeros()
+        B_s = A_s.copy().tolil()
+        B_s[50, :] = 0.0
+        B_s = B_s.tocsr()
+        B_s.eliminate_zeros()
+        plan = esc_plan(CSR.from_scipy(A_s), CSR.from_scipy(B_s))
+        for f in ("a_rank", "b_rank", "d_a", "d_b", "d_pad", "off_c",
+                  "d_head"):
+            assert np.asarray(getattr(plan, f)).dtype == np.int32, f
+        _check(A_s, B_s)
 
     def test_empty_rows_cols(self, rng):
         # rows/cols with no entries and inactive inner indices
