@@ -30,7 +30,7 @@ import numpy as np
 
 from g4s_tpu.engine.semiring import PLUS_TIMES, Semiring
 from g4s_tpu.ops.segment import segment_reduce
-from g4s_tpu.ops.spgemm import SpGEMMPlan, spgemm_plan
+from g4s_tpu.ops.spgemm import SpGEMMPlan, spgemm_flops, spgemm_plan
 from g4s_tpu.sparse.containers import CSR, DIA, ELL
 from g4s_tpu.sparse.convert import csr_to_dia, csr_to_ell
 
@@ -343,11 +343,33 @@ def mxv(g: Graph, x, *, semiring: Semiring = PLUS_TIMES, mask=None):
     return y
 
 
-def mxm(a: CSR, b: CSR, *, semiring: Semiring = PLUS_TIMES,
-        plan: SpGEMMPlan | None = None) -> CSR:
-    """C = A (+.x) B through the two-phase symbolic/numeric engine."""
+_ESC_MIN_FLOPS = 1 << 18       # products; below this the take path wins
+
+
+def mxm(a: CSR, b: CSR, *, semiring: Semiring = PLUS_TIMES, plan=None) -> CSR:
+    """C = A (+.x) B through the two-phase symbolic/numeric engine.
+
+    Strategy exploration (the dispatcher's job, BIN.h role): for
+    plus-times on an accelerator backend with a large product count the
+    gather-free ESC engine (ops/spgemm_esc.py) replaces the
+    take+segment_sum numeric, which is bound by XLA's serial gather on
+    TPU; small products, CPU backends and exotic semirings keep the
+    take path (gathers are cheap there, and ESC's broadcast expansion
+    is specific to (+,*)). Pass an explicit SpGEMMPlan or ESCPlan to
+    pin the engine."""
+    from g4s_tpu.ops.spgemm_esc import ESCPlan, esc_numeric, esc_plan
     if plan is None:
-        plan = spgemm_plan(a, b)
+        if (semiring is PLUS_TIMES
+                and jax.default_backend() not in ("cpu",)
+                and spgemm_flops(a, b) // 2 >= _ESC_MIN_FLOPS):
+            plan = esc_plan(a, b)
+        else:
+            plan = spgemm_plan(a, b)
+    if isinstance(plan, ESCPlan):
+        if semiring is not PLUS_TIMES:
+            raise NotImplementedError("ESC plans implement plus_times only")
+        c_data = esc_numeric(jnp.asarray(a.data), jnp.asarray(b.data), plan)
+        return CSR(plan.c_indptr, plan.c_indices, c_data, plan.shape)
     p = plan.to_device()
     prod = semiring.mul(jnp.take(jnp.asarray(a.data), p.src_a),
                         jnp.take(jnp.asarray(b.data), p.src_b))

@@ -134,6 +134,20 @@ class TestESC:
             assert np.asarray(getattr(plan, f)).dtype == np.int32, f
         _check(A_s, B_s)
 
+    def test_engine_mxm_accepts_esc_plan(self, rng):
+        # the dispatcher's accelerator path: mxm with a pinned ESCPlan
+        from g4s_tpu.engine.dispatch import mxm
+        A_s = sp.random(120, 120, density=0.1,
+                        random_state=np.random.RandomState(16), format="csr",
+                        dtype=np.float32)
+        A = CSR.from_scipy(A_s)
+        plan = esc_plan(A, A)
+        C = mxm(A, A, plan=plan)
+        ref = (A_s @ A_s).tocsr()
+        ref.sort_indices()
+        np.testing.assert_array_equal(np.asarray(C.indptr), ref.indptr)
+        np.testing.assert_allclose(np.asarray(C.data), ref.data, rtol=2e-5)
+
     def test_empty_rows_cols(self, rng):
         # rows/cols with no entries and inactive inner indices
         A = sp.csr_matrix((np.array([1.0, 2.0, 3.0], np.float32),
