@@ -377,6 +377,16 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
                            format="csr", dtype=np.float32))
     rmat = measure(_rmat_like(n, n * avg_deg))
 
+    import jax
+    er_large = None
+    if jax.default_backend() != "cpu":
+        # scale case: TPU SpGEMM amortizes its fixed op overheads at
+        # larger flop counts (sort cost is the asymptotic bound)
+        nl = n * 4
+        er_large = measure(sp.random(nl, nl, density=avg_deg / nl,
+                                     random_state=np.random.RandomState(43),
+                                     format="csr", dtype=np.float32))
+
     # legacy take+segment_sum path for comparison (the round-2 engine)
     from g4s_tpu.ops.spgemm import spgemm_numeric, spgemm_plan
     import jax
@@ -408,7 +418,7 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
             "cold_note": "cold = O(flop) numpy plan build + one numeric "
                          "run (XLA compile excluded; the reference's MKL "
                          "baseline also holds library code warm)",
-            "er": er, "rmat_skew": rmat,
+            "er": er, "rmat_skew": rmat, "er_large": er_large,
             "take_path_ms": round(take_ms, 1),
             "n": n, "nnz": er["nnz"], "flops": er["flops"], "reps": reps}
 

@@ -316,6 +316,53 @@ def spgemm_esc(a: CSR, b: CSR, *, plan: ESCPlan | None = None) -> CSR:
     return CSR(plan.c_indptr, plan.c_indices, c_data, plan.shape)
 
 
+def esc_numeric_staged(a_data, b_data, plan: ESCPlan):
+    """Numeric phase with per-stage wall times (the Timings.h role,
+    mm/src/Timings.cpp:33-64): returns (c_data, {stage: ms}). Stages run
+    as separate dispatches with device sync, so totals exceed the fused
+    esc_numeric — use for attribution, not for headline timing."""
+    import time as _time
+    import jax as _jax
+
+    p = plan.to_device()
+    a_d, b_d = jnp.asarray(a_data), jnp.asarray(b_data)
+    out = {}
+
+    def timed(name, f, *args):
+        _jax.block_until_ready(f(*args))          # compile warmup
+        t0 = _time.perf_counter()
+        r = f(*args)
+        _jax.block_until_ready(r)
+        out[name] = round((_time.perf_counter() - t0) * 1e3, 3)
+        return r
+
+    reorder = _jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1)[1])
+    av = timed("reorder_a", reorder, p.a_rank, a_d)
+    bv = timed("reorder_b", reorder, p.b_rank, b_d)
+    sp_a = _jax.jit(lambda x, d: spread(_fit(x, plan.na), d, plan.t_a))
+    sp_b = _jax.jit(lambda x, d: spread(_fit(x, plan.nb_len), d, plan.t_b))
+    xa = timed("spread_a", sp_a, av, p.d_a)
+    xb = timed("spread_b", sp_b, bv, p.d_b)
+
+    def expand(xa, xb):
+        parts = []
+        for nb, mh, w, aoff, boff in plan.classes:
+            ta = xa[aoff:aoff + nb * mh].reshape(nb, mh, 1)
+            tb = xb[boff:boff + nb * w].reshape(nb, 1, w)
+            parts.append((ta * tb).reshape(-1))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    prod = timed("expand", _jax.jit(expand), xa, xb)
+    prod = timed("compact_pads", _jax.jit(
+        lambda x, d: compact(x, d, plan.t_pad)[:plan.flops]), prod, p.d_pad)
+    prod_s = timed("sort", reorder, p.keys, prod)
+    sums = timed("runsum", _jax.jit(
+        lambda x, o: runsum(x, o, plan.t_sum)), prod_s, p.off_c)
+    c = timed("compact_heads", _jax.jit(
+        lambda x, d: compact(x, d, plan.t_head)[:plan.nnz]), sums, p.d_head)
+    return c, out
+
+
 def spgemm_esc_col(a: CSR, b: CSR, *, plan: ESCPlan | None = None):
     """Column-wise C = A @ B: the HeapSpGEMM role (heap_mult.h:47-223).
 
