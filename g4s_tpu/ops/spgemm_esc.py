@@ -105,14 +105,14 @@ def _round_width(l: np.ndarray) -> np.ndarray:
 
 
 def _expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Concatenate ranges [starts[i], starts[i]+counts[i]) (vectorized)."""
+    """Concatenate ranges [starts[i], starts[i]+counts[i]) — O(total)
+    via repeat (no per-element binary search)."""
     total = int(counts.sum())
     if total == 0:
         return np.zeros(0, np.int64)
     ends = np.cumsum(counts)
-    idx = np.arange(total, dtype=np.int64)
-    owner = np.searchsorted(ends, idx, side="right")
-    return starts[owner] + idx - (ends[owner] - counts[owner])
+    return (np.repeat(starts - (ends - counts), counts)
+            + np.arange(total, dtype=np.int64))
 
 
 def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
