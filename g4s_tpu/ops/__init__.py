@@ -6,3 +6,6 @@ from g4s_tpu.ops.spmv import (  # noqa: F401
 from g4s_tpu.ops.spgemm import (  # noqa: F401
     spgemm, spgemm_plan, spgemm_flops, SpGEMMPlan,
 )
+from g4s_tpu.ops.spgemm_esc import (  # noqa: F401
+    ESCPlan, esc_numeric, esc_plan, spgemm_esc, spgemm_esc_col,
+)
