@@ -81,6 +81,15 @@ def _measure_ref_matvec_ms(n_runs: int = 21):
         return None, None
 
 
+# inner f64-CG iterations per Cookbook2 step, measured from this repo's
+# f64 CitcomModel run (mirrors the reference conj_grad path,
+# General_matrix_functions.c:307; recorded as inner_cg_per_step in the
+# f32/f64 bench entries). Used to pin the df64-tier baseline: the
+# reference pays one f64 matvec per inner CG iteration regardless of
+# which correction scheme this repo's 1e-10 tier uses.
+F64_INNER_PER_STEP = 307.2
+
+
 def bench_cookbook2(steps: int, dtype_str: str):
     import jax
     import jax.numpy as jnp
@@ -96,7 +105,10 @@ def bench_cookbook2(steps: int, dtype_str: str):
     extra = {}
     if dtype_str == "df64":
         # the 1e-10 tier ON TPU: full timestep in double-word f32
-        # (df64_step.py); CPU model provides exact-f64 constant operators
+        # (df64_step.py); CPU model provides exact-f64 constant operators.
+        # Two inner solvers are measured — 'mg' (f32 stencil-multigrid
+        # corrections inside df64 iterative refinement) and 'ir' (f32-CG
+        # corrections) — and the faster one is headlined.
         import numpy as np
         from g4s_tpu.models.citcoms.df64_step import DF64Model
         from g4s_tpu.models.citcoms.observables import (rms_velocity,
@@ -104,40 +116,53 @@ def bench_cookbook2(steps: int, dtype_str: str):
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             model = CitcomModel(cfg, dtype=jnp.float64)
-            s = model.init_state()
-        dfm = DF64Model(model)
-        s, _ = dfm.initial_solve(s)
-        s, d = dfm.step(s)                      # warmup/compile
+            s0 = model.init_state()
         blessed_path = os.path.join(REPO, "benchmarks",
                                     "cookbook2_blessed_f64.json")
         bl = json.load(open(blessed_path))["trajectory"]
-        t0 = time.time()
-        inner_total = 0
-        traj_err = {"vrms": [], "nu_top": [], "dt": []}
-        for k in range(steps):
-            s, d = dfm.step(s)
-            inner_total += d["inner"]
-            if k + 1 < len(bl["vrms"]):
-                with jax.default_device(cpu):
-                    vr = float(rms_velocity(model, s.V))
-                    nu = float(surface_heat_flux(model, s.T, top=True)[1])
-                i = k + 1   # warmup consumed blessed step 1
-                traj_err["vrms"].append(abs(vr - bl["vrms"][i])
-                                        / abs(bl["vrms"][i]))
-                traj_err["nu_top"].append(abs(nu - bl["nu_top"][i])
-                                          / abs(bl["nu_top"][i]))
-                traj_err["dt"].append(abs(d["dt"] - bl["dt"][i])
-                                      / abs(bl["dt"][i]))
-        per_step = (time.time() - t0) / steps
-        inner_per_step = inner_total / steps
-        extra = {"traj_vs_blessed_f64": {
-            k: float(np.max(v)) for k, v in traj_err.items() if v},
+        by_mode = {}
+        for mode in ("mg", "ir"):
+            dfm = DF64Model(model, inner=mode)
+            s, _ = dfm.initial_solve(s0)
+            s, d = dfm.step(s)                  # warmup/compile
+            t0 = time.time()
+            inner_total = 0
+            traj_err = {"vrms": [], "nu_top": [], "dt": []}
+            for k in range(steps):
+                s, d = dfm.step(s)
+                inner_total += d["inner"]
+                if k + 1 < len(bl["vrms"]):
+                    with jax.default_device(cpu):
+                        vr = float(rms_velocity(model, s.V))
+                        nu = float(surface_heat_flux(model, s.T, top=True)[1])
+                    i = k + 1   # warmup consumed blessed step 1
+                    traj_err["vrms"].append(abs(vr - bl["vrms"][i])
+                                            / abs(bl["vrms"][i]))
+                    traj_err["nu_top"].append(abs(nu - bl["nu_top"][i])
+                                              / abs(bl["nu_top"][i]))
+                    traj_err["dt"].append(abs(d["dt"] - bl["dt"][i])
+                                          / abs(bl["dt"][i]))
+            by_mode[mode] = {
+                "per_step_s": (time.time() - t0) / steps,
+                "inner_per_step": inner_total / steps,
+                "traj_vs_blessed_f64": {
+                    k: float(np.max(v)) for k, v in traj_err.items() if v}}
+        best = min(by_mode, key=lambda m: by_mode[m]["per_step_s"])
+        per_step = by_mode[best]["per_step_s"]
+        # baseline cost is pinned to the f64 conj_grad path's work (the
+        # solver the reference runs), NOT this tier's correction counts
+        # ('inner' counts f32-CG iterations / MG V-cycles here)
+        inner_per_step = F64_INNER_PER_STEP
+        extra = {"inner_mode": best,
+                 "modes": by_mode,
+                 "traj_vs_blessed_f64": by_mode[best]["traj_vs_blessed_f64"],
             "traj_note": "max rel err vs benchmarks/cookbook2_blessed_"
-                         "f64.json; inner=ir (f32-CG corrections + df64 "
-                         "residual refinement) converges the Uzawa in "
-                         "fewer outers than the blessed f64 path, so "
-                         "agreement is bounded by the Uzawa 1e-4 stopping "
-                         "tolerance (~1e-5 observed), not arithmetic; "
+                         "f64.json; the refinement inners (mg = f32 "
+                         "stencil-multigrid corrections, ir = f32-CG "
+                         "corrections) converge the Uzawa in fewer outers "
+                         "than the blessed f64 path, so agreement is "
+                         "bounded by the Uzawa 1e-4 stopping tolerance "
+                         "(~1e-5 observed), not arithmetic; "
                          "DF64Model(model, inner='df') reproduces the "
                          "blessed iteration path to ~5e-7 (the "
                          "kappa*2^-49 attainable-accuracy floor)",

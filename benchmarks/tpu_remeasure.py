@@ -59,7 +59,7 @@ def df64_probe(steps=3):
         model = CitcomModel(cfg, dtype=jnp.float64)
         s = model.init_state()
     out = {}
-    for mode in ("ir", "df"):
+    for mode in ("mg", "ir", "df"):
         dfm = DF64Model(model, inner=mode)
         si, _ = dfm.initial_solve(s)
         si, d = dfm.step(si)                    # compile

@@ -288,8 +288,125 @@ def _conj_grad_f32(W, BI, F, vbc_mask, rel_acc, max_iter: int):
     return jnp.where(vbc_mask, 0.0, d), count
 
 
+class MGF32(NamedTuple):
+    """Per-level f32 stencil multigrid data for the IR correction solver
+    (built once on host from the same f64 operators the df64 step uses).
+
+    The level-transfer/smoother recipe is the reference's multi_grid
+    (General_matrix_functions.c:152-305) with the colored-GS smoother of
+    its CUDA port (multigrid_kernel.cu:236-478); here every level acts
+    through the 27-point stencil form (nodal.py) so a V-cycle is pure
+    shifted block multiply-adds."""
+    Ws: tuple            # per level (noy,nox,noz,27,3,3) f32
+    Dinvs: tuple         # per level (noy,nox,noz,3,3) f32
+    gs_plans: tuple      # per level GSPlan
+    vbc_masks: tuple     # per level (nno,3) bool
+    interps: tuple       # per level>0: (ids, w_f32) coarse -> level-1 fine
+    nnos: tuple
+
+
+def _mg_v_cycle_f32(md: MGF32, F, u, *, down: int = 2, up: int = 2,
+                    coarse_sweeps: int = 24):
+    """One stencil V-cycle with line-search-scaled corrections
+    (mg_cycle, General_matrix_functions.c:214-280)."""
+    from g4s_tpu.models.citcoms.multigrid import interp_up, project_down
+    from g4s_tpu.models.citcoms.nodal import (gauss_seidel_colored,
+                                              nodal_matvec)
+    n = len(md.Ws)
+    saved = []
+    for li in range(n - 1):
+        u = gauss_seidel_colored(md.Ws[li], md.Dinvs[li], F, u,
+                                 md.vbc_masks[li], down, md.gs_plans[li])
+        r = F - nodal_matvec(md.Ws[li], u, md.vbc_masks[li])
+        r = jnp.where(md.vbc_masks[li], 0.0, r)
+        saved.append((F, u))
+        F = project_down(md.interps[li + 1], r, md.nnos[li + 1])
+        F = jnp.where(md.vbc_masks[li + 1], 0.0, F)
+        u = jnp.zeros((md.nnos[li + 1], 3), F.dtype)
+    u = gauss_seidel_colored(md.Ws[n - 1], md.Dinvs[n - 1], F, u,
+                             md.vbc_masks[n - 1], coarse_sweeps,
+                             md.gs_plans[n - 1])
+    for li in range(n - 2, -1, -1):
+        F_f, u_f = saved[li]
+        du = interp_up(md.interps[li + 1], u)
+        du = jnp.where(md.vbc_masks[li], 0.0, du)
+        res = F_f - nodal_matvec(md.Ws[li], u_f, md.vbc_masks[li])
+        Adu = nodal_matvec(md.Ws[li], du, md.vbc_masks[li])
+        denom = jnp.vdot(Adu, Adu)
+        alpha = jnp.where(denom > 0,
+                          jnp.vdot(Adu, res) / jnp.where(denom > 0, denom,
+                                                         1.0), 1.0)
+        u = u_f + alpha * du
+        u = gauss_seidel_colored(md.Ws[li], md.Dinvs[li], F_f, u,
+                                 md.vbc_masks[li], up, md.gs_plans[li])
+    return u
+
+
+def _mg_solve_f32(md: MGF32, F, rel_acc, max_cycles: int):
+    """V-cycles until ||r|| < rel_acc*||F|| — the f32 correction solver
+    of the IR scheme. Returns (u, cycles); sharp geometric convergence
+    makes the cycle count insensitive to rounding (the count-stability
+    property CG near its plateau lacks)."""
+    res0 = jnp.sqrt(jnp.vdot(F, F))
+    tgt = jnp.asarray(rel_acc, res0.dtype) * res0
+
+    def cond(st):
+        u, res, it = st
+        return jnp.logical_or(
+            jnp.logical_and(res > tgt, it < max_cycles), it == 0)
+
+    def body(st):
+        u, res, it = st
+        u = _mg_v_cycle_f32(md, F, u)
+        r = jnp.where(md.vbc_masks[0], 0.0, F - _mg_matvec0(md, u))
+        return u, jnp.sqrt(jnp.vdot(r, r)), it + 1
+
+    u0 = jnp.zeros_like(F)
+    u, res, it = jax.lax.while_loop(
+        cond, body, (u0, res0, jnp.asarray(0, jnp.int32)))
+    return u, it
+
+
+def _mg_matvec0(md: MGF32, u):
+    from g4s_tpu.models.citcoms.nodal import nodal_matvec
+    return nodal_matvec(md.Ws[0], u, md.vbc_masks[0])
+
+
+def build_mg_f32(model) -> MGF32:
+    """f32 stencil hierarchy from the (constant-viscosity) f64 model —
+    operators at every level come from the same true-f64 assembly the
+    blessed trajectory used, then round once to f32."""
+    from g4s_tpu.models.citcoms.multigrid import MGHierarchy
+    from g4s_tpu.models.citcoms.nodal import build_stencil, stencil_block_dinv
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        hier = MGHierarchy(model.cfg, dtype=jnp.float64, smoother="gs")
+        s0 = model.init_state()
+        ops = hier.build_ops(jnp.asarray(np.asarray(s0.T), jnp.float64))
+        Ws, Dinvs, masks, interps, nnos = [], [], [], [], []
+        for li, lv in enumerate(hier.levels):
+            W64 = build_stencil(ops[li].elt_k, hier.stencil_plans[li])
+            W = np.asarray(W64, np.float32)
+            grid = (lv.cfg.nodey, lv.cfg.nodex, lv.cfg.nodez)
+            vbc = np.asarray(lv.vbc_mask)
+            Ws.append(jnp.asarray(W))
+            Dinvs.append(jnp.asarray(np.asarray(
+                stencil_block_dinv(jnp.asarray(W), vbc.reshape(*grid, 3)))))
+            masks.append(jnp.asarray(vbc))
+            nnos.append(lv.mesh.nno)
+            if li == 0:
+                interps.append(None)
+            else:
+                ids, w = lv.interp
+                interps.append((jnp.asarray(np.asarray(ids)),
+                                jnp.asarray(np.asarray(w, np.float32))))
+    return MGF32(tuple(Ws), tuple(Dinvs), tuple(hier.gs_plans),
+                 tuple(masks), tuple(interps), tuple(nnos))
+
+
 def conj_grad_ir(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int,
-                 *, max_outer: int = 10, f32_rel: float = 1e-4):
+                 *, max_outer: int = 10, f32_rel: float = 1e-4,
+                 mg: MGF32 | None = None):
     """Inner velocity solve K d = F by mixed-precision iterative
     refinement: f32 CG computes each correction (12x cheaper per
     iteration than the df64 loop on this op-overhead-bound mesh), the
@@ -297,7 +414,13 @@ def conj_grad_ir(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int,
     Carson-Higham defect-correction scheme. Each outer round contracts
     the error by ~the f32 solve's achieved reduction, so a handful of
     rounds reach the same kappa*2^-49 attainable-accuracy floor the
-    all-df64 CG has. Drop-in for conj_grad_df (same return tuple)."""
+    all-df64 CG has. Drop-in for conj_grad_df (same return tuple).
+
+    With mg= an MGF32 hierarchy, each correction is solved by stencil
+    multigrid V-cycles instead of f32 CG: sharply convergent, so the
+    work count is rounding-stable (the inner-count flips that moved the
+    10-step trajectory at the CG plateau disappear) and independent of
+    the operator's condition number."""
     W, BI = Wp[0], BIp[0]
     zero = jnp.zeros_like(Fp[0])
     d0 = (zero, zero)
@@ -317,8 +440,11 @@ def conj_grad_ir(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int,
         # caller's absolute target (like the df64 CG would), floored at
         # what f32 CG can reliably deliver in one round
         rel = jnp.clip(0.7 * acc_pair[0] * inv, f32_rel, 0.5)
-        delta, it = _conj_grad_f32(W, BI, r[0] * inv, vbc_mask,
-                                   rel, max_iter)
+        if mg is not None:
+            delta, it = _mg_solve_f32(mg, r[0] * inv, rel, 16)
+        else:
+            delta, it = _conj_grad_f32(W, BI, r[0] * inv, vbc_mask,
+                                       rel, max_iter)
         d = df.add(d, df.mul_f((delta, jnp.zeros_like(delta)), rn))
         r = df.sub(Fp, stencil_matvec_df(Wp, d, vbc_mask))
         r = (jnp.where(vbc_mask, 0.0, r[0]), jnp.where(vbc_mask, 0.0, r[1]))
@@ -358,12 +484,17 @@ def uzawa_cg_df(Wp, BIp, BPIp, Gp, ien, scat_nodes, norms,
                 accuracy: float, inner_acc_scale: float,
                 max_outer: int, max_inner: int,
                 check_pressure_convergence: bool,
-                inner_ir: bool = True):
+                inner_ir: bool = True, mg: MGF32 | None = None):
     """Uzawa pressure CG in df64 (uzawa_cg mirror, same stopping logic).
     inner_ir=True solves the inner velocity systems by f32-CG +
     df64-residual iterative refinement (conj_grad_ir) instead of the
-    all-df64 CG — same stopping targets, ~10x fewer df64 iterations."""
-    inner_solve = conj_grad_ir if inner_ir else conj_grad_df
+    all-df64 CG — same stopping targets, ~10x fewer df64 iterations.
+    mg= switches the IR correction solver to stencil multigrid."""
+    if inner_ir:
+        from functools import partial as _partial
+        inner_solve = _partial(conj_grad_ir, mg=mg)
+    else:
+        inner_solve = conj_grad_df
     imp = np.float32(accuracy)
     fdotf = df.sqrt(df.dot(F_pair, F_pair))
     inner_acc = df.mul_f(fdotf, np.float32(accuracy * inner_acc_scale))
@@ -553,9 +684,10 @@ class DF64Model:
     def __init__(self, model, *, inner: str = "ir"):
         cfg = model.cfg
         self.cfg = cfg
-        if inner not in ("ir", "df"):
-            raise ValueError(f"inner must be 'ir' or 'df': {inner}")
-        self.inner_ir = inner == "ir"
+        if inner not in ("ir", "df", "mg"):
+            raise ValueError(f"inner must be 'ir', 'df' or 'mg': {inner}")
+        self.inner_ir = inner in ("ir", "mg")
+        self.mg = None
         if (cfg.SDEPV or cfg.PDEPV or cfg.CDEPV or cfg.ANIVISC
                 or cfg.disptn_number != 0.0 or cfg.lith_age
                 or cfg.filter_temp or cfg.solver_type != "cgrad"
@@ -617,6 +749,8 @@ class DF64Model:
         self.diff_p = split64(np.float64(cfg.inputdiffusivity))
         self.Q0_p = split64(np.float64(cfg.Q0))
         self.rayleigh = np.float64(cfg.rayleigh)
+        if inner == "mg":
+            self.mg = build_mg_f32(model)
         self._step_fn = jax.jit(self._timestep_impl)
         self._stokes_jit = jax.jit(self._stokes_impl)
 
@@ -644,7 +778,7 @@ class DF64Model:
             self.scat_nodes, self.norms, V, P_p, F, self.vbc_mask,
             cfg.accuracy, cfg.inner_accuracy_scale,
             cfg.piterations, cfg.vlowstep, cfg.check_pressure_convergence,
-            inner_ir=self.inner_ir)
+            inner_ir=self.inner_ir, mg=self.mg)
         return V, P, mon
 
     def _timestep_impl(self, T_p, Td_p, V_p, P_p):

@@ -1380,7 +1380,8 @@ class TestDF64Tier:
     arithmetic must track the true-f64 step (df64_step.py; runs on any
     backend since it is plain XLA)."""
 
-    @pytest.mark.parametrize("inner,v_tol", [("df", 2e-4), ("ir", 1.2e-3)])
+    @pytest.mark.parametrize("inner,v_tol", [("df", 2e-4), ("ir", 1.2e-3),
+                                             ("mg", 1.2e-3)])
     def test_df64_step_tracks_f64(self, inner, v_tol):
         import jax
         if not jax.config.jax_enable_x64:
