@@ -15,6 +15,8 @@ TF gradients.
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional, Tuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,3 +111,109 @@ def total_dipole(params, tensor_nets, spec, coords, box, types):
 def total_polar(params, tensor_nets, spec, coords, box, types):
     return jnp.sum(atomic_polar(params, tensor_nets, spec, coords, box,
                                 types), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-supervised training (the DPLR dipole-model training path)
+# ---------------------------------------------------------------------------
+
+
+class TensorLossConfig(NamedTuple):
+    """deepmd/loss/tensor.py (TensorLoss) semantics: a weighted sum of an
+    atomic-label term and a global-label term,
+
+      loss = pref_atomic * mean((scale*(pred_i - label_i))^2)
+           + pref * mean((scale*(sum_i pred_i - label))^2) / n_sel
+
+    with the sums/means restricted to `sel_type` atoms (the types that
+    carry the tensor, DipoleFittingSeA sel_type)."""
+
+    pref: float = 0.0
+    pref_atomic: float = 1.0
+    scale: float = 1.0
+    sel_type: Optional[Tuple[int, ...]] = None
+
+
+def _sel_mask(types, ntypes, sel_type):
+    if sel_type is None:
+        return jnp.ones(types.shape, bool)
+    oh = jnp.zeros((ntypes,), bool).at[jnp.asarray(sel_type)].set(True)
+    return oh[types]
+
+
+def make_tensor_loss_fn(spec: ModelSpec, loss_cfg: TensorLossConfig,
+                        tensor_fn=atomic_dipole):
+    """Loss over a batch {coord (F,N,3), box (F,...), and labels
+    'atomic_label' (F,N,k) and/or 'label' (F,k)}; `tensor_fn` is
+    atomic_dipole or atomic_polar (per-atom tensors, trailing dims
+    flattened to k). Normalization statistics stay frozen, as the
+    reference's non-trainable t_avg/t_std constants do."""
+
+    def loss_fn(tparams, batch, types):
+        params, nets = tparams
+        params = dict(params,
+                      stats=jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                                   params["stats"]))
+        pred = jax.vmap(lambda c, b: tensor_fn(params, nets, spec, c, b,
+                                               types))(
+            batch["coord"], batch["box"])        # (F, N, ...)
+        F, N = pred.shape[0], pred.shape[1]
+        pred = pred.reshape(F, N, -1)
+        mask = _sel_mask(types, spec.descriptor.ntypes, loss_cfg.sel_type)
+        n_sel = jnp.maximum(jnp.sum(mask), 1)
+        loss = jnp.asarray(0.0, pred.dtype)
+        aux = {}
+        if loss_cfg.pref_atomic > 0.0 and "atomic_label" in batch:
+            lab = batch["atomic_label"].reshape(F, N, -1)
+            d2 = jnp.square(loss_cfg.scale * (pred - lab))
+            local = jnp.sum(jnp.where(mask[None, :, None], d2, 0.0)) \
+                / (F * n_sel * pred.shape[-1])
+            loss = loss + loss_cfg.pref_atomic * local
+            aux["rmse_local"] = jnp.sqrt(local) / loss_cfg.scale
+        if loss_cfg.pref > 0.0 and "label" in batch:
+            g = jnp.sum(jnp.where(mask[None, :, None], pred, 0.0), axis=1)
+            lab = batch["label"].reshape(F, -1)
+            glob = jnp.mean(jnp.square(loss_cfg.scale * (g - lab)))
+            loss = loss + loss_cfg.pref * glob / n_sel
+            aux["rmse_global"] = jnp.sqrt(glob) / loss_cfg.scale
+        return loss, aux
+
+    return loss_fn
+
+
+def train_tensor(params, tensor_nets, spec: ModelSpec, frames: dict, types,
+                 *, numb_steps: int, loss_cfg: TensorLossConfig,
+                 tensor_fn=atomic_dipole, lr_cfg=None, batch_size: int = 8,
+                 seed: int = 0, callback=None):
+    """Adam + exp-decay LR over tensor labels (DPTrainer with a
+    loss/tensor.py objective, trainer.py:816 loop role). `frames` holds
+    full arrays keyed like the loss batch; minibatches are drawn with a
+    numpy RNG. Returns ((params, tensor_nets), last_aux)."""
+    import optax
+
+    from g4s_tpu.models.deepmd.train import LRConfig
+    lr_cfg = lr_cfg or LRConfig(1e-2, 1e-4, max(numb_steps // 10, 1),
+                                numb_steps)
+    opt = optax.adam(learning_rate=lambda step: lr_cfg.lr_at(step))
+    loss_fn = make_tensor_loss_fn(spec, loss_cfg, tensor_fn)
+    tparams = (params, tensor_nets)
+    opt_state = opt.init(tparams)
+
+    @jax.jit
+    def update(tparams, opt_state, batch, step):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            tparams, batch, types)
+        updates, opt_state = opt.update(grads, opt_state, tparams)
+        return optax.apply_updates(tparams, updates), opt_state, loss, aux
+
+    rng = np.random.default_rng(seed)
+    nf = frames["coord"].shape[0]
+    aux = {}
+    for step in range(numb_steps):
+        idx = rng.integers(0, nf, min(batch_size, nf))
+        batch = {k: jnp.asarray(v[idx]) for k, v in frames.items()}
+        tparams, opt_state, loss, aux = update(
+            tparams, opt_state, batch, jnp.asarray(step, jnp.float32))
+        if callback and (step % 100 == 0 or step == numb_steps - 1):
+            callback(step, float(loss), {k: float(v) for k, v in aux.items()})
+    return tparams, {k: float(v) for k, v in aux.items()}

@@ -472,6 +472,69 @@ class TestTensorFitting:
             jnp.asarray(pos))
         assert bool(jnp.all(jnp.isfinite(g)))
 
+    def test_tensor_loss_training(self):
+        """loss/tensor.py + trainer dipole path (the DPLR training leg):
+        a student dipole model trained on a teacher's atomic-dipole
+        labels recovers the teacher's outputs; sel_type masking keeps
+        non-selected atoms out of the objective; the global-label term
+        trains through the per-frame sum."""
+        from g4s_tpu.models.deepmd import fit_tensor as ft
+        from g4s_tpu.models.deepmd.descriptor import DescriptorSpec
+        from g4s_tpu.models.deepmd.model import ModelSpec, init_params
+        spec = ModelSpec(DescriptorSpec(6.0, 0.5, (6, 10), 2),
+                         (6, 12), 3, (16, 16))
+        teacher_p = init_params(jax.random.PRNGKey(7), spec)
+        teacher_n = ft.init_tensor_fit(jax.random.PRNGKey(8), spec)
+        rng = np.random.default_rng(3)
+        nf, na = 16, 12
+        coord = rng.uniform(2.0, 7.0, (nf, na, 3))
+        box = np.broadcast_to(np.diag([20., 20., 20.]), (nf, 3, 3)).copy()
+        types = jnp.asarray((np.arange(na) % 3 == 0).astype(np.int32))
+        labels = np.stack([np.asarray(ft.atomic_dipole(
+            teacher_p, teacher_n, spec, jnp.asarray(coord[i]),
+            jnp.asarray(box[i]), types)) for i in range(nf)])
+        frames = {"coord": coord, "box": box, "atomic_label": labels}
+        cfg = ft.TensorLossConfig(pref=0.0, pref_atomic=1.0, sel_type=(0,))
+        student_p = init_params(jax.random.PRNGKey(17), spec)
+        student_n = ft.init_tensor_fit(jax.random.PRNGKey(18), spec)
+        loss_fn = ft.make_tensor_loss_fn(spec, cfg)
+        l0, _ = loss_fn((student_p, student_n),
+                        {k: jnp.asarray(v) for k, v in frames.items()}, types)
+        (tp, tn), aux = ft.train_tensor(
+            student_p, student_n, spec, frames, types, numb_steps=150,
+            loss_cfg=cfg, batch_size=8, seed=1)
+        l1, _ = loss_fn((tp, tn),
+                        {k: jnp.asarray(v) for k, v in frames.items()}, types)
+        assert float(l1) < 0.05 * float(l0)
+        # stats (normalization constants) stayed frozen, like the
+        # reference's non-trainable t_avg/t_std
+        for k in ("davg", "dstd"):
+            assert np.allclose(np.asarray(tp["stats"][k]),
+                               np.asarray(student_p["stats"][k]))
+        # sel_type masking: perturbing the labels of NON-selected atoms
+        # does not change the loss
+        bad = dict(frames)
+        lab2 = labels.copy()
+        lab2[:, np.asarray(types) != 0, :] += 100.0
+        bad["atomic_label"] = lab2
+        lb, _ = loss_fn((tp, tn),
+                        {k: jnp.asarray(v) for k, v in bad.items()}, types)
+        assert np.isclose(float(lb), float(l1))
+        # global-label mode trains too
+        gcfg = ft.TensorLossConfig(pref=1.0, pref_atomic=0.0, sel_type=(0,))
+        sel = np.asarray(types) == 0
+        gframes = {"coord": coord, "box": box,
+                   "label": labels[:, sel, :].sum(axis=1)}
+        gl_fn = ft.make_tensor_loss_fn(spec, gcfg)
+        g0, _ = gl_fn((student_p, student_n),
+                      {k: jnp.asarray(v) for k, v in gframes.items()}, types)
+        (gp, gn), _ = ft.train_tensor(
+            student_p, student_n, spec, gframes, types, numb_steps=100,
+            loss_cfg=gcfg, batch_size=8, seed=2)
+        g1, _ = gl_fn((gp, gn),
+                      {k: jnp.asarray(v) for k, v in gframes.items()}, types)
+        assert float(g1) < 0.2 * float(g0)
+
 
 class TestLocFrame:
     def test_invariance_and_forces(self):
