@@ -691,13 +691,22 @@ class DF64Model:
         if (cfg.SDEPV or cfg.PDEPV or cfg.CDEPV or cfg.ANIVISC
                 or cfg.disptn_number != 0.0 or cfg.lith_age
                 or cfg.filter_temp or cfg.solver_type != "cgrad"
-                or any(e != 0.0 for e in cfg.viscE)
                 or cfg.Ra_410 != 0.0 or cfg.Ra_670 != 0.0
                 or cfg.Ra_cmb != 0.0):
             raise NotImplementedError(
-                "DF64Model covers the Cookbook2 feature envelope "
-                "(constant viscosity, cgrad, PG advection); use the "
-                "df64_inner hybrid for other configurations")
+                "DF64Model covers the constant-viscosity and TDEPV "
+                "envelopes (cgrad, PG advection); use the df64_inner "
+                "hybrid for other configurations")
+        self.tdep = None
+        # TDEPV with all-zero activation energies is constant viscosity:
+        # keep the (cheaper, exactly-f64) static-operator path
+        if cfg.TDEPV and any(e != 0.0 for e in cfg.viscE):
+            if inner == "mg":
+                raise NotImplementedError(
+                    "inner='mg' needs a static stencil hierarchy; use "
+                    "inner='ir' with temperature-dependent viscosity")
+            from g4s_tpu.models.citcoms.df64_assembly import build_tdep
+            self.tdep = build_tdep(model)
         m = model.mesh
         np64 = lambda x: np.asarray(x, np.float64)
         self.ien = jnp.asarray(np.asarray(m.ien))
@@ -766,15 +775,32 @@ class DF64Model:
                         jnp.broadcast_to(have[1][None], b2[0].shape)))
         return _reshape(b, (-1,))
 
+    def _operators(self, T_p):
+        """(W, BI, BPI) pairs for the current temperature: the statics of
+        the constant-viscosity envelope, or a df64 device re-assembly when
+        TDEPV (construct_stiffness_B_matrix after every viscosity update,
+        Construct_arrays.c:740)."""
+        if self.tdep is None:
+            return self.W_p, self.BI_p, self.BPI_p
+        from g4s_tpu.models.citcoms.df64_assembly import (bi_from_stencil_df,
+                                                          bpi_df, evisc_df,
+                                                          stencil_df)
+        eta = evisc_df(self.tdep, T_p, self.ien)
+        W_p = stencil_df(self.tdep, eta)
+        BI_p = bi_from_stencil_df(W_p)
+        BPI_p = bpi_df(self.G_p, BI_p, self.ien, self.vbc_mask)
+        return W_p, BI_p, BPI_p
+
     def _stokes_impl(self, T_p, V_p, P_p):
         cfg = self.cfg
+        W_p, BI_p, BPI_p = self._operators(T_p)
         buoy = self._buoyancy(T_p)
         F = forces_df(self.N_p, self.gda_p, self.gw_p, self.ccr_p,
-                      self.ien, self.scat_nodes, buoy, self.W_p,
+                      self.ien, self.scat_nodes, buoy, W_p,
                       self.vbc_mask, self.vbc_val_p)
         V = _where(self.vbc_mask, self.vbc_val_p, V_p)
         V, P, mon = uzawa_cg_df(
-            self.W_p, self.BI_p, self.BPI_p, self.G_p, self.ien,
+            W_p, BI_p, BPI_p, self.G_p, self.ien,
             self.scat_nodes, self.norms, V, P_p, F, self.vbc_mask,
             cfg.accuracy, cfg.inner_accuracy_scale,
             cfg.piterations, cfg.vlowstep, cfg.check_pressure_convergence,

@@ -135,6 +135,65 @@ def select(pred, x: DF, y: DF) -> DF:
     return jnp.where(pred, x[0], y[0]), jnp.where(pred, x[1], y[1])
 
 
+# Cody-Waite splitting of ln2 into four f32 terms: H1/H2 carry 13/15
+# significand bits so k*H1 and k*H2 are EXACT f32 products for |k| <= 512,
+# keeping the argument reduction free of the cancellation error a plain
+# (hi, lo) ln2 pair would leak at large |k|
+_LN2 = 0.6931471805599453094172321214581766
+_LN2_H1 = np.float32(round(_LN2 * 2 ** 14) / 2 ** 14)
+_LN2_H2 = np.float32(round((_LN2 - float(_LN2_H1)) * 2 ** 29) / 2 ** 29)
+_LN2_H3 = np.float32(_LN2 - float(_LN2_H1) - float(_LN2_H2))
+_LN2_H4 = np.float32(_LN2 - float(_LN2_H1) - float(_LN2_H2)
+                     - float(_LN2_H3))
+_INV_LN2 = np.float32(1.4426950408889634)
+
+# Taylor coefficients 1/n! for the reduced-range series (|r| <= ln2/2);
+# the tail after n=14 is < 0.347^15/15! ~ 9e-20
+_EXP_COEF = [np.float64(1.0)]
+for _n in range(1, 15):
+    _EXP_COEF.append(_EXP_COEF[-1] / _n)
+_EXP_COEF_DF = [(np.float32(c), np.float32(c - float(np.float32(c))))
+                for c in _EXP_COEF]
+
+
+def exp(x: DF) -> DF:
+    """Double-word exp: argument reduction x = k ln2 + r, Taylor series in
+    df arithmetic on |r| <= ln2/2, exact 2^k scaling. Relative accuracy
+    <= ~35 units of 2^-49 (measured 6e-14 worst) for |x| <= 60; beyond
+    ~|x|=65 the result's lo word hits the flush-to-zero boundary of the
+    f32 normal range and accuracy degrades toward plain f32 ~2^-24 — a
+    representation limit of f32 pairs, not of the algorithm. The df
+    analog of the f64 libm exp the reference's viscosity laws call
+    (Viscosity_structures.c visc_from_T)."""
+    k = jnp.round(x[0] * _INV_LN2)
+    # r = x - k*ln2 via Cody-Waite: the two leading products are exact, so
+    # the cancellation x[0] - k*H1 is captured error-free by two_sum; the
+    # tiny lo word of x joins last, once r is small
+    zero = jnp.zeros_like(k)
+    r = two_sum(x[0], -(k * _LN2_H1))
+    r = add(r, (-(k * _LN2_H2), zero))
+    r = sub(r, two_prod(k, _LN2_H3))
+    r = sub(r, (k * _LN2_H4, zero))
+    r = add(r, (x[1], zero))
+    # Horner in df: p = c14; p = p*r + c_n
+    ch, cl = _EXP_COEF_DF[-1]
+    p = (jnp.full_like(r[0], ch), jnp.full_like(r[0], cl))
+    for ch, cl in _EXP_COEF_DF[-2::-1]:
+        p = mul(p, r)
+        p = add(p, (jnp.full_like(r[0], ch), jnp.full_like(r[0], cl)))
+    # exact 2^k: XLA's exp2 is an approximation (~2^-20 rel), so build the
+    # scale from the f32 exponent field, split in two halves so k spans
+    # [-252, 254] without hitting subnormals
+    ki = k.astype(jnp.int32)
+    k1 = ki // 2
+    k2 = ki - k1
+    to_pow = lambda e: jax.lax.bitcast_convert_type(
+        ((jnp.clip(e, -126, 127) + 127) << 23).astype(jnp.int32),
+        jnp.float32)
+    s1, s2 = to_pow(k1), to_pow(k2)
+    return (p[0] * s1) * s2, (p[1] * s1) * s2
+
+
 # ---------------------------------------------------------------------------
 # reductions
 # ---------------------------------------------------------------------------

@@ -1419,12 +1419,68 @@ class TestDF64Tier:
         # dt is CFL-limited here, so it inherits V's tolerance-level diff
         assert abs(float(sdf.dt) - float(s64.dt)) < 5e-3 * float(s64.dt)
 
+    @pytest.mark.parametrize("rheol", [3, 4, 1])
+    def test_df64_tdep_viscosity_tracks_f64(self, rheol):
+        """TDEPV extension (df64_assembly.py): per-step df64 viscosity +
+        stiffness re-assembly must track the f64 model through rheologies
+        1/3/4 (Cookbook8/Cookbook2-family/Cookbook3 laws)."""
+        import jax
+        if not jax.config.jax_enable_x64:
+            pytest.skip("needs x64 for the f64 oracle")
+        from g4s_tpu.models.citcoms.df64_step import DF64Model
+        from g4s_tpu.models.citcoms.observables import rms_velocity
+        cfg = small_cfg(nodex=9, nodey=9, nodez=5, rayleigh=1e5,
+                        topvbc=1, topvbxval=50.0,
+                        TDEPV=True, rheol=rheol, num_mat=1,
+                        visc0=[1.0], viscE=[2.0], viscT=[0.5], viscZ=[1.0],
+                        VMIN=True, visc_min=5e-2, VMAX=True, visc_max=1e2)
+        model = CitcomModel(cfg, dtype=jnp.float64)
+        dfm = DF64Model(model, inner="ir")
+        assert dfm.tdep is not None
+        # the assembled df64 operators match the f64 assembly at the
+        # df64 arithmetic level (not just through solver output)
+        from g4s_tpu.models.citcoms import df64_assembly as dfa
+        from g4s_tpu.models.citcoms.nodal import build_stencil
+        from g4s_tpu.models.citcoms.df64_step import split64
+        s64 = model.init_state()
+        T_p = split64(np.asarray(s64.T, np.float64))
+        eta = dfa.evisc_df(dfm.tdep, T_p, dfm.ien)
+        from g4s_tpu.models.citcoms.viscosity import viscosity_at_vpts
+        eta64 = np.asarray(viscosity_at_vpts(cfg, model.mat, s64.T,
+                                             model.ien, model.N))
+        got = np.asarray(eta[0], np.float64) + np.asarray(eta[1], np.float64)
+        np.testing.assert_allclose(got, eta64, rtol=5e-13)
+        W_p = dfa.stencil_df(dfm.tdep, eta)
+        ops = model._build_ops(s64.T)
+        W64 = np.asarray(build_stencil(ops.elt_k, model.stencil_plan))
+        gotW = (np.asarray(W_p[0], np.float64)
+                + np.asarray(W_p[1], np.float64))
+        scale = np.abs(W64).max()
+        np.testing.assert_allclose(gotW, W64, rtol=0, atol=5e-13 * scale)
+        # end-to-end: the df64 step tracks the f64 step
+        s64, _ = model.initial_solve(s64)
+        sdf, _ = dfm.initial_solve(model.init_state())
+        vmax = float(np.abs(np.asarray(s64.V)).max())
+        np.testing.assert_allclose(np.asarray(sdf.V), np.asarray(s64.V),
+                                   rtol=0, atol=2e-3 * vmax)
+        s64, _ = model.step(s64)
+        sdf, _ = dfm.step(sdf)
+        rel = abs(float(rms_velocity(model, sdf.V))
+                  - float(rms_velocity(model, s64.V))) \
+            / float(rms_velocity(model, s64.V))
+        assert rel < 6e-3, rel
+        np.testing.assert_allclose(np.asarray(sdf.T), np.asarray(s64.T),
+                                   rtol=0, atol=2e-4)
+
     def test_df64_rejects_out_of_envelope(self):
         from g4s_tpu.models.citcoms.df64_step import DF64Model
-        cfg = small_cfg(viscE=[1.0], TDEPV=True)
+        cfg = small_cfg(SDEPV=True, sdepv_expt=[2.0])
         model = cached_model(cfg)
         with pytest.raises(NotImplementedError):
             DF64Model(model)
+        cfg2 = small_cfg(viscE=[1.0], TDEPV=True)
+        with pytest.raises(NotImplementedError):
+            DF64Model(cached_model(cfg2), inner="mg")
 
 
 class TestExchangerHardening:

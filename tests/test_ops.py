@@ -477,3 +477,19 @@ class TestDF64:
         got = dfm.to_f64(jax.jit(dfm.sqrt)(dfm.from_f64(a)))
         rel = np.abs(got - np.sqrt(a)) / np.sqrt(a)
         assert rel.max() < 1e-13
+
+    def test_exp(self):
+        """df exp vs libm f64: Cody-Waite reduction + df Taylor must stay
+        within tens of 2^-49 ulps across the viscosity-law argument range
+        (Viscosity_structures.c visc_from_T exponents)."""
+        from g4s_tpu.ops import df64 as dfm
+        rng = np.random.default_rng(3)
+        x = np.concatenate([rng.uniform(-60, 60, 20000),
+                            rng.uniform(-0.5, 0.5, 5000),
+                            [0.0, 1.0, -1.0, 30.0, -30.0, 59.5, -59.5]])
+        got = dfm.to_f64(jax.jit(dfm.exp)(dfm.from_f64(x)))
+        rel = np.abs(got - np.exp(x)) / np.exp(x)
+        assert rel.max() < 2e-13, rel.max()
+        f32 = np.exp(x.astype(np.float32)).astype(np.float64)
+        rel32 = np.abs(f32 - np.exp(x)) / np.exp(x)
+        assert rel.max() < 1e-4 * rel32.max()   # far beyond f32 exp
