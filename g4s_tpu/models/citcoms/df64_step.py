@@ -404,6 +404,38 @@ def build_mg_f32(model) -> MGF32:
                  tuple(masks), tuple(interps), tuple(nnos))
 
 
+def build_mg_tdep(model):
+    """Static f32 multigrid hierarchy for the TDEPV mg mode: the level
+    stencils depend on temperature, so only the geometry/plans are built
+    here and mg_from_T re-assembles the per-level (W, Dinv) inside the
+    traced step (build_ops + build_smoothers are pure JAX)."""
+    from g4s_tpu.models.citcoms.multigrid import MGHierarchy
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return MGHierarchy(model.cfg, dtype=jnp.float32, smoother="gs")
+
+
+def mg_from_T(hier, T_hi) -> MGF32:
+    """Per-step f32 hierarchy from the df64 temperature's hi word — the
+    correction solver needs only f32-accurate operators (iterative
+    refinement restores df64 accuracy through the residuals)."""
+    ops = hier.build_ops(T_hi)
+    sm = hier.build_smoothers(ops)
+    interps, masks, nnos = [], [], []
+    for li, lv in enumerate(hier.levels):
+        masks.append(jnp.asarray(lv.vbc_mask))
+        nnos.append(lv.mesh.nno)
+        if li == 0:
+            interps.append(None)
+        else:
+            ids, w = lv.interp
+            interps.append((jnp.asarray(ids),
+                            jnp.asarray(w, jnp.float32)))
+    return MGF32(tuple(W for W, _ in sm), tuple(D for _, D in sm),
+                 tuple(hier.gs_plans), tuple(masks), tuple(interps),
+                 tuple(nnos))
+
+
 def conj_grad_ir(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int,
                  *, max_outer: int = 10, f32_rel: float = 1e-4,
                  mg: MGF32 | None = None):
@@ -698,15 +730,14 @@ class DF64Model:
                 "envelopes (cgrad, PG advection); use the df64_inner "
                 "hybrid for other configurations")
         self.tdep = None
+        self.mg_hier = None
         # TDEPV with all-zero activation energies is constant viscosity:
         # keep the (cheaper, exactly-f64) static-operator path
         if cfg.TDEPV and any(e != 0.0 for e in cfg.viscE):
-            if inner == "mg":
-                raise NotImplementedError(
-                    "inner='mg' needs a static stencil hierarchy; use "
-                    "inner='ir' with temperature-dependent viscosity")
             from g4s_tpu.models.citcoms.df64_assembly import build_tdep
             self.tdep = build_tdep(model)
+            if inner == "mg":
+                self.mg_hier = build_mg_tdep(model)
         m = model.mesh
         np64 = lambda x: np.asarray(x, np.float64)
         self.ien = jnp.asarray(np.asarray(m.ien))
@@ -758,7 +789,7 @@ class DF64Model:
         self.diff_p = split64(np.float64(cfg.inputdiffusivity))
         self.Q0_p = split64(np.float64(cfg.Q0))
         self.rayleigh = np.float64(cfg.rayleigh)
-        if inner == "mg":
+        if inner == "mg" and self.tdep is None:
             self.mg = build_mg_f32(model)
         self._step_fn = jax.jit(self._timestep_impl)
         self._stokes_jit = jax.jit(self._stokes_impl)
@@ -794,6 +825,9 @@ class DF64Model:
     def _stokes_impl(self, T_p, V_p, P_p):
         cfg = self.cfg
         W_p, BI_p, BPI_p = self._operators(T_p)
+        mg = self.mg
+        if self.mg_hier is not None:
+            mg = mg_from_T(self.mg_hier, T_p[0])
         buoy = self._buoyancy(T_p)
         F = forces_df(self.N_p, self.gda_p, self.gw_p, self.ccr_p,
                       self.ien, self.scat_nodes, buoy, W_p,
@@ -804,7 +838,7 @@ class DF64Model:
             self.scat_nodes, self.norms, V, P_p, F, self.vbc_mask,
             cfg.accuracy, cfg.inner_accuracy_scale,
             cfg.piterations, cfg.vlowstep, cfg.check_pressure_convergence,
-            inner_ir=self.inner_ir, mg=self.mg)
+            inner_ir=self.inner_ir, mg=mg)
         return V, P, mon
 
     def _timestep_impl(self, T_p, Td_p, V_p, P_p):

@@ -1435,7 +1435,9 @@ class TestDF64Tier:
                         visc0=[1.0], viscE=[2.0], viscT=[0.5], viscZ=[1.0],
                         VMIN=True, visc_min=5e-2, VMAX=True, visc_max=1e2)
         model = CitcomModel(cfg, dtype=jnp.float64)
-        dfm = DF64Model(model, inner="ir")
+        # rheol=3 exercises the per-step f32 hierarchy rebuild (mg inner);
+        # the others the f32-CG corrections
+        dfm = DF64Model(model, inner="mg" if rheol == 3 else "ir")
         assert dfm.tdep is not None
         # the assembled df64 operators match the f64 assembly at the
         # df64 arithmetic level (not just through solver output)
@@ -1478,9 +1480,6 @@ class TestDF64Tier:
         model = cached_model(cfg)
         with pytest.raises(NotImplementedError):
             DF64Model(model)
-        cfg2 = small_cfg(viscE=[1.0], TDEPV=True)
-        with pytest.raises(NotImplementedError):
-            DF64Model(cached_model(cfg2), inner="mg")
 
 
 class TestExchangerHardening:
