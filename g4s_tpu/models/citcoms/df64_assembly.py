@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,7 +104,6 @@ def build_tdep(model) -> TDepDF:
 def evisc_df(td: TDepDF, T_p: df.DF, ien) -> df.DF:
     """eta at (nel, 8g) in df64 (viscosity_at_vpts TDEPV laws 0-4)."""
     T_el = _take(T_p, ien, axis=0)                        # (nel, 8a)
-    one = df.df(1.0)
     T_el = _where(T_el[0] < 0.0, (jnp.zeros_like(T_el[0]),) * 2, T_el)
     T_el = _where(T_el[0] > 1.0,
                   (jnp.ones_like(T_el[0]), jnp.zeros_like(T_el[1])), T_el)
