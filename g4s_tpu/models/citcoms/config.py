@@ -177,6 +177,7 @@ class CitcomConfig:
     viscZ: List[float] = dataclasses.field(default_factory=lambda: [0.0])
     SDEPV: bool = False
     sdepv_expt: List[float] = dataclasses.field(default_factory=lambda: [1.0])
+    sdepv_misfit: float = 0.001
     VMIN: bool = False
     visc_min: float = 1.0e-3
     VMAX: bool = False

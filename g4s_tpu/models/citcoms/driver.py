@@ -227,7 +227,44 @@ class CitcomModel:
                                    vbc_val, BI, BPI, self.plan, elt_c)
 
     def _stokes(self, T, V, P, C=None, vbc=None):
-        """general_stokes_solver: viscosity -> stiffness -> forces -> Uzawa."""
+        """general_stokes_solver (Drive_solvers.c:64): one viscosity ->
+        stiffness -> forces -> Uzawa pass, plus the nonlinear outer
+        iteration for velocity-dependent viscosity (SDEPV/PDEPV,
+        Drive_solvers.c:92-147): re-evaluate eta from the new V, rebuild,
+        re-solve until dUdot = vnorm_nonnewt(delta_U, U) drops below
+        sdepv_misfit or 50 iterations pass."""
+        if not (self.cfg.SDEPV or self.cfg.PDEPV):
+            return self._stokes_once(T, V, P, C, vbc)
+        V1, P1, mon = self._stokes_once(T, V, P, C, vbc)
+        ien = self.ien
+
+        def dudot(dU, U):
+            # vnorm_nonnewt (Global_operations.c:771-788): element-
+            # gathered dof sums (nodes weighted by element valence)
+            d = jnp.take(dU, ien, axis=0)
+            u = jnp.take(U, ien, axis=0)
+            return jnp.sqrt(jnp.sum(d * d)
+                            / jnp.maximum(jnp.sum(u * u), 1e-300))
+
+        def cond(carry):
+            V_, P_, _mon, it, dmag = carry
+            return jnp.logical_and(it <= 50, dmag >= self.cfg.sdepv_misfit)
+
+        def body(carry):
+            V_, P_, _mon, it, _ = carry
+            Vn, Pn, mn = self._stokes_once(T, V_, P_, C, vbc)
+            return Vn, Pn, mn, it + 1, dudot(Vn - V_, Vn)
+
+        # the reference enters the loop with oldU=0, so dUdot starts at 1
+        # and at least one re-solve always happens
+        V1, P1, mon, _, _ = jax.lax.while_loop(
+            cond, body,
+            (V1, P1, mon, jnp.asarray(1, jnp.int32),
+             jnp.asarray(1.0, V1.dtype)))
+        return V1, P1, mon
+
+    def _stokes_once(self, T, V, P, C=None, vbc=None):
+        """One viscosity -> stiffness -> forces -> Uzawa pass."""
         vbc_mask, vbc_val = vbc if vbc is not None \
             else (self.vbc_mask, self.vbc_val)
         ops = self._build_ops(T, C, V, vbc=vbc)

@@ -273,6 +273,38 @@ class TestDistributed:
         np.testing.assert_allclose(G, T_single, atol=1e-10)
 
 
+class TestStressDependentIteration:
+    """SDEPV/PDEPV nonlinear outer iteration (Drive_solvers.c:92-147):
+    general_stokes_solver must re-solve with velocity-updated viscosity
+    until vnorm_nonnewt(delta_U, U) < sdepv_misfit, not lag eta one
+    solve behind."""
+
+    def _dudot(self, model, dU, U):
+        ien = np.asarray(model.ien)
+        d = np.take(np.asarray(dU), ien, axis=0)
+        u = np.take(np.asarray(U), ien, axis=0)
+        return float(np.sqrt((d * d).sum() / (u * u).sum()))
+
+    def test_sdepv_converges_to_fixed_point(self):
+        cfg = small_cfg(nodex=7, nodey=7, nodez=5, rayleigh=1e4,
+                        topvbc=1, topvbxval=50.0,
+                        SDEPV=True, sdepv_expt=[3.0], sdepv_misfit=1e-3,
+                        VMIN=True, visc_min=1e-2, VMAX=True, visc_max=1e2)
+        model = CitcomModel(cfg)
+        s = model.init_state()
+        s, _ = model.initial_solve(s)
+        # one more Picard pass from the converged V barely moves it
+        V2, P2, _ = jax.jit(model._stokes_once)(s.T, s.V, s.P)
+        assert self._dudot(model, np.asarray(V2) - np.asarray(s.V), V2) \
+            < 2 * cfg.sdepv_misfit
+        # whereas the first lagged pass (eta from V=0) is far from the
+        # fixed point — the iteration did real work
+        z = jnp.zeros_like(s.V)
+        V1, _, _ = jax.jit(model._stokes_once)(s.T, z, 0 * s.P)
+        assert self._dudot(model, np.asarray(V1) - np.asarray(s.V), s.V) \
+            > 10 * cfg.sdepv_misfit
+
+
 class TestAltSolvers:
     def test_bicgstab_converges(self):
         """BiCGstab Uzawa variant reaches a divergence-free solution close
