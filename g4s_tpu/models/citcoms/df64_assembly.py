@@ -47,6 +47,11 @@ class TDepDF(NamedTuple):
     vmin: float | None
     vmax: float | None
     grid: tuple           # (noy, nox, noz)
+    tdepv: bool = True
+    # strain-rate dependence (SDEPV power law + PDEPV plasticity)
+    B_p: df.DF | None = None       # (nel, 8g, 6s, 8a, 3i) pairs
+    sdepv_c_p: df.DF | None = None  # (nel,) (n-1)/n exponents, pairs
+    pdepv: tuple | None = None     # (a_p, b_p, y_p, rg_p, eff: bool)
 
 
 def build_tdep(model) -> TDepDF:
@@ -91,6 +96,21 @@ def build_tdep(model) -> TDepDF:
     # shorter than num_mat when built directly (the config reader pads)
     pick = lambda v: np.asarray(v, np.float64)[
         np.minimum(mat, len(np.atleast_1d(v)) - 1)]
+    B_p = sdepv_c_p = pdepv = None
+    if cfg.SDEPV or cfg.PDEPV:
+        B_p = split64(B)
+    if cfg.SDEPV:
+        n = pick(cfg.sdepv_expt)
+        sdepv_c_p = split64((n - 1.0) / n)
+    if cfg.PDEPV:
+        # depth at the Gauss points is static geometry
+        r_nodes = np.asarray(model.mesh.sx[:, 2], np.float64)
+        Nm = np.asarray(model.N, np.float64)
+        r_g = np.take(r_nodes, np.asarray(m.ien), axis=0) @ Nm  # (nel, 8g)
+        pdepv = (split64(pick(cfg.pdepv_a)), split64(pick(cfg.pdepv_b)),
+                 split64(pick(cfg.pdepv_y)),
+                 split64(np.float64(cfg.radius_outer) - r_g),
+                 bool(cfg.pdepv_eff))
     return TDepDF(
         split64(M), scat, split64(np.asarray(model.N, np.float64)),
         split64(pick(cfg.visc0)), split64(pick(cfg.viscE)),
@@ -98,11 +118,32 @@ def build_tdep(model) -> TDepDF:
         int(cfg.rheol),
         float(cfg.visc_min) if cfg.VMIN else None,
         float(cfg.visc_max) if cfg.VMAX else None,
-        (noy, nox, noz))
+        (noy, nox, noz),
+        bool(cfg.TDEPV and any(e != 0.0 for e in cfg.viscE)),
+        B_p, sdepv_c_p, pdepv)
 
 
-def evisc_df(td: TDepDF, T_p: df.DF, ien) -> df.DF:
-    """eta at (nel, 8g) in df64 (viscosity_at_vpts TDEPV laws 0-4)."""
+def strain_rate_df(td: TDepDF, V_p: df.DF, ien) -> df.DF:
+    """sqrt of the gauss-averaged strain-rate second invariant per
+    element, (nel,) pairs (strain_rate_2inv in df64)."""
+    u_el = _take(V_p, ien, axis=0)                        # (nel, 8a, 3)
+    Bh, Bl = td.B_p                                       # (nel,8g,6,8a,3)
+    t = df.mul((Bh, Bl), (u_el[0][:, None, None], u_el[1][:, None, None]))
+    nel = Bh.shape[0]
+    eps = _tree_sum((t[0].reshape(nel, 8, 6, 24),
+                     t[1].reshape(nel, 8, 6, 24)), axis=3)  # (nel, 8g, 6)
+    sq = df.mul(eps, eps)
+    en = _tree_sum((sq[0][..., 0:3], sq[1][..., 0:3]), axis=2)  # normal
+    es = _tree_sum((sq[0][..., 3:6], sq[1][..., 3:6]), axis=2)
+    ee = df.add(en, df.mul_f(es, np.float32(0.5)))        # (nel, 8g)
+    val = df.mul_f(_tree_sum(ee, axis=1), np.float32(1.0 / 8.0))
+    return df.sqrt(val)                                   # (nel,)
+
+
+def evisc_df(td: TDepDF, T_p: df.DF, ien, srII_p: df.DF | None = None) \
+        -> df.DF:
+    """eta at (nel, 8g) in df64 (viscosity_at_vpts: TDEPV laws 0-4, then
+    the SDEPV power law and PDEPV yield plasticity, then VMIN/VMAX)."""
     T_el = _take(T_p, ien, axis=0)                        # (nel, 8a)
     T_el = _where(T_el[0] < 0.0, (jnp.zeros_like(T_el[0]),) * 2, T_el)
     T_el = _where(T_el[0] > 1.0,
@@ -131,7 +172,43 @@ def evisc_df(td: TDepDF, T_p: df.DF, ien) -> df.DF:
         arg = _where(eE[0] == 0.0, zero,
                      df.sub(df.div(eE, df.add(T_g, tT)),
                             df.div(eE, df.add_f(tT, np.float32(1.0)))))
-    eta = df.mul(n0, df.exp(arg))
+    if td.tdepv:
+        eta = df.mul(n0, df.exp(arg))
+    else:
+        eta = n0
+    if td.sdepv_c_p is not None and srII_p is not None:
+        # eta *= (eta / max(srII, 1e-32))^((n-1)/n)
+        sr = _where(srII_p[0] < 1e-32,
+                    (jnp.full_like(srII_p[0], 1e-32),
+                     jnp.zeros_like(srII_p[1])), srII_p)
+        ratio = df.div(eta, (jnp.broadcast_to(sr[0][:, None], eta[0].shape),
+                             jnp.broadcast_to(sr[1][:, None], eta[0].shape)))
+        cb = (jnp.broadcast_to(td.sdepv_c_p[0][:, None], eta[0].shape),
+              jnp.broadcast_to(td.sdepv_c_p[1][:, None], eta[0].shape))
+        eta = df.mul(eta, df.pow_df(ratio, cb))
+    if td.pdepv is not None and srII_p is not None:
+        a_p, b_p, y_p, depth, eff = td.pdepv
+        bcg = lambda p: (jnp.broadcast_to(p[0][:, None], eta[0].shape),
+                         jnp.broadcast_to(p[1][:, None], eta[0].shape))
+        a_b, b_b, y_b = bcg(a_p), bcg(b_p), bcg(y_p)
+        # sigma_y = min(a + b*(radius_outer - r_g), y) at the vpts
+        sy = df.add(a_b, df.mul(b_b, depth))
+        sy = _where(sy[0] > y_b[0], y_b, sy)
+        sr2 = df.mul_f(srII_p, np.float32(2.0))
+        sr2 = _where(sr2[0] < 1e-32,
+                     (jnp.full_like(sr2[0], 1e-32),
+                      jnp.zeros_like(sr2[1])), sr2)
+        eta_y = df.div(sy, (jnp.broadcast_to(sr2[0][:, None],
+                                             eta[0].shape),
+                            jnp.broadcast_to(sr2[1][:, None],
+                                             eta[0].shape)))
+        if eff:
+            # harmonic mean as eta * (eta_y / (eta + eta_y)): the naive
+            # eta*eta_y numerator overflows f32 when both factors are
+            # huge (unyielded elements at near-zero strain rate)
+            eta = df.mul(eta, df.div(eta_y, df.add(eta, eta_y)))
+        else:
+            eta = _where(eta[0] > eta_y[0], eta_y, eta)
     if td.vmin is not None:
         vp = df.from_f64(np.float64(td.vmin))
         vp = (jnp.broadcast_to(vp[0], eta[0].shape),

@@ -720,20 +720,22 @@ class DF64Model:
             raise ValueError(f"inner must be 'ir', 'df' or 'mg': {inner}")
         self.inner_ir = inner in ("ir", "mg")
         self.mg = None
-        if (cfg.SDEPV or cfg.PDEPV or cfg.CDEPV or cfg.ANIVISC
+        if (cfg.CDEPV or cfg.ANIVISC
                 or cfg.disptn_number != 0.0 or cfg.lith_age
                 or cfg.filter_temp or cfg.solver_type != "cgrad"
                 or cfg.Ra_410 != 0.0 or cfg.Ra_670 != 0.0
                 or cfg.Ra_cmb != 0.0):
             raise NotImplementedError(
-                "DF64Model covers the constant-viscosity and TDEPV "
-                "envelopes (cgrad, PG advection); use the df64_inner "
-                "hybrid for other configurations")
+                "DF64Model covers the scalar-viscosity envelopes "
+                "(constant, TDEPV, SDEPV/PDEPV; cgrad, PG advection); "
+                "use the df64_inner hybrid for other configurations")
         self.tdep = None
         self.mg_hier = None
         # TDEPV with all-zero activation energies is constant viscosity:
-        # keep the (cheaper, exactly-f64) static-operator path
-        if cfg.TDEPV and any(e != 0.0 for e in cfg.viscE):
+        # keep the (cheaper, exactly-f64) static-operator path unless a
+        # strain-rate dependence forces per-step re-assembly
+        if (cfg.SDEPV or cfg.PDEPV
+                or (cfg.TDEPV and any(e != 0.0 for e in cfg.viscE))):
             from g4s_tpu.models.citcoms.df64_assembly import build_tdep
             self.tdep = build_tdep(model)
             if inner == "mg":
@@ -806,25 +808,31 @@ class DF64Model:
                         jnp.broadcast_to(have[1][None], b2[0].shape)))
         return _reshape(b, (-1,))
 
-    def _operators(self, T_p):
-        """(W, BI, BPI) pairs for the current temperature: the statics of
-        the constant-viscosity envelope, or a df64 device re-assembly when
-        TDEPV (construct_stiffness_B_matrix after every viscosity update,
+    def _operators(self, T_p, V_p=None):
+        """(W, BI, BPI) pairs for the current temperature (and velocity
+        when strain-rate dependent): the statics of the constant-viscosity
+        envelope, or a df64 device re-assembly
+        (construct_stiffness_B_matrix after every viscosity update,
         Construct_arrays.c:740)."""
         if self.tdep is None:
             return self.W_p, self.BI_p, self.BPI_p
         from g4s_tpu.models.citcoms.df64_assembly import (bi_from_stencil_df,
                                                           bpi_df, evisc_df,
-                                                          stencil_df)
-        eta = evisc_df(self.tdep, T_p, self.ien)
+                                                          stencil_df,
+                                                          strain_rate_df)
+        srII = None
+        if self.tdep.B_p is not None and V_p is not None:
+            srII = strain_rate_df(self.tdep, V_p, self.ien)
+        eta = evisc_df(self.tdep, T_p, self.ien, srII_p=srII)
         W_p = stencil_df(self.tdep, eta)
         BI_p = bi_from_stencil_df(W_p)
         BPI_p = bpi_df(self.G_p, BI_p, self.ien, self.vbc_mask)
         return W_p, BI_p, BPI_p
 
-    def _stokes_impl(self, T_p, V_p, P_p):
+    def _stokes_pass(self, T_p, V_p, P_p):
+        """One viscosity -> stiffness -> forces -> Uzawa pass in df64."""
         cfg = self.cfg
-        W_p, BI_p, BPI_p = self._operators(T_p)
+        W_p, BI_p, BPI_p = self._operators(T_p, V_p)
         mg = self.mg
         if self.mg_hier is not None:
             mg = mg_from_T(self.mg_hier, T_p[0])
@@ -839,6 +847,37 @@ class DF64Model:
             cfg.accuracy, cfg.inner_accuracy_scale,
             cfg.piterations, cfg.vlowstep, cfg.check_pressure_convergence,
             inner_ir=self.inner_ir, mg=mg)
+        return V, P, mon
+
+    def _stokes_impl(self, T_p, V_p, P_p):
+        cfg = self.cfg
+        V, P, mon = self._stokes_pass(T_p, V_p, P_p)
+        if not (cfg.SDEPV or cfg.PDEPV):
+            return V, P, mon
+        # nonlinear outer iteration for velocity-dependent viscosity
+        # (Drive_solvers.c:92-147 in df64; dUdot in hi-word f32 is ample
+        # for a 1e-3 stopping test)
+        ien = self.ien
+
+        def dudot(dUh, Uh):
+            d = jnp.take(dUh, ien, axis=0)
+            u = jnp.take(Uh, ien, axis=0)
+            return jnp.sqrt(jnp.sum(d * d)
+                            / jnp.maximum(jnp.sum(u * u), 1e-30))
+
+        def cond(carry):
+            _V, _P, _mon, it, dmag = carry
+            return jnp.logical_and(it <= 50,
+                                   dmag >= np.float32(cfg.sdepv_misfit))
+
+        def body(carry):
+            V_, P_, _mon, it, _ = carry
+            Vn, Pn, mn = self._stokes_pass(T_p, V_, P_)
+            return Vn, Pn, mn, it + 1, dudot(Vn[0] - V_[0], Vn[0])
+
+        V, P, mon, _, _ = jax.lax.while_loop(
+            cond, body, (V, P, mon, jnp.asarray(1, jnp.int32),
+                         jnp.asarray(1.0, jnp.float32)))
         return V, P, mon
 
     def _timestep_impl(self, T_p, Td_p, V_p, P_p):

@@ -194,6 +194,41 @@ def exp(x: DF) -> DF:
     return (p[0] * s1) * s2, (p[1] * s1) * s2
 
 
+def log(x: DF) -> DF:
+    """Double-word natural log by one Newton step on exp from the f32
+    libm seed: y1 = y0 + (x e^{-y0} - 1), quadratic convergence takes the
+    2^-24 seed error to ~2^-48; accuracy bounded by exp's (~6e-14).
+    Domain: x > 0 with x*e^{-y0} in exp's full-accuracy range (always,
+    since it is ~1)."""
+    y0 = jnp.log(x[0])
+    e = mul(x, exp((-y0, jnp.zeros_like(y0))))
+    corr = add_f(e, np.float32(-1.0))
+    # second-order term -corr^2/2 costs two ops and removes the Newton
+    # truncation error floor
+    corr2 = mul(corr, corr)
+    y = add(corr, mul_f(corr2, np.float32(-0.5)))
+    return add(y, (y0, jnp.zeros_like(y0)))
+
+
+def powf(x: DF, c) -> DF:
+    """x**c for x > 0 and a Python/f64 scalar exponent c: exp(c * log x)
+    with c split to a df pair (an f32-rounded c would leak
+    |log x| * 2^-24 into the result). Relative error ~|c log x| * 2^-49
+    + the exp/log floors."""
+    c64 = np.float64(c)
+    chi = np.float32(c64)
+    clo = np.float32(c64 - np.float64(chi))
+    lx = log(x)
+    t = mul_f(lx, chi)
+    t = add(t, mul_f(lx, clo))
+    return exp(t)
+
+
+def pow_df(x: DF, c: DF) -> DF:
+    """x**c for x > 0 with a df exponent."""
+    return exp(mul(log(x), c))
+
+
 # ---------------------------------------------------------------------------
 # reductions
 # ---------------------------------------------------------------------------

@@ -1506,9 +1506,46 @@ class TestDF64Tier:
         np.testing.assert_allclose(np.asarray(sdf.T), np.asarray(s64.T),
                                    rtol=0, atol=2e-4)
 
+    @pytest.mark.parametrize("plastic", [False, True])
+    def test_df64_sdepv_tracks_f64(self, plastic):
+        """SDEPV power-law (+ PDEPV yield) in df64: strain-rate viscosity
+        and the nonlinear outer iteration (Drive_solvers.c:92-147) must
+        land on the same Picard fixed point as the f64 model; agreement
+        is bounded by the sdepv_misfit stopping tolerance, not
+        arithmetic."""
+        import jax
+        if not jax.config.jax_enable_x64:
+            pytest.skip("needs x64 for the f64 oracle")
+        from g4s_tpu.models.citcoms.df64_step import DF64Model
+        from g4s_tpu.models.citcoms.observables import rms_velocity
+        kw = dict(nodex=9, nodey=9, nodez=5, rayleigh=1e5,
+                  topvbc=1, topvbxval=50.0,
+                  TDEPV=True, rheol=3, num_mat=1, visc0=[1.0],
+                  viscE=[1.0], viscT=[0.5], viscZ=[0.0],
+                  SDEPV=True, sdepv_expt=[2.0], sdepv_misfit=1e-3,
+                  VMIN=True, visc_min=5e-2, VMAX=True, visc_max=1e2)
+        if plastic:
+            kw.update(PDEPV=True, pdepv_a=[0.5], pdepv_b=[1.0],
+                      pdepv_y=[5.0], pdepv_eff=True)
+        cfg = small_cfg(**kw)
+        model = CitcomModel(cfg, dtype=jnp.float64)
+        dfm = DF64Model(model, inner="ir")
+        assert dfm.tdep is not None and dfm.tdep.B_p is not None
+        s64, _ = model.initial_solve(model.init_state())
+        sdf, _ = dfm.initial_solve(model.init_state())
+        v64 = float(rms_velocity(model, s64.V))
+        vdf = float(rms_velocity(model, sdf.V))
+        assert abs(vdf - v64) / v64 < 5e-3, (vdf, v64)
+        s64, _ = model.step(s64)
+        sdf, _ = dfm.step(sdf)
+        rel = abs(float(rms_velocity(model, sdf.V))
+                  - float(rms_velocity(model, s64.V))) \
+            / float(rms_velocity(model, s64.V))
+        assert rel < 1e-2, rel
+
     def test_df64_rejects_out_of_envelope(self):
         from g4s_tpu.models.citcoms.df64_step import DF64Model
-        cfg = small_cfg(SDEPV=True, sdepv_expt=[2.0])
+        cfg = small_cfg(CDEPV=True, cdepv_ff=[1.0, 10.0])
         model = cached_model(cfg)
         with pytest.raises(NotImplementedError):
             DF64Model(model)

@@ -493,3 +493,20 @@ class TestDF64:
         f32 = np.exp(x.astype(np.float32)).astype(np.float64)
         rel32 = np.abs(f32 - np.exp(x)) / np.exp(x)
         assert rel.max() < 1e-4 * rel32.max()   # far beyond f32 exp
+
+    def test_log_pow(self):
+        """df log (Newton on exp) and powf (df-split exponent — an
+        f32-rounded c would leak |log x| * 2^-24): the SDEPV power-law
+        viscosity arithmetic."""
+        from g4s_tpu.ops import df64 as dfm
+        rng = np.random.default_rng(5)
+        x = np.concatenate([np.exp(rng.uniform(-40, 40, 20000)),
+                            rng.uniform(0.5, 2.0, 5000), [1.0]])
+        got = dfm.to_f64(jax.jit(dfm.log)(dfm.from_f64(x)))
+        err = np.abs(got - np.log(x)) / np.maximum(np.abs(np.log(x)), 1.0)
+        assert err.max() < 3e-13, err.max()
+        r = np.exp(rng.uniform(-50, 50, 10000))
+        c = 2.0 / 3.0
+        got = dfm.to_f64(jax.jit(lambda p: dfm.powf(p, c))(dfm.from_f64(r)))
+        rel = np.abs(got - r ** c) / r ** c
+        assert rel.max() < 1e-11, rel.max()
