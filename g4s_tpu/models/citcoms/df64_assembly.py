@@ -64,10 +64,26 @@ def build_tdep(model) -> TDepDF:
     B = np.asarray(model.B, np.float64)            # (nel, 8g, 6s, 8a, 3i)
     gda = np.asarray(model.gda, np.float64)        # (nel, 8g)
     gw = np.asarray(model.gweight, np.float64)     # (8g,)
-    D = np.array([2.0, 2.0, 2.0, 1.0, 1.0, 1.0])
     W = gw[None, :] * gda                          # (nel, 8g)
-    # M[e,g,a,i,b,j] = W[e,g] * sum_s B[e,g,s,a,i] D[s] B[e,g,s,b,j]
-    BD = B * D[None, None, :, None, None]
+    # M[e,g,a,i,b,j] = W[e,g] * sum_s,t B[e,g,s,a,i] D[s,t] B[e,g,t,b,j]
+    # — elt_k is linear in eta for the full 6x6 constitutive family too
+    # (build_elt_k_aniso), so anisotropic viscosity reuses the same
+    # per-Gauss geometry-block precompute with D_aniso folded in
+    if cfg.ANIVISC and cfg.ani_vis2_factor != 0.0:
+        from g4s_tpu.models.citcoms.anisotropic import (
+            constitutive_orthotropic, constitutive_ti)
+        n_dir = np.array([0.0, 0.0, 1.0])
+        if cfg.anivisc_mode == "ti":
+            D66 = np.asarray(constitutive_ti(cfg.ani_vis2_factor,
+                                             cfg.anivisc_gamma, n_dir),
+                             np.float64)
+        else:
+            D66 = np.asarray(constitutive_orthotropic(
+                cfg.ani_vis2_factor, n_dir), np.float64)
+        BD = np.einsum("st,egtai->egsai", D66, B, optimize=True)
+    else:
+        D = np.array([2.0, 2.0, 2.0, 1.0, 1.0, 1.0])
+        BD = B * D[None, None, :, None, None]
     M = np.einsum("egsai,egsbj->egaibj", BD, B, optimize=True) \
         * W[:, :, None, None, None, None]
     nel = B.shape[0]

@@ -720,17 +720,22 @@ class DF64Model:
             raise ValueError(f"inner must be 'ir', 'df' or 'mg': {inner}")
         self.inner_ir = inner in ("ir", "mg")
         self.mg = None
-        if (cfg.CDEPV or cfg.ANIVISC
+        if (cfg.CDEPV
                 or cfg.disptn_number != 0.0 or cfg.lith_age
                 or cfg.filter_temp or cfg.solver_type != "cgrad"
                 or cfg.Ra_410 != 0.0 or cfg.Ra_670 != 0.0
                 or cfg.Ra_cmb != 0.0):
             raise NotImplementedError(
-                "DF64Model covers the scalar-viscosity envelopes "
-                "(constant, TDEPV, SDEPV/PDEPV; cgrad, PG advection); "
-                "use the df64_inner hybrid for other configurations")
+                "DF64Model covers the T/strain-rate/anisotropic "
+                "viscosity envelopes (cgrad, PG advection); use the "
+                "df64_inner hybrid for other configurations")
         self.tdep = None
         self.mg_hier = None
+        if inner == "mg" and cfg.ANIVISC and cfg.ani_vis2_factor != 0.0:
+            raise NotImplementedError(
+                "inner='mg' builds an isotropic correction hierarchy "
+                "(MGHierarchy.build_ops); use inner='ir' with "
+                "anisotropic viscosity")
         # TDEPV with all-zero activation energies is constant viscosity:
         # keep the (cheaper, exactly-f64) static-operator path unless a
         # strain-rate dependence forces per-step re-assembly

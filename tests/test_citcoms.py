@@ -1543,6 +1543,35 @@ class TestDF64Tier:
             / float(rms_velocity(model, s64.V))
         assert rel < 1e-2, rel
 
+    @pytest.mark.parametrize("tdep", [False, True])
+    def test_df64_anisotropic_tracks_f64(self, tdep):
+        """ANIVISC in df64: the per-Gauss geometry blocks fold the 6x6
+        constitutive (build_elt_k_aniso linearity in eta), so both the
+        static and the T-dependent re-assembly paths carry anisotropy."""
+        import jax
+        if not jax.config.jax_enable_x64:
+            pytest.skip("needs x64 for the f64 oracle")
+        from g4s_tpu.models.citcoms.df64_step import DF64Model
+        from g4s_tpu.models.citcoms.observables import rms_velocity
+        kw = dict(nodex=9, nodey=9, nodez=5, rayleigh=1e5,
+                  topvbc=1, topvbxval=50.0, num_mat=1,
+                  ANIVISC=True, ani_vis2_factor=0.3)
+        if tdep:
+            kw.update(TDEPV=True, rheol=3, visc0=[1.0], viscE=[2.0],
+                      viscT=[0.5], VMIN=True, visc_min=5e-2,
+                      VMAX=True, visc_max=1e2)
+        cfg = small_cfg(**kw)
+        model = CitcomModel(cfg, dtype=jnp.float64)
+        dfm = DF64Model(model, inner="ir")
+        assert (dfm.tdep is not None) == tdep
+        s64, _ = model.initial_solve(model.init_state())
+        sdf, _ = dfm.initial_solve(model.init_state())
+        v64 = float(rms_velocity(model, s64.V))
+        vdf = float(rms_velocity(model, sdf.V))
+        assert abs(vdf - v64) / v64 < 2e-3, (vdf, v64)
+        with pytest.raises(NotImplementedError):
+            DF64Model(model, inner="mg")
+
     def test_df64_rejects_out_of_envelope(self):
         from g4s_tpu.models.citcoms.df64_step import DF64Model
         cfg = small_cfg(CDEPV=True, cdepv_ff=[1.0, 10.0])
