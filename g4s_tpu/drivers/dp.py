@@ -51,6 +51,10 @@ def cmd_train(args):
     tr_d = jdata["training"]["training_data"]
     base = os.path.dirname(os.path.abspath(args.input))
     systems = [os.path.join(base, s) for s in tr_d["systems"]]
+    if fit.get("type") in ("dipole", "polar"):
+        # tensor-supervised training (loss/tensor.py + DipoleFittingSeA:
+        # the water_tensor examples' `dp train dipole_input.json` path)
+        return _train_tensor_cli(args, jdata, spec, systems, dtype)
     data = DataSystem(systems, batch_size=tr_d.get("batch_size", "auto"),
                       seed=jdata["training"].get("seed", 10))
     lr_j = jdata.get("learning_rate", {})
@@ -120,6 +124,114 @@ def cmd_train(args):
     from g4s_tpu.models.deepmd.freeze import freeze as freeze_fn
     freeze_fn(params, spec, args.checkpoint + ".model.npz")
     print(f"# saved checkpoint to {args.checkpoint}")
+
+
+def _train_tensor_cli(args, jdata, spec, systems, dtype):
+    """dp train with fitting_net.type dipole|polar: tensor-label training
+    over water_tensor-style systems (atomic and/or global labels, mixed
+    systems round-robin like DeepmdDataSystem sampling)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from g4s_tpu import ckpt
+    from g4s_tpu.models.deepmd import fit_tensor as ft
+    from g4s_tpu.models.deepmd.descriptor import (compute_stats, env_mat,
+                                                  env_mat_nopbc)
+    from g4s_tpu.models.deepmd.model import init_params
+    from g4s_tpu.models.deepmd.train import LRConfig
+
+    fit = jdata["model"]["fitting_net"]
+    kind = fit["type"]
+    label = "dipole" if kind == "dipole" else "polarizability"
+    tensor_fn = ft.atomic_dipole if kind == "dipole" else ft.atomic_polar
+    sel_type = tuple(fit["sel_type"]) if fit.get("sel_type") is not None \
+        else None
+    loaded = [ft.load_tensor_system(s, label, sel_type) for s in systems]
+    types0 = loaded[0]["types"]
+    for sy in loaded[1:]:
+        if not np.array_equal(sy["types"], types0):
+            raise SystemExit("tensor systems must share composition")
+    types = jnp.asarray(types0)
+    nopbc = loaded[0]["nopbc"]
+
+    numb_steps = args.steps or jdata["training"]["numb_steps"]
+    lr_j = jdata.get("learning_rate", {})
+    lr = LRConfig(lr_j.get("start_lr", 1e-3), lr_j.get("stop_lr", 3.51e-8),
+                  lr_j.get("decay_steps", 5000),
+                  jdata["training"]["numb_steps"])
+    lo = jdata.get("loss", {})
+    loss_cfg = ft.TensorLossConfig(lo.get("pref", 1.0),
+                                   lo.get("pref_atomic", 1.0),
+                                   lo.get("scale", 1.0), sel_type)
+
+    # normalization stats from a few frames of the first system
+    ntypes = spec.descriptor.ntypes
+    fr0 = loaded[0]["frames"]
+    n_stat = min(10, fr0["coord"].shape[0])
+    Rs = []
+    for i in range(n_stat):
+        c = jnp.asarray(fr0["coord"][i])
+        if nopbc:
+            Rs.append(env_mat_nopbc(c, types, spec.descriptor)[0])
+        else:
+            Rs.append(env_mat(c, jnp.asarray(fr0["box"][i]),
+                              types, spec.descriptor)[0])
+    davg, dstd = compute_stats(Rs, [types0] * n_stat, ntypes,
+                               spec.descriptor.nnei)
+    seed = jdata["training"].get("seed", 10)
+    params = init_params(jax.random.PRNGKey(seed), spec, dtype=dtype)
+    params["stats"]["davg"] = jnp.asarray(davg, dtype)
+    params["stats"]["dstd"] = jnp.asarray(dstd, dtype)
+    nets = ft.init_tensor_fit(jax.random.PRNGKey(seed + 1), spec,
+                              dtype=dtype)
+
+    opt = optax.adam(learning_rate=lambda step: lr.lr_at(step))
+    tparams = (params, nets)
+    opt_state = opt.init(tparams)
+    # one jitted update per distinct label structure, shared opt state
+    updates = {}
+    loss_fn = ft.make_tensor_loss_fn(spec, loss_cfg, tensor_fn,
+                                     nopbc=nopbc)
+
+    def make_update():
+        @jax.jit
+        def update(tparams, opt_state, batch, step):
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(tparams, batch, types)
+            upd, opt_state = opt.update(grads, opt_state, tparams)
+            return optax.apply_updates(tparams, upd), opt_state, loss, aux
+        return update
+
+    rng = np.random.default_rng(seed)
+    bs = jdata["training"]["training_data"].get("batch_size", 8)
+    if not isinstance(bs, int):
+        bs = 8
+    disp = jdata["training"].get("disp_freq", 100)
+    print(f"# tensor training ({kind}): {numb_steps} steps over "
+          f"{len(loaded)} systems, nopbc={nopbc}")
+    loss_by_key = {}
+    for step in range(numb_steps):
+        sy = loaded[step % len(loaded)]["frames"]
+        nf = sy["coord"].shape[0]
+        idx = rng.integers(0, nf, min(bs, nf))
+        batch = {k: jnp.asarray(v[idx], dtype if v.dtype.kind == "f"
+                                else None) for k, v in sy.items()}
+        key = tuple(sorted(batch.keys()))
+        if key not in updates:
+            updates[key] = make_update()
+        tparams, opt_state, loss, aux = updates[key](
+            tparams, opt_state, batch, jnp.asarray(step, jnp.float32))
+        loss_by_key.setdefault(key, []).append(float(loss))
+        if step % disp == 0 or step == numb_steps - 1:
+            bits = " ".join(f"{k}={float(v):.4e}" for k, v in aux.items())
+            print(f"step {step}: loss={float(loss):.4e} {bits}")
+    params, nets = tparams
+    ckpt.save_pytree(args.checkpoint, {"params": params, "nets": nets},
+                     meta={"kind": f"deepmd_{kind}", "step": numb_steps})
+    print(f"# saved tensor checkpoint to {args.checkpoint}")
+    return {"final_aux": {k: float(v) for k, v in aux.items()},
+            "loss_curves": loss_by_key}
 
 
 def cmd_freeze(args):

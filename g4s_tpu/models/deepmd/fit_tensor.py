@@ -56,10 +56,15 @@ def _fit_vector_out(net, x):
     return dense_matmul(x, net["final"]["w"]) + net["final"]["b"]
 
 
-def _descriptor_and_qmat(params, spec: ModelSpec, coords, box, types):
+def _descriptor_and_qmat(params, spec: ModelSpec, coords, box, types,
+                         nopbc: bool = False):
     """(D, qmat): the invariant descriptor and the covariant xyz rows of
     T (se_a.py _pass_filter returns the same qmat)."""
-    R, _ = env_mat(coords, box, types, spec.descriptor)
+    if nopbc:
+        from g4s_tpu.models.deepmd.descriptor import env_mat_nopbc
+        R, _ = env_mat_nopbc(coords, types, spec.descriptor)
+    else:
+        R, _ = env_mat(coords, box, types, spec.descriptor)
     Rn = normalize_env_mat(R, types, params["stats"]["davg"],
                            params["stats"]["dstd"])
     nt = spec.descriptor.ntypes
@@ -85,18 +90,20 @@ def _descriptor_and_qmat(params, spec: ModelSpec, coords, box, types):
     return D, Q
 
 
-def atomic_dipole(params, tensor_nets, spec: ModelSpec, coords, box, types):
+def atomic_dipole(params, tensor_nets, spec: ModelSpec, coords, box, types,
+                  nopbc: bool = False):
     """(N, 3) per-atom dipoles (DipoleFittingSeA.build)."""
-    D, Q = _descriptor_and_qmat(params, spec, coords, box, types)
+    D, Q = _descriptor_and_qmat(params, spec, coords, box, types, nopbc)
     o_tc = jnp.stack([_fit_vector_out(net, D) for net in tensor_nets])
     o = jnp.take_along_axis(o_tc, types[None, :, None].astype(jnp.int32),
                             axis=0)[0]                 # (N, m1)
     return jnp.einsum("ncm,nm->nc", Q, o)
 
 
-def atomic_polar(params, tensor_nets, spec: ModelSpec, coords, box, types):
+def atomic_polar(params, tensor_nets, spec: ModelSpec, coords, box, types,
+                 nopbc: bool = False):
     """(N, 3, 3) symmetric per-atom polarizability (PolarFittingSeA)."""
-    D, Q = _descriptor_and_qmat(params, spec, coords, box, types)
+    D, Q = _descriptor_and_qmat(params, spec, coords, box, types, nopbc)
     o_tc = jnp.stack([_fit_vector_out(net, D) for net in tensor_nets])
     o = jnp.take_along_axis(o_tc, types[None, :, None].astype(jnp.int32),
                             axis=0)[0]
@@ -142,7 +149,7 @@ def _sel_mask(types, ntypes, sel_type):
 
 
 def make_tensor_loss_fn(spec: ModelSpec, loss_cfg: TensorLossConfig,
-                        tensor_fn=atomic_dipole):
+                        tensor_fn=atomic_dipole, nopbc: bool = False):
     """Loss over a batch {coord (F,N,3), box (F,...), and labels
     'atomic_label' (F,N,k) and/or 'label' (F,k)}; `tensor_fn` is
     atomic_dipole or atomic_polar (per-atom tensors, trailing dims
@@ -155,7 +162,7 @@ def make_tensor_loss_fn(spec: ModelSpec, loss_cfg: TensorLossConfig,
                       stats=jax.tree_util.tree_map(jax.lax.stop_gradient,
                                                    params["stats"]))
         pred = jax.vmap(lambda c, b: tensor_fn(params, nets, spec, c, b,
-                                               types))(
+                                               types, nopbc=nopbc))(
             batch["coord"], batch["box"])        # (F, N, ...)
         F, N = pred.shape[0], pred.shape[1]
         pred = pred.reshape(F, N, -1)
@@ -181,10 +188,58 @@ def make_tensor_loss_fn(spec: ModelSpec, loss_cfg: TensorLossConfig,
     return loss_fn
 
 
+def load_tensor_system(path: str, label: str = "dipole",
+                       sel_type=None) -> dict:
+    """Read a water_tensor-style npy system (examples/water_tensor/
+    dipole/training_data): set.*/{coord,box}.npy plus atomic_<label>.npy
+    (labels for the sel_type atoms only, in atom order) and/or
+    <label>.npy (per-frame global labels); a `nopbc` marker file switches
+    the descriptor to the finite-system path.
+
+    Returns {"frames": {coord (F,N,3), box (F,3,3), atomic_label (F,N,k)
+    zero-padded on non-selected atoms, label (F,k)}, "types": (N,),
+    "nopbc": bool}.
+    """
+    import glob
+    import os
+    types = np.loadtxt(os.path.join(path, "type.raw"), dtype=np.int64)
+    types = np.atleast_1d(types)
+    n = types.size
+    coords, boxes, alabels, glabels = [], [], [], []
+    for sp in sorted(glob.glob(os.path.join(path, "set.*"))):
+        c = np.load(os.path.join(sp, "coord.npy"))
+        coords.append(c.reshape(c.shape[0], n, 3))
+        b = np.load(os.path.join(sp, "box.npy"))
+        boxes.append(b.reshape(b.shape[0], 3, 3))
+        ap = os.path.join(sp, f"atomic_{label}.npy")
+        if os.path.exists(ap):
+            alabels.append(np.load(ap))
+        gp = os.path.join(sp, f"{label}.npy")
+        if os.path.exists(gp):
+            glabels.append(np.load(gp))
+    frames = {"coord": np.concatenate(coords),
+              "box": np.concatenate(boxes)}
+    if alabels:
+        al = np.concatenate(alabels)           # (F, nsel * k)
+        if sel_type is None:
+            sel = np.ones(n, bool)
+        else:
+            sel = np.isin(types, np.asarray(sel_type))
+        nsel = int(sel.sum())
+        k = al.shape[1] // nsel
+        full = np.zeros((al.shape[0], n, k), al.dtype)
+        full[:, sel, :] = al.reshape(al.shape[0], nsel, k)
+        frames["atomic_label"] = full
+    if glabels:
+        frames["label"] = np.concatenate(glabels)
+    return {"frames": frames, "types": types,
+            "nopbc": os.path.exists(os.path.join(path, "nopbc"))}
+
+
 def train_tensor(params, tensor_nets, spec: ModelSpec, frames: dict, types,
                  *, numb_steps: int, loss_cfg: TensorLossConfig,
                  tensor_fn=atomic_dipole, lr_cfg=None, batch_size: int = 8,
-                 seed: int = 0, callback=None):
+                 seed: int = 0, callback=None, nopbc: bool = False):
     """Adam + exp-decay LR over tensor labels (DPTrainer with a
     loss/tensor.py objective, trainer.py:816 loop role). `frames` holds
     full arrays keyed like the loss batch; minibatches are drawn with a
@@ -195,7 +250,7 @@ def train_tensor(params, tensor_nets, spec: ModelSpec, frames: dict, types,
     lr_cfg = lr_cfg or LRConfig(1e-2, 1e-4, max(numb_steps // 10, 1),
                                 numb_steps)
     opt = optax.adam(learning_rate=lambda step: lr_cfg.lr_at(step))
-    loss_fn = make_tensor_loss_fn(spec, loss_cfg, tensor_fn)
+    loss_fn = make_tensor_loss_fn(spec, loss_cfg, tensor_fn, nopbc=nopbc)
     tparams = (params, tensor_nets)
     opt_state = opt.init(tparams)
 

@@ -535,6 +535,28 @@ class TestTensorFitting:
                       {k: jnp.asarray(v) for k, v in gframes.items()}, types)
         assert float(g1) < 0.2 * float(g0)
 
+    def test_dp_train_dipole_cli_reference_data(self, tmp_path):
+        """`dp train dipole_input.json` on the REAL reference
+        water_tensor dipole data (nopbc, mixed atomic- and global-label
+        systems, sel_type=[O]): losses on both label structures must
+        decrease."""
+        import argparse
+        import os
+        ref = ("/root/reference/deepmd/examples/water_tensor/dipole/"
+               "dipole_input.json")
+        if not os.path.exists(ref):
+            pytest.skip("reference data not present")
+        from g4s_tpu.drivers import dp
+        args = argparse.Namespace(input=ref, steps=40,
+                                  checkpoint=str(tmp_path / "m.npz"),
+                                  restart=None, dtype="f32")
+        out = dp.cmd_train(args)
+        for key, curve in out["loss_curves"].items():
+            head = np.mean(curve[:3])
+            tail = np.mean(curve[-3:])
+            assert tail < 0.8 * head, (key, head, tail)
+        assert os.path.exists(tmp_path / "m.npz")
+
 
 class TestLocFrame:
     def test_invariance_and_forces(self):
