@@ -47,7 +47,9 @@ def cmd_train(args):
                        len(jdata["model"]["type_map"])),
         tuple(desc["neuron"]), desc.get("axis_neuron", 16),
         tuple(fit["neuron"]), desc.get("resnet_dt", False),
-        fit.get("resnet_dt", True))
+        fit.get("resnet_dt", True),
+        numb_fparam=fit.get("numb_fparam", 0),
+        numb_aparam=fit.get("numb_aparam", 0))
     tr_d = jdata["training"]["training_data"]
     base = os.path.dirname(os.path.abspath(args.input))
     systems = [os.path.join(base, s) for s in tr_d["systems"]]
@@ -82,6 +84,10 @@ def cmd_train(args):
     params = init_params(jax.random.PRNGKey(jdata["training"].get("seed", 10)),
                          spec, bias_atom_e=data.energy_bias(ntypes),
                          dtype=dtype)
+    if spec.numb_fparam:
+        favg, fstd = data.fparam_stats()
+        params["stats"]["fparam_avg"] = jnp.asarray(favg, dtype)
+        params["stats"]["fparam_std"] = jnp.asarray(fstd, dtype)
     params["stats"]["davg"] = jnp.asarray(davg)
     params["stats"]["dstd"] = jnp.asarray(dstd)
     if args.restart:

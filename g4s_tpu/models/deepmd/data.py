@@ -23,6 +23,8 @@ class System(NamedTuple):
     box: np.ndarray        # (nframes, 3, 3)
     energy: np.ndarray     # (nframes,)
     force: np.ndarray      # (nframes, natoms, 3)
+    fparam: np.ndarray = None   # (nframes, numb_fparam) when present
+    aparam: np.ndarray = None   # (nframes, natoms, numb_aparam)
 
     @property
     def natoms(self) -> int:
@@ -41,17 +43,29 @@ def load_system(path) -> System:
     sets = sorted(d for d in os.listdir(path) if d.startswith("set."))
     if not sets:
         raise FileNotFoundError(f"no set.* directories under {path}")
+    fparams, aparams = [], []
     for s in sets:
         sp = os.path.join(path, s)
         coords.append(np.load(os.path.join(sp, "coord.npy")))
         boxes.append(np.load(os.path.join(sp, "box.npy")))
         energies.append(np.load(os.path.join(sp, "energy.npy")))
         forces.append(np.load(os.path.join(sp, "force.npy")))
+        fp = os.path.join(sp, "fparam.npy")
+        if os.path.exists(fp):
+            fparams.append(np.load(fp))
+        ap = os.path.join(sp, "aparam.npy")
+        if os.path.exists(ap):
+            aparams.append(np.load(ap))
     coord = np.concatenate(coords).reshape(-1, n, 3).astype(np.float64)
     box = np.concatenate(boxes).reshape(-1, 3, 3).astype(np.float64)
     energy = np.concatenate(energies).astype(np.float64)
     force = np.concatenate(forces).reshape(-1, n, 3).astype(np.float64)
-    return System(str(path), types, coord, box, energy, force)
+    fparam = np.concatenate(fparams).reshape(len(energy), -1) \
+        .astype(np.float64) if fparams else None
+    aparam = np.concatenate(aparams).reshape(len(energy), n, -1) \
+        .astype(np.float64) if aparams else None
+    return System(str(path), types, coord, box, energy, force,
+                  fparam, aparam)
 
 
 class DataSystem:
@@ -92,8 +106,23 @@ class DataSystem:
         si = self.rng.choice(len(self.systems), p=self.probs)
         s = self.systems[si]
         idx = self.rng.integers(0, s.nframes, size=self.batch_size)
-        return dict(types=s.types, coord=s.coord[idx], box=s.box[idx],
-                    energy=s.energy[idx], force=s.force[idx])
+        out = dict(types=s.types, coord=s.coord[idx], box=s.box[idx],
+                   energy=s.energy[idx], force=s.force[idx])
+        # duck-typed: tests substitute minimal System-likes without the
+        # optional fparam/aparam fields
+        if getattr(s, "fparam", None) is not None:
+            out["fparam"] = s.fparam[idx]
+        if getattr(s, "aparam", None) is not None:
+            out["aparam"] = s.aparam[idx]
+        return out
+
+    def fparam_stats(self):
+        """(avg, std) of the frame parameters over all systems
+        (ener.py compute_input_stats for fparam)."""
+        allf = np.concatenate([s.fparam for s in self.systems
+                               if s.fparam is not None])
+        std = allf.std(axis=0)
+        return allf.mean(axis=0), np.where(std > 0, std, 1.0)
 
     def sample_batches(self, n: int):
         return [self.sample_batch() for _ in range(n)]

@@ -42,6 +42,8 @@ class ModelSpec(NamedTuple):
     attn_dim: int = 0                   # se_atten: Q/K/V width (0 -> m1)
     tebd_dim: int = 8                   # se_atten: type-embedding width
     hybrid_types: Tuple[str, ...] = ("se_e2_a", "se_e2_r")  # hybrid parts
+    numb_fparam: int = 0                # frame parameters appended to the
+    numb_aparam: int = 0                # fitting input (ener.py:127-158)
 
     @property
     def m1(self) -> int:
@@ -119,9 +121,10 @@ def init_params(key, spec: ModelSpec, *, bias_atom_e=None, dtype=jnp.float64):
     key, ke = jax.random.split(key)
     embed = _init_embed(ke, spec, dtype)
     fit = []
+    fit_in = spec.descriptor_dim + spec.numb_fparam + spec.numb_aparam
     for tc in range(nt):
         key, sub = jax.random.split(key)
-        fit.append(init_fitting_net(sub, spec.descriptor_dim,
+        fit.append(init_fitting_net(sub, fit_in,
                                     spec.fit_neurons,
                                     resnet_dt=spec.fit_resnet_dt,
                                     bias_out=float(bias_atom_e[tc]),
@@ -129,6 +132,12 @@ def init_params(key, spec: ModelSpec, *, bias_atom_e=None, dtype=jnp.float64):
     nnei = spec.descriptor.nnei
     stats = {"davg": jnp.zeros((nt, nnei, 4), dtype),
              "dstd": jnp.ones((nt, nnei, 4), dtype)}
+    if spec.numb_fparam:
+        stats["fparam_avg"] = jnp.zeros((spec.numb_fparam,), dtype)
+        stats["fparam_std"] = jnp.ones((spec.numb_fparam,), dtype)
+    if spec.numb_aparam:
+        stats["aparam_avg"] = jnp.zeros((spec.numb_aparam,), dtype)
+        stats["aparam_std"] = jnp.ones((spec.numb_aparam,), dtype)
     return {"embed": embed, "fit": fit, "stats": stats}
 
 
@@ -279,7 +288,31 @@ def _descriptor_atten(emb, spec: ModelSpec, Rn, types, nlist):
     return D.reshape(Rn.shape[0], -1)
 
 
-def atomic_energy(params, spec: ModelSpec, D, types):
+def _fit_input(params, spec: ModelSpec, D, fparam, aparam):
+    """Append normalized frame/atom parameters to the fitting input
+    (ener.py:191-260: (p - avg)/std, fparam tiled over atoms)."""
+    if spec.numb_fparam:
+        if fparam is None:
+            raise ValueError("model has numb_fparam > 0: pass fparam")
+        st = params["stats"]
+        fp = (jnp.asarray(fparam, D.dtype).reshape(-1)
+              - st["fparam_avg"]) / st["fparam_std"]
+        D = jnp.concatenate(
+            [D, jnp.broadcast_to(fp[None, :], (D.shape[0], fp.size))],
+            axis=1)
+    if spec.numb_aparam:
+        if aparam is None:
+            raise ValueError("model has numb_aparam > 0: pass aparam")
+        st = params["stats"]
+        ap = (jnp.asarray(aparam, D.dtype).reshape(D.shape[0], -1)
+              - st["aparam_avg"]) / st["aparam_std"]
+        D = jnp.concatenate([D, ap], axis=1)
+    return D
+
+
+def atomic_energy(params, spec: ModelSpec, D, types, fparam=None,
+                  aparam=None):
+    D = _fit_input(params, spec, D, fparam, aparam)
     e_by_tc = jnp.stack([fitting_net_apply(params["fit"][tc], D)
                          for tc in range(spec.descriptor.ntypes)], axis=0)
     return jnp.take_along_axis(e_by_tc, types[None, :].astype(jnp.int32),
@@ -287,27 +320,29 @@ def atomic_energy(params, spec: ModelSpec, D, types):
 
 
 def total_energy(params, spec: ModelSpec, coords, box, types,
-                 atom_mask=None):
+                 atom_mask=None, fparam=None, aparam=None):
     if spec.descriptor_type == "se_a_mask":
         from g4s_tpu.models.deepmd.descriptor import env_mat_nopbc
         R, nlist = env_mat_nopbc(coords, types, spec.descriptor,
                                  atom_mask=atom_mask)
         D = atomic_descriptor(params, spec, R, types, nlist)
-        ae = atomic_energy(params, spec, D, types)
+        ae = atomic_energy(params, spec, D, types, fparam, aparam)
         if atom_mask is not None:
             ae = jnp.where(atom_mask, ae, 0.0)   # virtual atoms drop out
         return jnp.sum(ae)
     R, nlist = env_mat(coords, box, types, spec.descriptor)
     D = atomic_descriptor(params, spec, R, types, nlist)
-    return jnp.sum(atomic_energy(params, spec, D, types))
+    return jnp.sum(atomic_energy(params, spec, D, types, fparam, aparam))
 
 
-def energy_force_virial(params, spec: ModelSpec, coords, box, types):
+def energy_force_virial(params, spec: ModelSpec, coords, box, types,
+                        fparam=None, aparam=None):
     """E, F = -dE/dx, virial W = -dE/de (strain derivative) for one frame."""
     def e_of(x, strain):
         xs = x @ (jnp.eye(3, dtype=x.dtype) + strain)
         bs = box @ (jnp.eye(3, dtype=x.dtype) + strain)
-        return total_energy(params, spec, xs, bs, types)
+        return total_energy(params, spec, xs, bs, types,
+                            fparam=fparam, aparam=aparam)
 
     zero_strain = jnp.zeros((3, 3), coords.dtype)
     e, (g_x, g_s) = jax.value_and_grad(e_of, argnums=(0, 1))(coords, zero_strain)

@@ -50,8 +50,18 @@ class LRConfig(NamedTuple):
         return self.start_lr * self.decay_rate() ** (step / self.decay_steps)
 
 
-def batched_efv(params, spec: ModelSpec, coord, box, types):
+def batched_efv(params, spec: ModelSpec, coord, box, types,
+                fparam=None, aparam=None):
     """vmapped energy/force/virial over the frame axis."""
+    if fparam is not None or aparam is not None:
+        extras = tuple(x for x in (fparam, aparam) if x is not None)
+
+        def one(c, b, *xs):
+            fp = xs[0] if fparam is not None else None
+            ap = xs[-1] if aparam is not None else None
+            return energy_force_virial(params, spec, c, b, types,
+                                       fparam=fp, aparam=ap)
+        return jax.vmap(one)(coord, box, *extras)
     return jax.vmap(lambda c, b: energy_force_virial(params, spec, c, b,
                                                      types))(coord, box)
 
@@ -61,7 +71,8 @@ def make_loss_fn(spec: ModelSpec, loss_cfg: LossConfig, lr_cfg: LRConfig):
         coord, box = batch["coord"], batch["box"]
         types = batch["types"]
         natoms = coord.shape[1]
-        e, f, v = batched_efv(params, spec, coord, box, types)
+        e, f, v = batched_efv(params, spec, coord, box, types,
+                              batch.get("fparam"), batch.get("aparam"))
         lr = lr_cfg.lr_at(step)
         frac = lr / lr_cfg.start_lr
         pref_e = loss_cfg.limit_pref_e + (loss_cfg.start_pref_e

@@ -535,6 +535,81 @@ class TestTensorFitting:
                       {k: jnp.asarray(v) for k, v in gframes.items()}, types)
         assert float(g1) < 0.2 * float(g0)
 
+    def test_fparam_aparam_conditioning(self, tmp_path):
+        """numb_fparam/numb_aparam (ener.py:127-260): frame/atom
+        parameters are normalized and appended to the fitting input; the
+        energy must actually depend on them, and the dp CLI trains from
+        fparam.npy/aparam.npy sets (examples/fparam data layout)."""
+        import argparse
+        import json
+        import os
+        from g4s_tpu.drivers import dp
+        from g4s_tpu.models.deepmd.descriptor import DescriptorSpec
+        from g4s_tpu.models.deepmd.model import (ModelSpec, init_params,
+                                                 total_energy)
+        spec = ModelSpec(DescriptorSpec(6.0, 0.5, (8, 12), 2),
+                         (6, 12), 3, (16, 16), numb_fparam=2,
+                         numb_aparam=1)
+        params = init_params(jax.random.PRNGKey(0), spec)
+        rng = np.random.default_rng(0)
+        pos = jnp.asarray(rng.uniform(2.0, 7.0, (10, 3)))
+        box = jnp.asarray(np.diag([20., 20., 20.]))
+        types = jnp.asarray((np.arange(10) % 2).astype(np.int32))
+        fp1, fp2 = jnp.asarray([0.1, -0.3]), jnp.asarray([1.4, 0.7])
+        ap = jnp.asarray(rng.normal(size=(10, 1)))
+        e1 = total_energy(params, spec, pos, box, types, fparam=fp1,
+                          aparam=ap)
+        e2 = total_energy(params, spec, pos, box, types, fparam=fp2,
+                          aparam=ap)
+        assert abs(float(e1) - float(e2)) > 1e-8
+        with pytest.raises(ValueError):
+            total_energy(params, spec, pos, box, types)
+
+        # CLI end-to-end on a synthetic npy system with fparam labels
+        sysdir = tmp_path / "sys"
+        (sysdir / "set.000").mkdir(parents=True)
+        nf, na = 24, 8
+        t = (np.arange(na) % 2).astype(np.int32)
+        np.savetxt(sysdir / "type.raw", t, fmt="%d")
+        coord = rng.uniform(1.0, 9.0, (nf, na * 3))
+        fparam = rng.uniform(-1, 1, (nf, 1))
+        energy = coord.reshape(nf, -1, 3)[:, :, 0].sum(1) * 0.01 \
+            + 0.5 * fparam[:, 0]
+        force = np.zeros((nf, na * 3))
+        force[:, 0::3] = -0.01
+        np.save(sysdir / "set.000" / "coord.npy", coord)
+        np.save(sysdir / "set.000" / "box.npy",
+                np.tile(np.eye(3).ravel() * 10, (nf, 1)))
+        np.save(sysdir / "set.000" / "energy.npy", energy)
+        np.save(sysdir / "set.000" / "force.npy", force)
+        np.save(sysdir / "set.000" / "fparam.npy", fparam)
+        jd = {"model": {"type_map": ["O", "H"],
+                        "descriptor": {"rcut": 6.0, "rcut_smth": 0.5,
+                                       "sel": [8, 12], "neuron": [6, 12],
+                                       "axis_neuron": 3},
+                        "fitting_net": {"neuron": [16, 16],
+                                        "numb_fparam": 1}},
+              "learning_rate": {"start_lr": 5e-3, "stop_lr": 1e-4,
+                                "decay_steps": 20},
+              "loss": {"start_pref_e": 1, "limit_pref_e": 1,
+                       "start_pref_f": 1, "limit_pref_f": 1},
+              "training": {"numb_steps": 60,
+                           "training_data": {"systems": ["sys"],
+                                             "batch_size": 8}}}
+        inp = tmp_path / "input.json"
+        inp.write_text(json.dumps(jd))
+        args = argparse.Namespace(input=str(inp), steps=None,
+                                  checkpoint=str(tmp_path / "ck.npz"),
+                                  restart=None, init_model=None,
+                                  finetune=None, dtype="f32")
+        cwd = os.getcwd()
+        try:
+            os.chdir(tmp_path)
+            dp.cmd_train(args)
+        finally:
+            os.chdir(cwd)
+        assert os.path.exists(tmp_path / "ck.npz")
+
     def test_dp_train_dipole_cli_reference_data(self, tmp_path):
         """`dp train dipole_input.json` on the REAL reference
         water_tensor dipole data (nopbc, mixed atomic- and global-label
