@@ -25,6 +25,13 @@ def _load_input(path):
         return json.load(f)
 
 
+def _numb_steps(jdata) -> int:
+    """numb_steps with the pre-v2 `stop_batch` alias (utils/compat.py
+    input upgrading role)."""
+    tr = jdata["training"]
+    return tr.get("numb_steps") or tr["stop_batch"]
+
+
 def cmd_train(args):
     import jax
     import jax.numpy as jnp
@@ -57,16 +64,20 @@ def cmd_train(args):
         # tensor-supervised training (loss/tensor.py + DipoleFittingSeA:
         # the water_tensor examples' `dp train dipole_input.json` path)
         return _train_tensor_cli(args, jdata, spec, systems, dtype)
+    if fit.get("type") == "dos":
+        # density-of-states fitting (fit/dos.py + loss/dos.py: the
+        # examples/dos heat-221 path)
+        return _train_dos_cli(args, jdata, spec, systems, dtype)
     data = DataSystem(systems, batch_size=tr_d.get("batch_size", "auto"),
                       seed=jdata["training"].get("seed", 10))
     lr_j = jdata.get("learning_rate", {})
-    numb_steps = args.steps or jdata["training"]["numb_steps"]
+    numb_steps = args.steps or _numb_steps(jdata)
     # the decay horizon follows the input file's numb_steps, NOT a --steps
     # override: a short smoke run must see the same lr trajectory the full
     # run would (reference: utils/learning_rate.py decay from stop_step)
     lr = LRConfig(lr_j.get("start_lr", 1e-3), lr_j.get("stop_lr", 3.51e-8),
                   lr_j.get("decay_steps", 5000),
-                  jdata["training"]["numb_steps"])
+                  _numb_steps(jdata))
     lo = jdata.get("loss", {})
     loss = LossConfig(lo.get("start_pref_e", 0.02), lo.get("limit_pref_e", 1),
                       lo.get("start_pref_f", 1000), lo.get("limit_pref_f", 1),
@@ -161,11 +172,11 @@ def _train_tensor_cli(args, jdata, spec, systems, dtype):
     types = jnp.asarray(types0)
     nopbc = loaded[0]["nopbc"]
 
-    numb_steps = args.steps or jdata["training"]["numb_steps"]
+    numb_steps = args.steps or _numb_steps(jdata)
     lr_j = jdata.get("learning_rate", {})
     lr = LRConfig(lr_j.get("start_lr", 1e-3), lr_j.get("stop_lr", 3.51e-8),
                   lr_j.get("decay_steps", 5000),
-                  jdata["training"]["numb_steps"])
+                  _numb_steps(jdata))
     lo = jdata.get("loss", {})
     loss_cfg = ft.TensorLossConfig(lo.get("pref", 1.0),
                                    lo.get("pref_atomic", 1.0),
@@ -238,6 +249,81 @@ def _train_tensor_cli(args, jdata, spec, systems, dtype):
     print(f"# saved tensor checkpoint to {args.checkpoint}")
     return {"final_aux": {k: float(v) for k, v in aux.items()},
             "loss_curves": loss_by_key}
+
+
+def _train_dos_cli(args, jdata, spec, systems, dtype):
+    """dp train with fitting_net.type dos (DOSFitting + DOSLoss)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from g4s_tpu import ckpt
+    from g4s_tpu.models.deepmd import fit_dos as fd
+    from g4s_tpu.models.deepmd.descriptor import compute_stats, env_mat
+    from g4s_tpu.models.deepmd.model import init_params
+    from g4s_tpu.models.deepmd.train import LRConfig
+
+    fit = jdata["model"]["fitting_net"]
+    numb_dos = fit["numb_dos"]
+    loaded = [fd.load_dos_system(s) for s in systems]
+    types0 = loaded[0]["types"]
+    types = jnp.asarray(types0)
+    fr = loaded[0]["frames"]
+    if len(loaded) > 1:
+        fr = {k: np.concatenate([sy["frames"][k] for sy in loaded])
+              for k in fr}
+
+    numb_steps = args.steps or _numb_steps(jdata)
+    lr_j = jdata.get("learning_rate", {})
+    lr = LRConfig(lr_j.get("start_lr", 1e-3), lr_j.get("stop_lr", 3.51e-8),
+                  lr_j.get("decay_steps", 5000),
+                  _numb_steps(jdata))
+    lo = jdata.get("loss", {})
+    loss_cfg = fd.DOSLossConfig(
+        lo.get("start_pref_dos", 1.0), lo.get("limit_pref_dos", 1.0),
+        lo.get("start_pref_cdf", 0.0), lo.get("limit_pref_cdf", 0.0),
+        lo.get("start_pref_ados", 0.0), lo.get("limit_pref_ados", 0.0),
+        lo.get("start_pref_acdf", 0.0), lo.get("limit_pref_acdf", 0.0))
+
+    ntypes = spec.descriptor.ntypes
+    n_stat = min(10, fr["coord"].shape[0])
+    Rs = [env_mat(jnp.asarray(fr["coord"][i]), jnp.asarray(fr["box"][i]),
+                  types, spec.descriptor)[0] for i in range(n_stat)]
+    davg, dstd = compute_stats(Rs, [types0] * n_stat, ntypes,
+                               spec.descriptor.nnei)
+    seed = jdata["training"].get("seed", 10)
+    params = init_params(jax.random.PRNGKey(seed), spec, dtype=dtype)
+    params["stats"]["davg"] = jnp.asarray(davg, dtype)
+    params["stats"]["dstd"] = jnp.asarray(dstd, dtype)
+    # output bias from data (compute_output_stats): mean atomic dos per
+    # type
+    bias = np.zeros((ntypes, numb_dos))
+    if "atom_dos" in fr:
+        for t in range(ntypes):
+            m = types0 == t
+            if m.any():
+                bias[t] = fr["atom_dos"][:, m, :].mean(axis=(0, 1))
+    elif "dos" in fr:
+        bias[:] = fr["dos"].mean(axis=0) / types0.size
+    nets = fd.init_dos_fit(jax.random.PRNGKey(seed + 1), spec, numb_dos,
+                           bias_dos=bias, dtype=dtype)
+
+    bs = jdata["training"]["training_data"].get("batch_size", 4)
+    if not isinstance(bs, int):
+        bs = 4
+    disp = jdata["training"].get("disp_freq", 100)
+    print(f"# dos training: {numb_steps} steps, numb_dos={numb_dos}")
+    hist = []
+    (params, nets), aux = fd.train_dos(
+        params, nets, spec, fr, types, numb_steps=numb_steps,
+        loss_cfg=loss_cfg, lr_cfg=lr, batch_size=bs, seed=seed,
+        callback=lambda s, l, a: (hist.append(l), print(
+            f"step {s}: loss={l:.4e} " + " ".join(
+                f"{k}={v:.4e}" for k, v in a.items())))[-1])
+    ckpt.save_pytree(args.checkpoint, {"params": params, "nets": nets},
+                     meta={"kind": "deepmd_dos", "step": numb_steps})
+    print(f"# saved dos checkpoint to {args.checkpoint}")
+    return {"final_aux": aux, "loss_head": hist[0] if hist else None,
+            "loss_tail": hist[-1] if hist else None}
 
 
 def cmd_freeze(args):

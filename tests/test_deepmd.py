@@ -610,6 +610,23 @@ class TestTensorFitting:
             os.chdir(cwd)
         assert os.path.exists(tmp_path / "ck.npz")
 
+    def test_dp_train_dos_cli_reference_data(self, tmp_path):
+        """`dp train` with fitting_net.type=dos (fit/dos.py + loss/dos.py)
+        on the REAL reference heat-221 DOS data: atomic-DOS rmse must
+        drop substantially from the data-mean baseline."""
+        import argparse
+        import os
+        ref = "/root/reference/deepmd/examples/dos/train/input.json"
+        if not os.path.exists(ref):
+            pytest.skip("reference data not present")
+        from g4s_tpu.drivers import dp
+        args = argparse.Namespace(input=ref, steps=40,
+                                  checkpoint=str(tmp_path / "m.npz"),
+                                  restart=None, dtype="f32")
+        out = dp.cmd_train(args)
+        assert out["loss_tail"] < 0.3 * out["loss_head"], out
+        assert os.path.exists(tmp_path / "m.npz")
+
     def test_dp_train_dipole_cli_reference_data(self, tmp_path):
         """`dp train dipole_input.json` on the REAL reference
         water_tensor dipole data (nopbc, mixed atomic- and global-label
