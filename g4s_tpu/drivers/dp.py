@@ -49,9 +49,23 @@ def cmd_train(args):
     jdata = _load_input(args.input)
     desc = jdata["model"]["descriptor"]
     fit = jdata["model"]["fitting_net"]
+    sel = tuple(desc["sel"])
+    ntypes = len(jdata["model"]["type_map"])
+    if jdata["model"].get("spin"):
+        # atomic-spin model (utils/spin.py): one virtual type per
+        # spin-carrying real type; virtual types reuse the spin types'
+        # sel (se_a.py sel_a_spin)
+        from g4s_tpu.models.deepmd.spin import (SpinSpec, expand_ntypes,
+                                                expand_sel)
+        sj = jdata["model"]["spin"]
+        sp = SpinSpec(tuple(sj["use_spin"]), tuple(sj["virtual_len"]),
+                      tuple(sj["spin_norm"]))
+        sel = expand_sel(sel, sp)
+        ntypes = expand_ntypes(ntypes, sp)
+        print(f"# spin model: {sp.ntypes_spin} virtual type(s), "
+              f"sel -> {list(sel)}")
     spec = ModelSpec(
-        DescriptorSpec(desc["rcut"], desc["rcut_smth"], tuple(desc["sel"]),
-                       len(jdata["model"]["type_map"])),
+        DescriptorSpec(desc["rcut"], desc["rcut_smth"], sel, ntypes),
         tuple(desc["neuron"]), desc.get("axis_neuron", 16),
         tuple(fit["neuron"]), desc.get("resnet_dt", False),
         fit.get("resnet_dt", True),

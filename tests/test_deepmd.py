@@ -610,6 +610,77 @@ class TestTensorFitting:
             os.chdir(cwd)
         assert os.path.exists(tmp_path / "ck.npz")
 
+    def test_spin_model_reference_data(self, tmp_path):
+        """Atomic-spin model (utils/spin.py): virtual-type sel/ntypes
+        expansion trains the bundled NiO spin data through the standard
+        energy/force path; augment/split_forces obey the chain rule
+        dE/dS = f_virtual * virtual_len/spin_norm."""
+        import argparse
+        import json as _json
+        import os
+        data = "/root/reference/deepmd/examples/spin/data/data_0"
+        if not os.path.exists(data):
+            pytest.skip("reference data not present")
+        from g4s_tpu.drivers import dp
+        from g4s_tpu.models.deepmd import spin as sp
+        from g4s_tpu.models.deepmd.descriptor import DescriptorSpec
+        from g4s_tpu.models.deepmd.model import (ModelSpec, init_params,
+                                                 total_energy)
+        # chain rule check on a tiny augmented model
+        spec = ModelSpec(DescriptorSpec(5.6, 5.4, (8, 8, 8), 3),
+                         (6, 12), 3, (16, 16))
+        params = init_params(jax.random.PRNGKey(0), spec)
+        ss = sp.SpinSpec((True, False), (0.4,), (1.2737,))
+        rng = np.random.default_rng(0)
+        coord = jnp.asarray(rng.uniform(1.0, 9.0, (6, 3)))
+        types = np.array([0, 0, 1, 1, 1, 1], np.int32)
+        svec = np.zeros((6, 3))
+        svec[:2] = rng.normal(size=(2, 3))
+        box = jnp.asarray(np.diag([12.0, 12.0, 12.0]))
+
+        def e_of_spin(s_flat):
+            ca, ta = sp.augment(coord, s_flat.reshape(6, 3), types, ss)
+            return total_energy(params, spec, ca, box, ta)
+
+        g = jax.grad(e_of_spin)(jnp.asarray(svec).reshape(-1)).reshape(6, 3)
+        ca, ta = sp.augment(coord, jnp.asarray(svec), types, ss)
+        f_aug = -jax.grad(lambda c: total_energy(params, spec, c, box,
+                                                 ta))(ca)
+        _, f_mag = sp.split_forces(f_aug, ta, ss)
+        np.testing.assert_allclose(np.asarray(-g[:2]), np.asarray(f_mag),
+                                   rtol=1e-5, atol=1e-8)
+        # CLI training on the real NiO spin data (virtual atoms are
+        # materialized in type.raw/coord.npy)
+        jd = {"model": {"type_map": ["Ni", "O"],
+                        "descriptor": {"rcut": 5.6, "rcut_smth": 5.4,
+                                       "sel": [24, 24],
+                                       "neuron": [6, 12],
+                                       "axis_neuron": 4},
+                        "fitting_net": {"neuron": [24, 24]},
+                        "spin": {"use_spin": [True, False],
+                                 "virtual_len": [0.4],
+                                 "spin_norm": [1.2737]}},
+              "learning_rate": {"start_lr": 1e-3, "stop_lr": 1e-4,
+                                "decay_steps": 20},
+              "loss": {"start_pref_e": 0.1, "limit_pref_e": 1,
+                       "start_pref_f": 100, "limit_pref_f": 1},
+              "training": {"numb_steps": 30,
+                           "training_data": {"systems": [data],
+                                             "batch_size": 2}}}
+        inp = tmp_path / "input.json"
+        inp.write_text(_json.dumps(jd))
+        args = argparse.Namespace(input=str(inp), steps=None,
+                                  checkpoint=str(tmp_path / "ck.npz"),
+                                  restart=None, init_model=None,
+                                  finetune=None, dtype="f32")
+        cwd = os.getcwd()
+        try:
+            os.chdir(tmp_path)
+            dp.cmd_train(args)
+        finally:
+            os.chdir(cwd)
+        assert os.path.exists(tmp_path / "ck.npz")
+
     def test_dp_train_dos_cli_reference_data(self, tmp_path):
         """`dp train` with fitting_net.type=dos (fit/dos.py + loss/dos.py)
         on the REAL reference heat-221 DOS data: atomic-DOS rmse must
