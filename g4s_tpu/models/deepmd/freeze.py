@@ -30,6 +30,7 @@ def freeze(params, spec: ModelSpec, path, *, type_map=None) -> None:
         embed_resnet_dt=spec.embed_resnet_dt,
         fit_resnet_dt=spec.fit_resnet_dt,
         descriptor_type=spec.descriptor_type,
+        numb_fparam=spec.numb_fparam, numb_aparam=spec.numb_aparam,
         type_map=list(type_map) if type_map else None,
         treedef=str(treedef))
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
@@ -46,7 +47,9 @@ def load_frozen(path) -> Tuple[dict, ModelSpec]:
                        meta["ntypes"]),
         tuple(meta["embed_neurons"]), meta["axis_neuron"],
         tuple(meta["fit_neurons"]), meta["embed_resnet_dt"],
-        meta["fit_resnet_dt"], meta.get("descriptor_type", "se_e2_a"))
+        meta["fit_resnet_dt"], meta.get("descriptor_type", "se_e2_a"),
+        numb_fparam=meta.get("numb_fparam", 0),
+        numb_aparam=meta.get("numb_aparam", 0))
     # rebuild the treedef by initializing a skeleton with the same structure
     from g4s_tpu.models.deepmd.model import init_params
     skeleton = init_params(jax.random.PRNGKey(0), spec)

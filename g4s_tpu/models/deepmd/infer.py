@@ -29,12 +29,20 @@ class DeepPot:
         from g4s_tpu.models.deepmd.freeze import load_frozen_meta
         self.type_map = load_frozen_meta(model_file).get("type_map") or []
         self._single = jax.jit(
-            lambda c, b, t: energy_force_virial(self.params, self.spec,
-                                                c, b, t))
-        self._batch = jax.jit(jax.vmap(
-            lambda c, b, t: energy_force_virial(self.params, self.spec,
-                                                c, b, t),
-            in_axes=(0, 0, None)))
+            lambda c, b, t, fp, ap: energy_force_virial(
+                self.params, self.spec, c, b, t, fparam=fp, aparam=ap))
+        self._batch_cache = {}
+
+    def _batch(self, c, b, t, fp, ap):
+        key = (fp is None, ap is None)
+        if key not in self._batch_cache:
+            axes = (0, 0, None, None if fp is None else 0,
+                    None if ap is None else 0)
+            self._batch_cache[key] = jax.jit(jax.vmap(
+                lambda c_, b_, t_, fp_, ap_: energy_force_virial(
+                    self.params, self.spec, c_, b_, t_,
+                    fparam=fp_, aparam=ap_), in_axes=axes))
+        return self._batch_cache[key](c, b, t, fp, ap)
 
     @property
     def rcut(self) -> float:
@@ -44,13 +52,21 @@ class DeepPot:
     def ntypes(self) -> int:
         return self.spec.descriptor.ntypes
 
-    def eval(self, coords, box, atom_types):
+    def eval(self, coords, box, atom_types, fparam=None, aparam=None):
+        """e/f/v; models with numb_fparam/numb_aparam require the
+        matching parameters (DeepPot.eval fparam/aparam kwargs)."""
         coords = jnp.asarray(coords)
         box = jnp.asarray(box)
         types = jnp.asarray(atom_types)
+        fp = None if fparam is None else jnp.asarray(fparam)
+        ap = None if aparam is None else jnp.asarray(aparam)
         if coords.ndim == 2:
-            return self._single(coords, box, types)
-        return self._batch(coords, box, types)
+            return self._single(coords, box, types, fp, ap)
+        if fp is not None and fp.ndim == 1:
+            fp = jnp.broadcast_to(fp[None], (coords.shape[0],) + fp.shape)
+        if ap is not None and ap.ndim == 2:
+            ap = jnp.broadcast_to(ap[None], (coords.shape[0],) + ap.shape)
+        return self._batch(coords, box, types, fp, ap)
 
 
 def calc_model_devi(models: Sequence[DeepPot], coords, box, atom_types):
