@@ -818,9 +818,34 @@ def bench_ntc_full():
     return rec
 
 
+def _ensure_live_backend(probe_timeout: float = 150.0):
+    """The accelerator plugin's device init can hang indefinitely when
+    its tunnel is down; probe it in a subprocess first and fall back to
+    the CPU backend (recording the fact) rather than hanging the whole
+    benchmark run."""
+    import subprocess
+    try:
+        sub = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=probe_timeout,
+            env=dict(os.environ))
+        if sub.returncode == 0 and "ok" in sub.stdout:
+            return True
+    except subprocess.TimeoutExpired:
+        pass
+    print("# accelerator backend unreachable -> CPU fallback",
+          file=sys.stderr)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"     # subprocesses too
+    return False
+
+
 def main():
     from g4s_tpu.utils.platform import honor_env_platforms
     honor_env_platforms()
+    _ensure_live_backend()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64", "df64"])
