@@ -282,3 +282,41 @@ def vcs_equilibrate_tp(mech: Mechanism, condensed, T: float, P: float,
     x = fractions(lam)
     n_cond = {c.name: float(n) for c, _, _, n in active}
     return x / x.sum(), n_cond, dict(zip(els_kept, lam))
+
+
+def equilibrate_hp(mech: Mechanism, H_mass: float, P: float,
+                   x0: np.ndarray, *, T_guess: float = 2000.0,
+                   max_outer: int = 60, tol: float = 1e-8):
+    """Adiabatic (constant H, P) equilibrium: secant on T over
+    equilibrate_tp so that the equilibrium mixture's specific enthalpy
+    matches H_mass [J/kg] (ChemEquil's HP mode; gives the adiabatic
+    flame temperature when H_mass is the reactants' enthalpy).
+    Returns (T_eq, x_eq)."""
+    import jax.numpy as jnp
+
+    from g4s_tpu.models.cantera.mech import R_GAS
+    from g4s_tpu.models.cantera.thermo import h0_RT
+
+    W = np.asarray(mech.mol_weights)
+
+    def h_of(T):
+        x = equilibrate_tp(mech, float(T), P, x0)
+        hk = np.asarray(h0_RT(mech, jnp.asarray(float(T)))) * R_GAS * T
+        Wmix = float(x @ W)
+        return float(x @ hk) / Wmix, x
+
+    T0, T1 = float(T_guess), float(T_guess) * 1.05
+    h_0, _ = h_of(T0)
+    h_1, x1 = h_of(T1)
+    for _ in range(max_outer):
+        if abs(h_1 - h_0) < 1e-300:
+            break
+        T2 = T1 - (h_1 - H_mass) * (T1 - T0) / (h_1 - h_0)
+        T2 = float(np.clip(T2, 200.0, 6000.0))
+        if abs(T2 - T1) < tol * max(abs(T1), 1.0):
+            T1 = T2
+            break
+        T0, h_0 = T1, h_1
+        T1 = T2
+        h_1, x1 = h_of(T1)
+    return T1, x1

@@ -583,3 +583,164 @@ def solve_free_flame_adaptive(mech, tr, Y_in, *, n0=48, width=0.02,
     rho_u = None
     su = flame.flame_speed(y)
     return flame, y, su, bool(ok)
+
+
+class CounterflowDiffusionFlame:
+    """Opposed-jet diffusion flame in similarity form (the reference's
+    CounterflowDiffusionFlame on the AxiStagnFlow domain,
+    src/oneD/StFlow.cpp m_dovisc=true).
+
+    Axisymmetric stagnation similarity variables: axial mass flux
+    rho*u(z) and spreading rate V = v/r, with the radial pressure
+    eigenvalue Lambda = (1/r) dp/dr constant across the layer:
+
+      continuity : d(rho u)/dz + 2 rho V = 0          (integrated exactly)
+      radial mom.: rho u dV/dz + rho V^2 = -Lambda + d/dz(mu dV/dz)
+      species    : rho u dY/dz = d/dz(rho D dY/dz) + wdot W
+      energy     : rho u cp dT/dz = d/dz(lam dT/dz) - sum h wdot
+
+    Fuel enters at z=0 (mdot_f > 0), oxidizer at z=L (mdot_o < 0;
+    both V=0). rho*u comes from integrating continuity from the fuel
+    inlet; Lambda joins the pseudo-transient state with the feedback
+      dLambda/dt = -kappa_L (rho u(L) - mdot_o)
+    (larger Lambda damps V, reducing the radial mass sink and raising
+    rho u(L)) — the same eigenvalue-relaxation device the FreeFlame
+    uses for its mdot. State: [Lambda, (V, T, Y_k) x n].
+    """
+
+    def __init__(self, mech: Mechanism, tr: TransportData, *, n_points=64,
+                 width=0.02, pressure=101325.0,
+                 mdot_fuel=0.05, mdot_ox=0.05,
+                 T_fuel=300.0, T_ox=300.0, kappa_L=5e5, z=None):
+        self.mech = mech
+        self.tr = tr
+        self.kin = build_kinetics(mech)
+        zv = np.linspace(0.0, width, n_points) if z is None else np.asarray(z)
+        self.n = int(zv.size)
+        self.z = jnp.asarray(zv)
+        dz = np.diff(zv)
+        self._dzm = jnp.asarray(np.concatenate([[dz[0]], dz]))
+        self._dzp = jnp.asarray(np.concatenate([dz, [dz[-1]]]))
+        self._dzc = jnp.asarray(np.concatenate([[dz[0]], 0.5 * (dz[1:] + dz[:-1]), [dz[-1]]]))
+        self.P = pressure
+        self.mdot_f = float(mdot_fuel)          # > 0 (into the domain)
+        self.mdot_o = -abs(float(mdot_ox))      # < 0 at z = L
+        self.T_fuel = T_fuel
+        self.T_ox = T_ox
+        self.kappa_L = kappa_L
+        self.W = jnp.asarray(mech.mol_weights)
+
+    def initial_profile(self, Y_fuel, Y_ox, *, T_hot=2000.0):
+        """Linear blend of the two inlet streams with a hot bump at the
+        middle to light the flame (CounterflowDiffusionFlame's default
+        initial guess role)."""
+        n = self.n
+        zf = np.linspace(0.0, 1.0, n)
+        Y = (1 - zf)[:, None] * np.asarray(Y_fuel)[None, :] \
+            + zf[:, None] * np.asarray(Y_ox)[None, :]
+        T = (1 - zf) * self.T_fuel + zf * self.T_ox \
+            + (T_hot - 300.0) * np.exp(-((zf - 0.5) / 0.15) ** 2)
+        V = np.zeros(n)
+        self.Y_fuel = jnp.asarray(Y_fuel)
+        self.Y_ox = jnp.asarray(Y_ox)
+        core = np.concatenate([V[:, None], T[:, None], Y], axis=1)
+        return jnp.concatenate([jnp.asarray([0.0]), core.reshape(-1)])
+
+    def _props(self, T, Y):
+        x = (Y / self.W[None, :])
+        x = x / x.sum(axis=1, keepdims=True)
+        Wmix = 1.0 / jnp.sum(Y / self.W[None, :], axis=1)
+        rho = self.P * Wmix / (R_GAS * T)
+        cp_r = jax.vmap(lambda t: cp0_R(self.mech, t))(T)
+        cp_mass = jnp.sum(Y * cp_r * R_GAS / self.W[None, :], axis=1)
+        lam = jax.vmap(lambda t, xx, c: thermal_conductivity(
+            self.mech, self.tr, t, xx, c))(T, x, cp_r)
+        D = jax.vmap(lambda t, xx: mixture_diffusion_coeffs(
+            self.mech, self.tr, t, self.P, xx))(T, x)
+        from g4s_tpu.models.cantera.transport import mixture_viscosity
+        mu = jax.vmap(lambda t, xx: mixture_viscosity(
+            self.mech, self.tr, t, xx))(T, x)
+        return rho, cp_mass, lam, D, mu, x
+
+    def rhs(self, t, state):
+        n, K = self.n, self.mech.nspec
+        Lam = state[0]
+        s = state[1:].reshape(n, K + 2)
+        V = s[:, 0]
+        T = jnp.clip(s[:, 1], 200.0, 4000.0)
+        Y_raw = jnp.clip(s[:, 2:], 0.0, 1.0)
+        Y = Y_raw / jnp.maximum(jnp.sum(Y_raw, axis=1, keepdims=True), 1e-12)
+        rho, cp, lam, D, mu, x = self._props(T, Y)
+        dzm, dzp = self._dzm, self._dzp
+
+        # continuity: rho u(z) = mdot_f - 2 int_0^z rho V dz' (trapezoid)
+        rv = rho * V
+        seg = 0.5 * (rv[1:] + rv[:-1]) * (self.z[1:] - self.z[:-1])
+        m = self.mdot_f - 2.0 * jnp.concatenate(
+            [jnp.zeros(1), jnp.cumsum(seg)])            # (n,) rho*u
+
+        def _bcast(v, f):
+            return v.reshape((-1,) + (1,) * (f.ndim - 1))
+
+        def ddz_signed(f):
+            # upwind by the local flow direction (u changes sign at the
+            # stagnation plane)
+            fw = jnp.concatenate([(f[1:2] - f[0:1]), f[1:] - f[:-1]]) \
+                / _bcast(dzm, f)
+            bw = jnp.concatenate([f[1:] - f[:-1], (f[-1:] - f[-2:-1])]) \
+                / _bcast(dzp, f)
+            up = _bcast(m, f) >= 0
+            return jnp.where(up, fw, bw)
+
+        def d2dz2(f, coeff):
+            fm = jnp.pad(f, ((1, 1),) + ((0, 0),) * (f.ndim - 1), mode="edge")
+            cm = jnp.pad(coeff, ((1, 1),) + ((0, 0),) * (coeff.ndim - 1),
+                         mode="edge")
+            c_half_p = 0.5 * (cm[2:] + cm[1:-1])
+            c_half_m = 0.5 * (cm[1:-1] + cm[:-2])
+            flux_p = c_half_p * (fm[2:] - fm[1:-1]) / _bcast(dzp, f)
+            flux_m = c_half_m * (fm[1:-1] - fm[:-2]) / _bcast(dzm, f)
+            return (flux_p - flux_m) / _bcast(0.5 * (dzp + dzm), f)
+
+        conc = rho[:, None] * Y / self.W[None, :]
+        wdot = jax.vmap(lambda tt, cc: net_production_rates(
+            self.kin, self.mech, tt, cc))(T, conc)
+
+        # radial momentum
+        dV = (-m * ddz_signed(V[:, None])[:, 0] - rho * V * V - Lam
+              + d2dz2(V[:, None], mu[:, None])[:, 0]) / rho
+        # species
+        dY = (-_bcast(m, Y) * ddz_signed(Y)
+              + d2dz2(Y, rho[:, None] * D) + wdot * self.W[None, :]) \
+            / rho[:, None]
+        dY = dY + 1e2 * (Y - Y_raw)
+        # energy
+        h_mol = jax.vmap(lambda tt: h0_RT(self.mech, tt))(T) \
+            * R_GAS * T[:, None]
+        q_chem = -jnp.sum(h_mol * wdot, axis=1)
+        dT = (-m * cp * ddz_signed(T[:, None])[:, 0]
+              + d2dz2(T[:, None], lam[:, None])[:, 0] + q_chem) / (rho * cp)
+
+        # inlet BCs: fixed T/Y/V at both ends
+        relax = 1e3
+        dV = dV.at[0].set(-V[0] * relax).at[-1].set(-V[-1] * relax)
+        dT = dT.at[0].set((self.T_fuel - T[0]) * relax) \
+            .at[-1].set((self.T_ox - T[-1]) * relax)
+        dY = dY.at[0].set((self.Y_fuel - s[0, 2:]) * relax) \
+            .at[-1].set((self.Y_ox - s[-1, 2:]) * relax)
+        # Lambda feedback on the far-end mass flux
+        dLam = -self.kappa_L * (m[-1] - self.mdot_o)
+        core = jnp.concatenate([dV[:, None], dT[:, None], dY], axis=1)
+        return jnp.concatenate([dLam[None], core.reshape(-1)])
+
+    def solve(self, state0, *, t_end=0.2, rtol=1e-5, atol=1e-8,
+              max_steps=40000):
+        res = bdf_solve(self.rhs, state0, 0.0, t_end, rtol=rtol, atol=atol,
+                        max_steps=max_steps)
+        r1 = float(jnp.max(jnp.abs(self.rhs(0.0, res.y))))
+        return res, r1
+
+    def unpack(self, state):
+        """(Lambda, V, T, Y) from the flat state."""
+        s = np.asarray(state[1:]).reshape(self.n, self.mech.nspec + 2)
+        return float(state[0]), s[:, 0], s[:, 1], s[:, 2:]

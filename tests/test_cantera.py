@@ -513,6 +513,69 @@ class TestReactorNet:
         assert abs(T_net - float(rr.y[0])) / float(rr.y[0]) < 1e-6
 
 
+@pytest.mark.slow
+class TestCounterflowDiffusionFlame:
+    def test_h2_vs_air_structure_and_peak_T(self):
+        """CounterflowDiffusionFlame (AxiStagnFlow similarity form):
+        opposed H2/N2 vs air jets must produce a diffusion flame between
+        the inlets — peak T bracketed by the stoichiometric-blend
+        adiabatic flame temperature (equilibrate_hp oracle), both
+        reactants depleted at the flame, Lambda < 0, V >= 0 with the
+        inlet V pinned at zero."""
+        import jax.numpy as jnp
+        from g4s_tpu.models.cantera.equilibrium import equilibrate_hp
+        from g4s_tpu.models.cantera.flame import CounterflowDiffusionFlame
+        from g4s_tpu.models.cantera.thermo import h0_RT
+        from g4s_tpu.models.cantera.transport import load_transport
+        mech = load_mechanism(H2O2)
+        tr = load_transport(H2O2, mech)
+        W = np.asarray(mech.mol_weights)
+        mass = lambda X: (X * W) / (X * W).sum()
+        Xf = np.zeros(mech.nspec)
+        Xf[mech.species_index("H2")] = 0.4
+        Xf[mech.species_index("N2")] = 0.6
+        Xo = np.zeros(mech.nspec)
+        Xo[mech.species_index("O2")] = 0.21
+        Xo[mech.species_index("N2")] = 0.79
+        fl = CounterflowDiffusionFlame(mech, tr, n_points=48, width=0.02,
+                                       mdot_fuel=0.08, mdot_ox=0.12)
+        s0 = fl.initial_profile(mass(Xf), mass(Xo))
+        res, _ = fl.solve(s0, t_end=0.1)
+        Lam, V, T, Y = fl.unpack(res.y)
+        ipk = int(np.argmax(T))
+        # flame strictly between the inlets, inlet states pinned
+        assert 5 < ipk < fl.n - 5
+        assert abs(T[0] - 300.0) < 1.0 and abs(T[-1] - 300.0) < 1.0
+        assert abs(V[0]) < 1e-3 and abs(V[-1]) < 1e-3
+        assert V.min() > -1e-6 and V.max() > 1.0
+        assert Lam < 0.0
+        # both reactants consumed at the flame
+        assert Y[ipk, mech.species_index("H2")] < 0.1 * mass(Xf)[
+            mech.species_index("H2")]
+        assert Y[ipk, mech.species_index("O2")] < 0.2 * mass(Xo)[
+            mech.species_index("O2")]
+        # peak T bracket: the stoichiometric-blend adiabatic temperature
+        # from below (hydrogen's Le < 1 preferential diffusion makes the
+        # reaction zone SUPER-adiabatic relative to the frozen-mixing
+        # blend — a classic H2 diffusion-flame effect), and the
+        # undiluted stoich H2/air T_ad from above
+        a = (0.4 * 0.5) / 0.21      # moles ox stream per mole fuel stream
+        Xs = Xf + a / (1 + a) * (Xo - Xf)
+        Xs = Xs / Xs.sum()
+        hk = np.asarray(h0_RT(mech, jnp.asarray(300.0))) * 8.31446 * 300.0
+        H = float(Xs @ hk) / float(Xs @ W)
+        T_ad_blend, _ = equilibrate_hp(mech, H, 101325.0, Xs)
+        Xu = np.zeros(mech.nspec)
+        Xu[mech.species_index("H2")] = 2.0
+        Xu[mech.species_index("O2")] = 1.0
+        Xu[mech.species_index("N2")] = 3.76
+        Xu = Xu / Xu.sum()
+        Hu = float(Xu @ hk) / float(Xu @ W)
+        T_ad_max, _ = equilibrate_hp(mech, Hu, 101325.0, Xu)
+        assert 0.8 * T_ad_blend < T.max() < 1.01 * T_ad_max, \
+            (T.max(), T_ad_blend, T_ad_max)
+
+
 class TestFreeFlame:
     def test_flame_speed_eigenvalue(self):
         """FreeFlame (oneD StFlow free-flow domain): the mass-flux
