@@ -744,3 +744,46 @@ class CounterflowDiffusionFlame:
         """(Lambda, V, T, Y) from the flat state."""
         s = np.asarray(state[1:]).reshape(self.n, self.mech.nspec + 2)
         return float(state[0]), s[:, 0], s[:, 1], s[:, 2:]
+
+
+class ImpingingJet(CounterflowDiffusionFlame):
+    """Premixed jet against a stagnation wall (the reference's
+    ImpingingJet: AxiStagnFlow + Surf1D wall domain).
+
+    Same similarity equations as the counterflow flame; the far boundary
+    is a solid wall instead of a second inlet: u(L) = 0 (the Lambda
+    feedback target becomes zero mass flux), V(L) = 0, T(L) = T_wall,
+    and zero species flux (dY/dz = 0)."""
+
+    def __init__(self, mech: Mechanism, tr: TransportData, *, n_points=64,
+                 width=0.01, pressure=101325.0, mdot=0.1,
+                 T_inlet=300.0, T_wall=600.0, kappa_L=5e5, z=None):
+        super().__init__(mech, tr, n_points=n_points, width=width,
+                         pressure=pressure, mdot_fuel=mdot, mdot_ox=0.0,
+                         T_fuel=T_inlet, T_ox=T_wall, kappa_L=kappa_L, z=z)
+        self.mdot_o = 0.0               # stagnation wall: u(L) = 0
+
+    def initial_profile(self, Y_in, *, T_hot=2000.0):
+        """Premixed inlet everywhere + a hot layer near the wall to
+        ignite the stagnation flame."""
+        n = self.n
+        zf = np.linspace(0.0, 1.0, n)
+        Y = np.tile(np.asarray(Y_in), (n, 1))
+        T = self.T_fuel + (T_hot - self.T_fuel) * np.clip(
+            (zf - 0.55) / 0.2, 0.0, 1.0)
+        T[-1] = self.T_ox               # wall temperature
+        self.Y_fuel = jnp.asarray(Y_in)
+        self.Y_ox = jnp.asarray(Y_in)   # placeholder; wall is zero-flux
+        core = np.concatenate([np.zeros((n, 1)), T[:, None], Y], axis=1)
+        return jnp.concatenate([jnp.asarray([0.0]), core.reshape(-1)])
+
+    def rhs(self, t, state):
+        out = super().rhs(t, state)
+        # replace the far-end species BC: zero flux (dY/dz = 0) instead
+        # of a prescribed oxidizer composition
+        n, K = self.n, self.mech.nspec
+        core = out[1:].reshape(n, K + 2)
+        s = state[1:].reshape(n, K + 2)
+        relax = 1e3
+        core = core.at[-1, 2:].set((s[-2, 2:] - s[-1, 2:]) * relax)
+        return jnp.concatenate([out[:1], core.reshape(-1)])

@@ -576,6 +576,38 @@ class TestCounterflowDiffusionFlame:
             (T.max(), T_ad_blend, T_ad_max)
 
 
+@pytest.mark.slow
+class TestImpingingJet:
+    def test_premixed_stagnation_flame(self):
+        """ImpingingJet (AxiStagnFlow + wall): a stoich H2/air jet onto a
+        600 K wall holds a strained premixed flame between inlet and
+        wall — peak T well above the wall but below the unstrained T_ad
+        (wall heat loss + strain), fuel consumed, both temperature BCs
+        pinned and u(wall) driven to zero by the Lambda feedback."""
+        from g4s_tpu.models.cantera.flame import ImpingingJet
+        from g4s_tpu.models.cantera.transport import load_transport
+        mech = load_mechanism(H2O2)
+        tr = load_transport(H2O2, mech)
+        W = np.asarray(mech.mol_weights)
+        X = np.zeros(mech.nspec)
+        X[mech.species_index("H2")] = 2.0
+        X[mech.species_index("O2")] = 1.0
+        X[mech.species_index("N2")] = 3.76
+        Y = (X * W) / (X * W).sum()
+        fl = ImpingingJet(mech, tr, n_points=48, width=0.01, mdot=0.3,
+                          T_inlet=300.0, T_wall=600.0)
+        s0 = fl.initial_profile(Y)
+        res, _ = fl.solve(s0, t_end=0.05)
+        Lam, V, T, Yf = fl.unpack(res.y)
+        assert abs(T[0] - 300.0) < 1.0 and abs(T[-1] - 600.0) < 1.0
+        assert 1400.0 < T.max() < 2500.0
+        assert Lam < 0.0
+        ipk = int(np.argmax(T))
+        iH2 = mech.species_index("H2")
+        assert Yf[ipk, iH2] < 0.7 * Y[iH2]
+        assert Yf[-1, iH2] < 0.7 * Y[iH2]     # burned gas at the wall
+
+
 class TestFreeFlame:
     def test_flame_speed_eigenvalue(self):
         """FreeFlame (oneD StFlow free-flow domain): the mass-flux
