@@ -136,3 +136,48 @@ def thermal_conductivity(mech: Mechanism, tr: TransportData, T, x, cp_R):
     lam_mix = 0.5 * (jnp.sum(x * lam_k)
                      + 1.0 / jnp.sum(x / jnp.maximum(lam_k, 1e-30)))
     return lam_mix
+
+
+def stefan_maxwell_velocities(mech: Mechanism, tr: TransportData, T, P,
+                              x, grad_x):
+    """Exact multicomponent diffusion velocities (the MultiTransport
+    role, src/transport/MultiTransport.cpp): solve the Stefan-Maxwell
+    system
+
+        grad X_i = sum_{j != i} X_i X_j / D_ij (V_j - V_i),
+        sum_k Y_k V_k = 0   (mass-flux closure, replacing one row)
+
+    for the species diffusion velocities V_k [m/s]. Reduces exactly to
+    Fick's law with the binary D for a two-species mixture; the
+    mixture-averaged formula (mixture_diffusion_coeffs) is its dilute
+    approximation. Thermal diffusion (Soret) is not included.
+    """
+    K = mech.nspec
+    D = binary_diffusion(mech, tr, T, P)
+    x = jnp.maximum(x, 1e-16)
+    x = x / jnp.sum(x)
+    W = jnp.asarray(mech.mol_weights)
+    Y = x * W / jnp.sum(x * W)
+    G = jnp.where(jnp.eye(K, dtype=bool), 0.0,
+                  x[:, None] * x[None, :] / D)         # (K, K)
+    # row i of A: sum_j G_ij V_j - (sum_j G_ij) V_i = grad X_i
+    A = G - jnp.diag(jnp.sum(G, axis=1))
+    b = grad_x
+    # replace the last row by the closure sum Y_k V_k = 0 (the system is
+    # singular: rows sum to zero, like the reference's L-matrix)
+    A = A.at[-1, :].set(Y)
+    b = b.at[-1].set(0.0)
+    return jnp.linalg.solve(A, b)
+
+
+def multi_diff_coeffs(mech: Mechanism, tr: TransportData, T, P, x):
+    """Multicomponent diffusion coefficient matrix D_km such that the
+    species flux is j_k = rho Y_k V_k with V from unit composition
+    gradients (getMultiDiffCoeffs role): column m holds the velocities
+    response to grad X_m = e_m - X (projected to sum-zero)."""
+    K = mech.nspec
+    eye = jnp.eye(K)
+    basis = eye - x[None, :]                    # sum-zero gradient probes
+    V = jax.vmap(lambda g: stefan_maxwell_velocities(
+        mech, tr, T, P, x, g))(basis)           # (K probes, K species)
+    return V.T                                  # response matrix

@@ -513,6 +513,67 @@ class TestReactorNet:
         assert abs(T_net - float(rr.y[0])) / float(rr.y[0]) < 1e-6
 
 
+class TestMultiTransport:
+    def test_stefan_maxwell_exact_binary_and_closure(self):
+        """Multicomponent diffusion (MultiTransport role): the
+        Stefan-Maxwell solve must reduce to the exact mass-frame binary
+        result V1 = -D12 Y2 grad_x1/(x1 x2), satisfy the mass-flux
+        closure and the SM equations themselves for a ternary mixture,
+        and approach the mixture-averaged coefficients in the dilute
+        limit."""
+        import jax.numpy as jnp
+        from g4s_tpu.models.cantera.transport import (
+            binary_diffusion, load_transport, mixture_diffusion_coeffs,
+            stefan_maxwell_velocities)
+        mech = load_mechanism(H2O2)
+        tr = load_transport(H2O2, mech)
+        K = mech.nspec
+        T, P = 800.0, 101325.0
+        iH2 = mech.species_index("H2")
+        iO2 = mech.species_index("O2")
+        iN2 = mech.species_index("N2")
+        W = np.asarray(mech.mol_weights)
+        # binary limit
+        x = np.full(K, 1e-16)
+        x[iH2], x[iO2] = 0.4, 0.6
+        x = x / x.sum()
+        g = np.zeros(K)
+        g[iH2], g[iO2] = 1e2, -1e2
+        V = np.asarray(stefan_maxwell_velocities(
+            mech, tr, T, P, jnp.asarray(x), jnp.asarray(g)))
+        D12 = float(np.asarray(binary_diffusion(mech, tr, T, P))[iH2, iO2])
+        Y = x * W / (x @ W)
+        V1_exact = -D12 * Y[iO2] * g[iH2] / (x[iH2] * x[iO2])
+        assert abs(V[iH2] / V1_exact - 1) < 1e-6
+        # ternary: closure + SM residual
+        x = np.full(K, 1e-16)
+        x[iH2], x[iO2], x[iN2] = 0.2, 0.3, 0.5
+        x = x / x.sum()
+        g = np.zeros(K)
+        g[iH2], g[iO2], g[iN2] = 50.0, -20.0, -30.0
+        V = np.asarray(stefan_maxwell_velocities(
+            mech, tr, T, P, jnp.asarray(x), jnp.asarray(g)))
+        Y = x * W / (x @ W)
+        assert abs(Y @ V) < 1e-10
+        D = np.asarray(binary_diffusion(mech, tr, T, P))
+        for i in range(K - 1):
+            r = sum(x[i] * x[j] / D[i, j] * (V[j] - V[i])
+                    for j in range(K) if j != i) - g[i]
+            assert abs(r) < 1e-6
+        # dilute limit: trace H2 in N2 -> V_H2 ~ mixture-averaged D
+        x = np.full(K, 1e-16)
+        x[iH2], x[iN2] = 1e-6, 1.0 - 1e-6
+        x = x / x.sum()
+        g = np.zeros(K)
+        g[iH2], g[iN2] = 1.0, -1.0
+        V = np.asarray(stefan_maxwell_velocities(
+            mech, tr, T, P, jnp.asarray(x), jnp.asarray(g)))
+        Dm = np.asarray(mixture_diffusion_coeffs(mech, tr, T, P,
+                                                 jnp.asarray(x)))
+        V_mix = -Dm[iH2] * g[iH2] / x[iH2]
+        assert abs(V[iH2] / V_mix - 1) < 1e-3
+
+
 @pytest.mark.slow
 class TestCounterflowDiffusionFlame:
     def test_h2_vs_air_structure_and_peak_T(self):
