@@ -172,14 +172,15 @@ def bench_cookbook2(steps: int, dtype_str: str):
         model = CitcomModel(cfg, dtype=dtype)
         s = model.init_state()
         s, _ = model.initial_solve(s)
+        from g4s_tpu.obs.devtime import fetch_sync
         s, d = model.step(s)          # warmup/compile
-        jax.block_until_ready(s.T)
+        fetch_sync(s.T)
         t0 = time.time()
         inner_total = 0
         for _ in range(steps):
             s, d = model.step(s)
-            inner_total += int(d.inner_iterations)
-        jax.block_until_ready(s.T)
+            inner_total += int(d.inner_iterations)   # forces sync per step
+        fetch_sync(s.T)
         per_step = (time.time() - t0) / steps
         inner_per_step = inner_total / steps
 
@@ -240,10 +241,11 @@ def bench_shocktube():
         import jax.numpy as jnp
         r = b.r_ig
         y0 = np.asarray(r.initial_state(1000.0, P0, X_ig))
+        from g4s_tpu.obs.devtime import fetch_sync
         rhs_j = jax.jit(r.rhs)
-        rhs_j(0.0, jnp.asarray(y0)).block_until_ready()
+        fetch_sync(rhs_j(0.0, jnp.asarray(y0)))
         jac_j = jax.jit(jax.jacfwd(r.rhs, argnums=1))
-        jac_j(0.0, jnp.asarray(y0)).block_until_ready()
+        fetch_sync(jac_j(0.0, jnp.asarray(y0)))
         t0 = time.time()
         sol = scipy.integrate.solve_ivp(
             lambda t, y: np.asarray(rhs_j(t, y)), (0.0, 0.005), y0,
@@ -352,6 +354,7 @@ def _rmat_like(n: int, nnz: int, seed: int = 7, cap: int = 256):
 
 
 def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
+    import jax.numpy as jnp
     import numpy as np
     import scipy.sparse as sp
     from g4s_tpu.ops.spgemm import spgemm_flops
@@ -362,19 +365,16 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
         """ESC engine on one matrix: plan (symbolic) + timed numeric +
         measured scipy baseline (the reference driver's CPU-library
         role, mkl_spgemm.cpp:67-81 protocol: warmup + averaged reps)."""
+        from g4s_tpu.obs.devtime import time_fn
         A = CSR.from_scipy(A_s)
         flops = spgemm_flops(A, A)
         t0 = time.perf_counter()
         plan = esc_plan(A, A)
         symbolic_s = time.perf_counter() - t0
         dplan = plan.to_device()
-        a_d = np.asarray(A.data)
-        esc_numeric(a_d, a_d, dplan).block_until_ready()   # compile (warm)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            c = esc_numeric(a_d, a_d, dplan)
-        c.block_until_ready()
-        numeric_s = (time.perf_counter() - t0) / reps
+        a_d = jnp.asarray(np.asarray(A.data))   # device-resident
+        c = esc_numeric(a_d, a_d, dplan)                   # compile (warm)
+        numeric_s = time_fn(esc_numeric, a_d, a_d, dplan, reps=reps)
         gflops = flops / numeric_s / 1e9
 
         A64 = A_s.astype(np.float64)
@@ -395,8 +395,8 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
         if A.shape[0] * A.shape[1] < (1 << 31):   # int32 device keys
             from g4s_tpu.ops.spgemm import spgemm_device_full
             keys, vals, nnz_d = spgemm_device_full(A, A)   # compile
-            import jax as _jax
-            _jax.block_until_ready(vals)
+            from g4s_tpu.obs.devtime import fetch_sync as _fs
+            _fs(vals)
             t0 = time.perf_counter()
             keys, vals, nnz_d = spgemm_device_full(A, A)
             csum = float(vals.sum())
@@ -444,12 +444,9 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
     A = CSR.from_scipy(A_s)
     tplan = spgemm_plan(A, A).to_device()
     a_d = jnp.asarray(A.data)
+    from g4s_tpu.obs.devtime import time_fn as _time_fn
     num = jax.jit(spgemm_numeric)
-    num(a_d, a_d, tplan).block_until_ready()
-    t0 = time.perf_counter()
-    c = num(a_d, a_d, tplan)
-    c.block_until_ready()
-    take_ms = (time.perf_counter() - t0) * 1e3
+    take_ms = _time_fn(num, a_d, a_d, tplan, reps=3) * 1e3
 
     return {"metric": "spgemm_gflops_numeric", "value": er["gflops"],
             "unit": "GFLOPS",
@@ -523,6 +520,7 @@ def bench_spmv(dtype_str: str = "f32"):
     from g4s_tpu.engine import build_graph, mxv
     from g4s_tpu.sparse import CSR
     from g4s_tpu.obs import roofline
+    from g4s_tpu.obs.devtime import fetch_sync
 
     def measure(g, n, nnz, *, reps=(2, 100)):
         def chain(nrep):
@@ -531,12 +529,12 @@ def bench_spmv(dtype_str: str = "f32"):
         times = {}
         for nrep in reps:
             h = chain(nrep)
-            h(jnp.ones((n,), jnp.float32)).block_until_ready()
+            fetch_sync(h(jnp.ones((n,), jnp.float32)))
             ts = []
             for k in range(3):
                 x = jnp.full((n,), 1.0 + 0.001 * k + 0.01 * nrep, jnp.float32)
                 t0 = time.time()
-                h(x).block_until_ready()
+                fetch_sync(h(x))
                 ts.append(time.time() - t0)
             times[nrep] = min(ts)
         per = (times[reps[1]] - times[reps[0]]) / (reps[1] - reps[0])
@@ -571,13 +569,13 @@ def bench_spmv(dtype_str: str = "f32"):
         times = {}
         for nrep in (2, 100):
             h = chain(nrep)
-            h(jnp.ones((n3,), jnp.float32)).block_until_ready()
+            fetch_sync(h(jnp.ones((n3,), jnp.float32)))
             ts = []
             for k in range(3):
                 x = jnp.full((n3,), 1.0 + 0.001 * k + 0.01 * nrep,
                              jnp.float32)
                 t0 = time.time()
-                h(x).block_until_ready()
+                fetch_sync(h(x))
                 ts.append(time.time() - t0)
             times[nrep] = min(ts)
         per = (times[100] - times[2]) / 98
@@ -591,12 +589,12 @@ def bench_spmv(dtype_str: str = "f32"):
         times_f = {}
         for nrep in (2, 30):
             h = chain_full(nrep)
-            h(jnp.ones((n3,), jnp.float32)).block_until_ready()
+            fetch_sync(h(jnp.ones((n3,), jnp.float32)))
             ts = []
             for k in range(3):
                 x = jnp.full((n3,), 1.0 + 0.001 * k, jnp.float32)
                 t0 = time.time()
-                h(x).block_until_ready()
+                fetch_sync(h(x))
                 ts.append(time.time() - t0)
             times_f[nrep] = min(ts)
         per_full = (times_f[30] - times_f[2]) / 28
@@ -647,12 +645,12 @@ def bench_spmv(dtype_str: str = "f32"):
         times = {}
         for nrep in (2, 30):
             h = chain2(nrep)
-            h(jnp.ones((n,), jnp.float32)).block_until_ready()
+            fetch_sync(h(jnp.ones((n,), jnp.float32)))
             ts = []
             for k in range(3):
                 xq = jnp.full((n,), 1.0 + 0.001 * k, jnp.float32)
                 t0 = time.time()
-                h(xq).block_until_ready()
+                fetch_sync(h(xq))
                 ts.append(time.time() - t0)
             times[nrep] = min(ts)
         per = (times[30] - times[2]) / 28
@@ -706,11 +704,11 @@ def bench_spmv(dtype_str: str = "f32"):
             def chain(K):
                 h = jax.jit(lambda z: jax.lax.fori_loop(
                     0, K, lambda i, v: f(v), z))
-                h(z).block_until_ready()
+                fetch_sync(h(z))
                 ts = []
                 for _ in range(5):
                     t0 = time.time()
-                    h(z).block_until_ready()
+                    fetch_sync(h(z))
                     ts.append(time.time() - t0)
             # median-of-5 per chain length
                 return float(np.median(ts))

@@ -29,14 +29,11 @@ def spgemm_probe(n=1 << 15, avg_deg=16, reps=10):
     t0 = time.perf_counter()
     plan = esc_plan(A, A)
     plan_s = time.perf_counter() - t0
+    import jax.numpy as jnp
+    from g4s_tpu.obs.devtime import time_fn
     dplan = plan.to_device()
-    a_d = np.asarray(A.data)
-    esc_numeric(a_d, a_d, dplan).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        c = esc_numeric(a_d, a_d, dplan)
-    c.block_until_ready()
-    per = (time.perf_counter() - t0) / reps
+    a_d = jnp.asarray(np.asarray(A.data))   # device-resident
+    per = time_fn(esc_numeric, a_d, a_d, dplan, reps=reps)
     _, stages = esc_numeric_staged(a_d, a_d, dplan)
     return {"what": "esc_spgemm", "n": n, "flops": plan.flops,
             "plan_s": round(plan_s, 2), "numeric_ms": round(per * 1e3, 2),

@@ -22,6 +22,7 @@ import time
 import jax
 import jax.numpy as jnp
 
+from g4s_tpu.obs.devtime import time_fn
 from g4s_tpu.obs.timings import Timings
 from g4s_tpu.ops.spgemm import (spgemm_device_merge, spgemm_flops,
                                 spgemm_numeric, spgemm_plan)
@@ -49,12 +50,7 @@ def bench_pair(A: CSR, B: CSR, *, reps: int = 10, verbose=True):
     dplan = plan.to_device()
     a_d, b_d = jnp.asarray(A.data), jnp.asarray(B.data)
     num = jax.jit(spgemm_numeric)
-    num(a_d, b_d, dplan).block_until_ready()   # warmup/compile
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        c = num(a_d, b_d, dplan)
-    c.block_until_ready()
-    t.record("numeric", (time.perf_counter() - t0) / reps)
+    t.record("numeric", time_fn(num, a_d, b_d, dplan, reps=reps))
     out["plan"] = t.as_dict()
     out["plan"]["gflops_numeric"] = flops / t.stages["numeric"] / 1e9
     if verbose:
@@ -63,13 +59,8 @@ def bench_pair(A: CSR, B: CSR, *, reps: int = 10, verbose=True):
 
     # --- device-merge variant ---
     t = Timings("device-merge (expand/sort/merge)")
-    keys, vals, nnz = spgemm_device_merge(A, B)   # warmup/compile
-    jax.block_until_ready(vals)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        keys, vals, nnz = spgemm_device_merge(A, B)
-    jax.block_until_ready(vals)
-    t.record("expand+merge", (time.perf_counter() - t0) / reps)
+    t.record("expand+merge",
+             time_fn(lambda: spgemm_device_merge(A, B)[1], reps=reps))
     out["device"] = t.as_dict()
     if verbose:
         print(t.report(flops=flops))
@@ -80,12 +71,7 @@ def bench_pair(A: CSR, B: CSR, *, reps: int = 10, verbose=True):
         Ad = jnp.asarray(csr_to_dense(A), jnp.float32)
         Bd = jnp.asarray(csr_to_dense(B), jnp.float32)
         mm = jax.jit(lambda x, y: x @ y)
-        mm(Ad, Bd).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            cd = mm(Ad, Bd)
-        cd.block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
+        dt = time_fn(mm, Ad, Bd, reps=reps)
         out["dense"] = {"matmul": dt,
                         "gflops": 2 * Ad.shape[0] * Ad.shape[1] * Bd.shape[1] / dt / 1e9}
         if verbose:

@@ -11,9 +11,7 @@ Usage: python -m g4s_tpu.drivers.mv_bench <matrix.mtx | dim> [reps]
 from __future__ import annotations
 
 import sys
-import time
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,27 +33,23 @@ def run(dim_or_path, reps: int = 10, dtype=jnp.float32, verbose=True):
     sym = np.triu(np.asarray(a)) + np.triu(np.asarray(a), 1).T
     ap = jnp.asarray(pack_symmetric(sym), dtype)
 
-    def repeat(kernel):
-        # chain reps matvecs inside ONE jitted computation so per-dispatch
-        # tunnel latency does not pollute the per-call time
-        def fn(mat, vec):
-            def body(i, v):
-                return kernel(mat, v) * (1.0 / jnp.maximum(1e-30, jnp.max(jnp.abs(v))))
-            return jax.lax.fori_loop(0, reps, body, vec)
-        return jax.jit(fn)
+    # two-point chained fori_loop timing with value-forcing sync
+    # (obs/devtime): block_until_ready is not honored by the axon tunnel,
+    # so per-call time is the slope between two chain lengths, with
+    # completion forced by a host fetch of a result-dependent scalar.
+    from g4s_tpu.obs.devtime import chain_time
 
     results = {}
-    for name, fn, args in [
-        ("dsymv", repeat(symv), (a, x)),
-        ("dtrmv", repeat(trmv), (a, x)),
-        ("dspmv", repeat(spmv_packed), (ap, x)),
-        ("dgemv", repeat(gemv), (a, x)),
+    for name, kernel, mat in [
+        ("dsymv", symv, a),
+        ("dtrmv", trmv, a),
+        ("dspmv", spmv_packed, ap),
+        ("dgemv", gemv, a),
     ]:
-        fn(*args).block_until_ready()      # compile
-        t0 = time.perf_counter()
-        y = fn(*args)
-        y.block_until_ready()
-        ms = (time.perf_counter() - t0) / reps * 1e3
+        def body(v, _k=kernel, _m=mat):
+            return _k(_m, v) * (1.0 / jnp.maximum(1e-30,
+                                                  jnp.max(jnp.abs(v))))
+        ms = chain_time(body, x, lens=(2, 2 + reps)) * 1e3
         results[name] = ms
         if verbose:
             print(f"{name}: dim={dim} {ms:.4f} ms "

@@ -31,7 +31,10 @@ class Timings:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                # value-forcing sync (obs/devtime): block_until_ready is
+                # not honored by the axon remote tunnel
+                from g4s_tpu.obs.devtime import fetch_sync
+                fetch_sync(block_on)
             self.stages[name] = self.stages.get(name, 0.0) + \
                 (time.perf_counter() - t0)
 

@@ -320,21 +320,22 @@ def esc_numeric_staged(a_data, b_data, plan: ESCPlan):
     """Numeric phase with per-stage wall times (the Timings.h role,
     mm/src/Timings.cpp:33-64): returns (c_data, {stage: ms}). Stages run
     as separate dispatches with device sync, so totals exceed the fused
-    esc_numeric — use for attribution, not for headline timing."""
-    import time as _time
+    esc_numeric — use for attribution, not for headline timing.
+
+    Timing forces completion with a value fetch (obs/devtime): the axon
+    tunnel does not honor block_until_ready, which silently reported
+    dispatch latency as stage time."""
     import jax as _jax
+
+    from g4s_tpu.obs.devtime import time_fn
 
     p = plan.to_device()
     a_d, b_d = jnp.asarray(a_data), jnp.asarray(b_data)
     out = {}
 
     def timed(name, f, *args):
-        _jax.block_until_ready(f(*args))          # compile warmup
-        t0 = _time.perf_counter()
-        r = f(*args)
-        _jax.block_until_ready(r)
-        out[name] = round((_time.perf_counter() - t0) * 1e3, 3)
-        return r
+        out[name] = round(time_fn(f, *args, reps=4) * 1e3, 3)
+        return f(*args)
 
     reorder = _jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1)[1])
     av = timed("reorder_a", reorder, p.a_rank, a_d)
