@@ -88,9 +88,11 @@ def time_fn(f: Callable, *args, reps: int = 10, inner: int = 1,
         return time.perf_counter() - t0
 
     el = run(reps)
-    # adaptive: resolve the per-call cost well above tunnel jitter
-    while el - rt < 0.05 and reps < 4096:
-        reps = min(reps * 4, 4096)
+    # adaptive: resolve the per-call cost well above tunnel jitter with
+    # one corrective jump (no recompile: same callable, more reps)
+    if el - rt < 0.05 and reps < 4096:
+        per_est = max((el - rt) / reps, 2e-6)
+        reps = min(4096, int(0.1 / per_est) + 1)
         el = run(reps)
     return max((el - rt) / (reps * inner), 1e-12)
 
@@ -126,7 +128,10 @@ def chain_time(body: Callable, x, lens: Sequence[int] = (2, 30),
     n1, n2 = lens
     t1 = timed(n1)
     t2 = timed(n2)
-    while t2 - t1 < min_delta_s and n2 < max_len:
-        n2 = min(n2 * 4, max_len)
+    if t2 - t1 < min_delta_s and n2 < max_len:
+        # single corrective jump (each new length costs one compile):
+        # estimate per-iter from the unresolved slope, floor it at 2 us
+        per_est = max((t2 - t1) / (n2 - n1), 2e-6)
+        n2 = min(max_len, n1 + int(min_delta_s / per_est) + 1)
         t2 = timed(n2)
     return max((t2 - t1) / (n2 - n1), 1e-12)

@@ -92,26 +92,49 @@ class _S(NamedTuple):
 def bdf_solve(f: Callable, y0, t0, t1, *, rtol=1e-6, atol=1e-9,
               first_step=None, max_steps=100000, jac=None,
               record_fn: Callable | None = None,
-              record_size: int = 0) -> BDFResult:
+              record_size: int = 0,
+              bandwidth: tuple | None = None) -> BDFResult:
     """Integrate dy/dt = f(t, y) from t0 to t1; returns the state at t1.
 
     With record_fn, every accepted internal step appends
     (t, record_fn(y)) to a fixed-size buffer — the analog of driving
     CVODES in one-step mode (`ReactorNet.step`, zeroD/ReactorNet.cpp:210)
     and capturing a SolutionArray row per step.
+
+    bandwidth=(ml, mu) switches the Newton linear algebra to the banded
+    path (the CVBand role, `numerics/BandMatrix.cpp` dgbtrf/dgbtrs):
+    the Jacobian is built with ml+mu+1 comb-seeded jvps instead of n
+    forward columns and factored/solved in O(n*w^2)/O(n*w)
+    (ops/banded.py). The RHS must genuinely have the claimed band
+    structure — out-of-band couplings alias into band slots, exactly as
+    with CVODES's difference-quotient banded Jacobian. A user `jac`
+    must return the row-band layout (n, ml+mu+1) in this mode.
     """
     y0 = jnp.asarray(y0)
     n = y0.shape[0]
     dtype = y0.dtype
     t0 = jnp.asarray(t0, dtype)
     t1 = jnp.asarray(t1, dtype)
-    if jac is None:
-        jac = jax.jacfwd(f, argnums=1)
+    if bandwidth is None:
+        if jac is None:
+            jac = jax.jacfwd(f, argnums=1)
+    else:
+        from g4s_tpu.ops.banded import (band_solve, banded_jac,
+                                        newton_band_factor)
+        ml_, mu_ = int(bandwidth[0]), int(bandwidth[1])
+        if jac is None:
+            jac = lambda t, y: banded_jac(f, t, y, ml_, mu_)
 
     gamma = jnp.asarray(_GAMMA, dtype)
     alpha = jnp.asarray(_ALPHA, dtype)
     error_const = jnp.asarray(_ERROR_CONST, dtype)
     eye = jnp.eye(n, dtype=dtype)
+    if bandwidth is None:
+        _factor = lambda J, c: jax.scipy.linalg.lu_factor(eye - c * J)
+        _lsolve = jax.scipy.linalg.lu_solve
+    else:
+        _factor = lambda J, c: newton_band_factor(J, c, ml=ml_, mu=mu_)
+        _lsolve = lambda fac, rhs: band_solve(fac, rhs, ml=ml_, mu=mu_)
 
     f0 = f(t0, y0)
     if first_step is None:
@@ -143,8 +166,7 @@ def bdf_solve(f: Callable, y0, t0, t1, *, rtol=1e-6, atol=1e-9,
     # primal's factors instead of differentiating the factorization
     J0 = jax.lax.stop_gradient(jac(t0, y0))
     c0 = h0 / alpha[1]
-    lu0 = jax.lax.stop_gradient(
-        jax.scipy.linalg.lu_factor(eye - c0 * J0))
+    lu0 = jax.lax.stop_gradient(_factor(J0, c0))
     st0 = _S(t0, h0, jnp.asarray(1, jnp.int32), D0, jnp.asarray(0, jnp.int32),
              J0, lu0, c0, jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
              jnp.asarray(1, jnp.int32), jnp.asarray(False),
@@ -154,7 +176,7 @@ def bdf_solve(f: Callable, y0, t0, t1, *, rtol=1e-6, atol=1e-9,
         def body(carry):
             d, y, dwn_old, it, conv, div, nf = carry
             rhs = c * f(t_new, y) - psi - d
-            dw = jax.scipy.linalg.lu_solve(lu, rhs)
+            dw = _lsolve(lu, rhs)
             dwn = jnp.sqrt(jnp.mean((dw / scale) ** 2))
             rate = dwn / jnp.maximum(dwn_old, 1e-300)
             safe_rate = jnp.minimum(rate, 0.999)
@@ -188,8 +210,7 @@ def bdf_solve(f: Callable, y0, t0, t1, *, rtol=1e-6, atol=1e-9,
         order = st.order
         c = h / alpha[order]
         lu = jax.lax.cond(c != st.c_lu,
-                          lambda: jax.lax.stop_gradient(
-                              jax.scipy.linalg.lu_factor(eye - c * st.J)),
+                          lambda: jax.lax.stop_gradient(_factor(st.J, c)),
                           lambda: st.lu)
         t_new = st.t + h
 
@@ -205,8 +226,7 @@ def bdf_solve(f: Callable, y0, t0, t1, *, rtol=1e-6, atol=1e-9,
         # on failure: refresh Jacobian at the prediction and retry once
         def retry():
             Jn = jax.lax.stop_gradient(jac(t_new, y_pred))
-            lun = jax.lax.stop_gradient(
-                jax.scipy.linalg.lu_factor(eye - c * Jn))
+            lun = jax.lax.stop_gradient(_factor(Jn, c))
             d2, conv2, nf2 = newton(t_new, y_pred, c, psi, scale, lun)
             return Jn, lun, d2, conv2, nf2, jnp.asarray(1, jnp.int32)
 

@@ -232,54 +232,115 @@ long g4s_bwell_windows(const int64_t* cols, const double* vals, long n_packs,
 // and sequential — replaces the numpy argsort + pointer-doubling path
 // (~50x at m = 1M). Returns 0, or -1 if an odd degree is found.
 // ---------------------------------------------------------------------------
-static long euler_split_core(const int64_t* a, const int64_t* b, long m,
-                             long ka, long kb, uint8_t* color) {
-  std::vector<int32_t> pa(m), pb(m);
-  {
-    std::vector<int64_t> pos(ka + 1, 0);
-    for (long e = 0; e < m; ++e) ++pos[a[e] + 1];
-    for (long v = 0; v < ka; ++v) {
-      if (pos[v + 1] & 1) return -1;
-      pos[v + 1] += pos[v];
-    }
-    std::vector<int32_t> bucket(m);
-    for (long e = 0; e < m; ++e) bucket[pos[a[e]]++] = (int32_t)e;
-    for (long i = 0; i < m; i += 2) {
-      pa[bucket[i]] = bucket[i + 1];
-      pa[bucket[i + 1]] = bucket[i];
-    }
+struct SplitWS {
+  std::vector<int32_t> pa, pb, bucket;
+  std::vector<int64_t> pos;
+  void reserve(long m, long kmax) {
+    if ((long)pa.size() < m) { pa.resize(m); pb.resize(m); bucket.resize(m); }
+    if ((long)pos.size() < kmax + 1) pos.resize(kmax + 1);
   }
-  {
-    std::vector<int64_t> pos(kb + 1, 0);
-    for (long e = 0; e < m; ++e) ++pos[b[e] + 1];
-    for (long v = 0; v < kb; ++v) {
-      if (pos[v + 1] & 1) return -1;
-      pos[v + 1] += pos[v];
+};
+
+static long euler_split_ws(const int64_t* a, const int64_t* b, long m,
+                           long ka, long kb, uint8_t* color, SplitWS& ws) {
+  ws.reserve(m, ka > kb ? ka : kb);
+  auto pair_side = [&](const int64_t* v, long k, int32_t* out) -> long {
+    std::fill(ws.pos.begin(), ws.pos.begin() + k + 1, 0);
+    for (long e = 0; e < m; ++e) ++ws.pos[v[e] + 1];
+    for (long u = 0; u < k; ++u) {
+      if (ws.pos[u + 1] & 1) return -1;
+      ws.pos[u + 1] += ws.pos[u];
     }
-    std::vector<int32_t> bucket(m);
-    for (long e = 0; e < m; ++e) bucket[pos[b[e]]++] = (int32_t)e;
+    for (long e = 0; e < m; ++e) ws.bucket[ws.pos[v[e]]++] = (int32_t)e;
     for (long i = 0; i < m; i += 2) {
-      pb[bucket[i]] = bucket[i + 1];
-      pb[bucket[i + 1]] = bucket[i];
+      out[ws.bucket[i]] = ws.bucket[i + 1];
+      out[ws.bucket[i + 1]] = ws.bucket[i];
     }
-  }
-  std::memset(color, 0xff, m);
+    return 0;
+  };
+  if (pair_side(a, ka, ws.pa.data()) != 0) return -1;
+  if (pair_side(b, kb, ws.pb.data()) != 0) return -1;
+  std::memset(color, 0xff, (size_t)m);
   for (long e0 = 0; e0 < m; ++e0) {
     if (color[e0] != 0xff) continue;
     long cur = e0;
     while (color[cur] == 0xff) {
       color[cur] = 0;
-      const long nb = pb[cur];
+      const long nb = ws.pb[cur];
       color[nb] = 1;
-      cur = pa[nb];
+      cur = ws.pa[nb];
     }
   }
   return 0;
 }
 
+static long euler_split_core(const int64_t* a, const int64_t* b, long m,
+                             long ka, long kb, uint8_t* color) {
+  SplitWS ws;
+  return euler_split_ws(a, b, m, ka, kb, color, ws);
+}
+
 long g4s_euler_split(const int64_t* a, const int64_t* b, long m,
                      long ka, long kb, uint8_t* color) {
   return euler_split_core(a, b, m, ka, kb, color);
+}
+
+// ---------------------------------------------------------------------------
+// Full log2(deg)-level bipartite edge coloring (route.py
+// edge_color_bipartite): the whole Euler-split recursion in one native
+// call, with pairing buffers reused across levels — replaces the numpy
+// loop that rebuilt composite int64 keys per level (the dominant cost of
+// Clos/Benes plan builds at ~1M edges). Colors the edges (a[e], b[e]) of
+// a deg-regular bipartite multigraph with deg colors so every vertex
+// sees each color exactly once. deg must be a power of two.
+// color: m int64, output. Returns 0, or -1 on odd degree / bad deg.
+// ---------------------------------------------------------------------------
+long g4s_edge_color(const int64_t* a, const int64_t* b, long m,
+                    long na, long nb, long deg, int64_t* color) {
+  if (deg < 1 || (deg & (deg - 1))) return -1;
+  for (long e = 0; e < m; ++e) color[e] = 0;
+  if (deg == 1 || m == 0) return 0;
+  std::vector<int32_t> pa(m), pb(m), bucket(m);
+  const long maxk = (deg / 2) * (na > nb ? na : nb);
+  std::vector<int64_t> pos(maxk + 1);
+  std::vector<uint8_t> half(m);
+
+  auto pair_side = [&](const int64_t* v, long k, long kmax,
+                       int32_t* out) -> long {
+    std::fill(pos.begin(), pos.begin() + kmax + 1, 0);
+    for (long e = 0; e < m; ++e) ++pos[color[e] * k + v[e] + 1];
+    for (long u = 0; u < kmax; ++u) {
+      if (pos[u + 1] & 1) return -1;
+      pos[u + 1] += pos[u];
+    }
+    for (long e = 0; e < m; ++e) bucket[pos[color[e] * k + v[e]]++] =
+        (int32_t)e;
+    for (long i = 0; i < m; i += 2) {
+      out[bucket[i]] = bucket[i + 1];
+      out[bucket[i + 1]] = bucket[i];
+    }
+    return 0;
+  };
+
+  long classes = 1;
+  while (classes < deg) {
+    if (pair_side(a, na, classes * na, pa.data()) != 0) return -1;
+    if (pair_side(b, nb, classes * nb, pb.data()) != 0) return -1;
+    std::memset(half.data(), 0xff, (size_t)m);
+    for (long e0 = 0; e0 < m; ++e0) {
+      if (half[e0] != 0xff) continue;
+      long cur = e0;
+      while (half[cur] == 0xff) {
+        half[cur] = 0;
+        const long nv = pb[cur];
+        half[nv] = 1;
+        cur = pa[nv];
+      }
+    }
+    for (long e = 0; e < m; ++e) color[e] = color[e] * 2 + half[e];
+    classes *= 2;
+  }
+  return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -308,6 +369,7 @@ long g4s_benes_route(const int64_t* sigma, long B, long n, int32_t* bits) {
     }
   std::vector<int64_t> ka_(m), kb_(m);
   std::vector<uint8_t> color(m);
+  SplitWS ws;
   long size = n, level = 0;
   while (size > 2) {
     const long h = size >> 1;
@@ -316,8 +378,8 @@ long g4s_benes_route(const int64_t* sigma, long B, long n, int32_t* bits) {
       kb_[e] = (int64_t)blk[e] * h + (dst[e] & (h - 1));
     }
     const long nb = (long)B << level;
-    if (euler_split_core(ka_.data(), kb_.data(), m, nb * h, nb * h,
-                         color.data()) != 0)
+    if (euler_split_ws(ka_.data(), kb_.data(), m, nb * h, nb * h,
+                       color.data(), ws) != 0)
       return -1;
     const long bpr = 1L << level;  // blocks per original row
     for (long e = 0; e < m; ++e) {

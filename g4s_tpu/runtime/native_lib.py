@@ -64,6 +64,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.g4s_benes_route.argtypes = [
             I64, ctypes.c_long, ctypes.c_long,
             ctypes.POINTER(ctypes.c_int32)]
+        lib.g4s_edge_color.restype = ctypes.c_long
+        lib.g4s_edge_color.argtypes = [
+            I64, I64, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, I64]
         _lib = lib
         return _lib
 
@@ -103,6 +107,29 @@ def euler_split_native(a: np.ndarray, b: np.ndarray):
     if rc != 0:
         return None
     return color.astype(bool)
+
+
+def edge_color_native(a: np.ndarray, b: np.ndarray, deg: int):
+    """deg-color a deg-regular bipartite multigraph's edges — the whole
+    Euler-split recursion of ops/route.py edge_color_bipartite in one
+    native call; None if the library is missing or on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = a.size
+    a = np.ascontiguousarray(a, np.int64)
+    b = np.ascontiguousarray(b, np.int64)
+    na = int(a.max()) + 1 if m else 1
+    nb = int(b.max()) + 1 if m else 1
+    color = np.empty(m, np.int64)
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.g4s_edge_color(
+        a.ctypes.data_as(I64), b.ctypes.data_as(I64), ctypes.c_long(m),
+        ctypes.c_long(na), ctypes.c_long(nb), ctypes.c_long(deg),
+        color.ctypes.data_as(I64))
+    if rc != 0:
+        return None
+    return color
 
 
 def benes_route_native(sigma: np.ndarray):
