@@ -11,7 +11,22 @@ from __future__ import annotations
 import os
 
 
+def enable_persistent_cache() -> None:
+    """Point XLA's persistent compilation cache at the repo-local
+    .jax_cache directory (the one tests/conftest.py uses), so repeated
+    bench/driver runs skip recompiles of unchanged programs — on the
+    remote-tunnel backend a cold compile of a large fused kernel can
+    cost minutes."""
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def honor_env_platforms() -> None:
+    enable_persistent_cache()
     env = os.environ.get("JAX_PLATFORMS")
     if not env:
         return
