@@ -430,9 +430,14 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
         # scale case: TPU SpGEMM amortizes its fixed op overheads at
         # larger flop counts (sort cost is the asymptotic bound)
         nl = n * 4
-        er_large = measure(sp.random(nl, nl, density=avg_deg / nl,
-                                     random_state=np.random.RandomState(43),
-                                     format="csr", dtype=np.float32))
+        # direct COO sampling: sp.random's replace=False path materializes
+        # a full nl*nl permutation (128 GiB at nl=131072)
+        rl = np.random.RandomState(43)
+        nnz_l = nl * avg_deg
+        er_large = measure(sp.coo_matrix(
+            (rl.rand(nnz_l).astype(np.float32),
+             (rl.randint(0, nl, nnz_l), rl.randint(0, nl, nnz_l))),
+            shape=(nl, nl)).tocsr())
 
     # legacy take+segment_sum path for comparison (the round-2 engine)
     from g4s_tpu.ops.spgemm import spgemm_numeric, spgemm_plan

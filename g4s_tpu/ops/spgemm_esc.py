@@ -38,7 +38,7 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import field
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +62,9 @@ class ESCPlan:
     d_a: jax.Array          # (Na,) spread dists into the A slabs (-1 dead)
     d_b: jax.Array          # (Nb,)
     d_pad: jax.Array        # (m2,) pad-compaction dists
-    keys: jax.Array         # (F,) static C-slot keys of the compacted stream
+    keys: jax.Array         # (F,) static C-slot keys (flat int32, or the
+                            # MAJOR key when keys_minor is present)
+    keys_minor: Optional[jax.Array]  # (F,) int32 minor key for m*n >= 2^31
     off_c: jax.Array        # (F,) position within equal-key run after sort
     d_head: jax.Array       # (F,) head-compaction dists
     c_indptr: np.ndarray
@@ -86,7 +88,10 @@ class ESCPlan:
             self, a_rank=jnp.asarray(self.a_rank),
             b_rank=jnp.asarray(self.b_rank), d_a=jnp.asarray(self.d_a),
             d_b=jnp.asarray(self.d_b), d_pad=jnp.asarray(self.d_pad),
-            keys=jnp.asarray(self.keys), off_c=jnp.asarray(self.off_c),
+            keys=jnp.asarray(self.keys),
+            keys_minor=(None if self.keys_minor is None
+                        else jnp.asarray(self.keys_minor)),
+            off_c=jnp.asarray(self.off_c),
             d_head=jnp.asarray(self.d_head))
 
 
@@ -210,14 +215,20 @@ def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
     j_cols = b_indices[_expand(b_indptr[kk][row_block], Lr)]
     i_rows = np.repeat(row_i, Lr)
 
-    key_t = np.int32 if m * n < (1 << 31) else np.int64
-    if key_t is np.int64 and not jax.config.jax_enable_x64:
-        raise NotImplementedError(
-            "m*n >= 2^31 needs int64 slot keys: enable jax x64")
     if order_by == "row":
-        keys_real = (i_rows * n + j_cols).astype(key_t)
+        kmaj, kmin, n_min = i_rows, j_cols, n
     else:                                   # column-major: CSC output
-        keys_real = (j_cols * m + i_rows).astype(key_t)
+        kmaj, kmin, n_min = j_cols, i_rows, m
+    # host simulation always uses the flat int64 key; the DEVICE sort
+    # uses one int32 key when the flat key fits, else the (major, minor)
+    # int32 pair under lax.sort num_keys=2 — so m*n >= 2^31 never forces
+    # int64 (emulated, and x64-gated) onto the TPU
+    keys_real = kmaj * np.int64(n_min) + kmin
+    if m * n < (1 << 31):
+        keys_dev, keys_minor = keys_real.astype(np.int32), None
+    else:
+        keys_dev = kmaj.astype(np.int32)
+        keys_minor = kmin.astype(np.int32)
 
     d_pad = np.zeros(m2, np.int32)
     d_pad[real_pos] = (real_pos - np.arange(F, dtype=np.int64)) \
@@ -250,7 +261,8 @@ def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
 
     return ESCPlan(
         a_rank=a_rank_pos, b_rank=b_rank_pos,
-        d_a=d_a, d_b=d_b, d_pad=d_pad, keys=keys_real,
+        d_a=d_a, d_b=d_b, d_pad=d_pad, keys=keys_dev,
+        keys_minor=keys_minor,
         off_c=off_c, d_head=d_head, c_indptr=c_indptr, c_indices=c_indices,
         classes=classes, na=na, nb_len=nb_len, m2=m2, flops=F, nnz=nnz,
         t_a=t_a, t_b=t_b, t_pad=t_pad, t_sum=t_sum, t_head=t_head,
@@ -261,8 +273,9 @@ def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
                                    "nnz", "t_a", "t_b", "t_pad", "t_sum",
                                    "t_head"))
 def _esc_numeric_impl(a_data, b_data, a_rank, b_rank, d_a, d_b, d_pad,
-                      keys, off_c, d_head, *, classes, na, nb_len, m2,
-                      flops, nnz, t_a, t_b, t_pad, t_sum, t_head):
+                      keys, keys_minor, off_c, d_head, *, classes, na,
+                      nb_len, m2, flops, nnz, t_a, t_b, t_pad, t_sum,
+                      t_head):
     # small static reorders (stable sort by precomputed rank)
     av = jax.lax.sort((a_rank, a_data), num_keys=1)[1]
     bv = jax.lax.sort((b_rank, b_data), num_keys=1)[1]
@@ -280,7 +293,10 @@ def _esc_numeric_impl(a_data, b_data, a_rank, b_rank, d_a, d_b, d_pad,
     prod = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     # compress: drop pads, sort to slot order, reduce runs, compact heads
     prod = compact(prod, d_pad, t_pad)[:flops]
-    prod_s = jax.lax.sort((keys, prod), num_keys=1)[1]
+    if keys_minor is None:
+        prod_s = jax.lax.sort((keys, prod), num_keys=1)[1]
+    else:   # flat key would overflow int32: two-key stable sort
+        prod_s = jax.lax.sort((keys, keys_minor, prod), num_keys=2)[2]
     sums = runsum(prod_s, off_c, t_sum)
     return compact(sums, d_head, t_head)[:nnz]
 
@@ -301,7 +317,9 @@ def esc_numeric(a_data, b_data, plan: ESCPlan):
         jnp.asarray(plan.a_rank),
         jnp.asarray(plan.b_rank), jnp.asarray(plan.d_a),
         jnp.asarray(plan.d_b), jnp.asarray(plan.d_pad),
-        jnp.asarray(plan.keys), jnp.asarray(plan.off_c),
+        jnp.asarray(plan.keys),
+        None if plan.keys_minor is None else jnp.asarray(plan.keys_minor),
+        jnp.asarray(plan.off_c),
         jnp.asarray(plan.d_head),
         classes=plan.classes, na=plan.na, nb_len=plan.nb_len, m2=plan.m2,
         flops=plan.flops, nnz=plan.nnz, t_a=plan.t_a, t_b=plan.t_b,

@@ -157,3 +157,26 @@ class TestESC:
                            np.array([0, 2]),
                            np.array([0, 1, 1, 1, 2, 2])), shape=(5, 3))
         _check(A, B)
+
+
+def test_two_key_sort_large_keyspace(rng):
+    """m*n >= 2^31 switches the device merge to the int32 (major, minor)
+    two-key stable sort (no int64 keys on device)."""
+    import scipy.sparse as sp
+    from g4s_tpu.ops.spgemm_esc import esc_numeric, esc_plan
+    from g4s_tpu.sparse import CSR
+    n = 70000                     # n*n ~ 4.9e9 > 2^31
+    nnz = 30000
+    A_s = sp.coo_matrix(
+        (rng.standard_normal(nnz).astype(np.float32),
+         (rng.integers(0, n, nnz), rng.integers(0, n, nnz))),
+        shape=(n, n)).tocsr()
+    A = CSR.from_scipy(A_s)
+    plan = esc_plan(A, A)
+    assert plan.keys_minor is not None
+    c = esc_numeric(np.asarray(A.data), np.asarray(A.data), plan)
+    C = (A_s.astype(np.float64) @ A_s.astype(np.float64)).tocsr()
+    C.sort_indices()
+    assert plan.nnz == C.nnz
+    np.testing.assert_allclose(np.asarray(c), C.data, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(plan.c_indices, C.indices)
