@@ -172,7 +172,7 @@ def bench_cookbook2(steps: int, dtype_str: str):
         model = CitcomModel(cfg, dtype=dtype)
         s = model.init_state()
         s, _ = model.initial_solve(s)
-        from g4s_tpu.obs.devtime import fetch_sync
+        from g4s_tpu.obs.devtime import chain_time, fetch_sync
         s, d = model.step(s)          # warmup/compile
         fetch_sync(s.T)
         t0 = time.time()
@@ -241,7 +241,7 @@ def bench_shocktube():
         import jax.numpy as jnp
         r = b.r_ig
         y0 = np.asarray(r.initial_state(1000.0, P0, X_ig))
-        from g4s_tpu.obs.devtime import fetch_sync
+        from g4s_tpu.obs.devtime import chain_time, fetch_sync
         rhs_j = jax.jit(r.rhs)
         fetch_sync(rhs_j(0.0, jnp.asarray(y0)))
         jac_j = jax.jit(jax.jacfwd(r.rhs, argnums=1))
@@ -525,24 +525,11 @@ def bench_spmv(dtype_str: str = "f32"):
     from g4s_tpu.engine import build_graph, mxv
     from g4s_tpu.sparse import CSR
     from g4s_tpu.obs import roofline
-    from g4s_tpu.obs.devtime import fetch_sync
+    from g4s_tpu.obs.devtime import chain_time, fetch_sync
 
     def measure(g, n, nnz, *, reps=(2, 100)):
-        def chain(nrep):
-            return jax.jit(lambda x: jax.lax.fori_loop(
-                0, nrep, lambda i, u: mxv(g, u * 0.999), x))
-        times = {}
-        for nrep in reps:
-            h = chain(nrep)
-            fetch_sync(h(jnp.ones((n,), jnp.float32)))
-            ts = []
-            for k in range(3):
-                x = jnp.full((n,), 1.0 + 0.001 * k + 0.01 * nrep, jnp.float32)
-                t0 = time.time()
-                fetch_sync(h(x))
-                ts.append(time.time() - t0)
-            times[nrep] = min(ts)
-        per = (times[reps[1]] - times[reps[0]]) / (reps[1] - reps[0])
+        per = chain_time(lambda u: mxv(g, u * 0.999),
+                         jnp.ones((n,), jnp.float32), lens=reps)
         if g.variant == "dia":
             bytes_moved = g.dia.vals.size * 4 + n * 8
         elif g.variant == "ell":
@@ -568,41 +555,14 @@ def bench_spmv(dtype_str: str = "f32"):
     if g3.variant == "wsell":
         from g4s_tpu.ops.pallas_spmv import spmv_wsell
 
-        def chain(nrep):
-            return jax.jit(lambda x: jax.lax.fori_loop(
-                0, nrep, lambda i, u: spmv_wsell(g3.wsell, u * 0.999), x))
-        times = {}
-        for nrep in (2, 100):
-            h = chain(nrep)
-            fetch_sync(h(jnp.ones((n3,), jnp.float32)))
-            ts = []
-            for k in range(3):
-                x = jnp.full((n3,), 1.0 + 0.001 * k + 0.01 * nrep,
-                             jnp.float32)
-                t0 = time.time()
-                fetch_sync(h(x))
-                ts.append(time.time() - t0)
-            times[nrep] = min(ts)
-        per = (times[100] - times[2]) / 98
+        per = chain_time(lambda u: spmv_wsell(g3.wsell, u * 0.999),
+                         jnp.ones((n3,), jnp.float32), lens=(2, 100))
         headline = stencil_bytes / per / 1e9
         # per-call mode: mxv including both permutes, chained directly
         # (the Benes routing plans of ops/route.py make the permutes
         # loop-chainable; the old sort fallback blew compile time)
-        def chain_full(nrep):
-            return jax.jit(lambda x: jax.lax.fori_loop(
-                0, nrep, lambda i, u: mxv(g3, u * 0.999), x))
-        times_f = {}
-        for nrep in (2, 30):
-            h = chain_full(nrep)
-            fetch_sync(h(jnp.ones((n3,), jnp.float32)))
-            ts = []
-            for k in range(3):
-                x = jnp.full((n3,), 1.0 + 0.001 * k, jnp.float32)
-                t0 = time.time()
-                fetch_sync(h(x))
-                ts.append(time.time() - t0)
-            times_f[nrep] = min(ts)
-        per_full = (times_f[30] - times_f[2]) / 28
+        per_full = chain_time(lambda u: mxv(g3, u * 0.999),
+                              jnp.ones((n3,), jnp.float32), lens=(2, 30))
         out["stencil_wsell"] = {
             "gbs_hoisted": round(headline, 1), "ms": round(per * 1e3, 3),
             "k_windows": g3.wsell.k,
@@ -644,21 +604,8 @@ def bench_spmv(dtype_str: str = "f32"):
         # inverse permute pairs between iterations into nothing)
         from g4s_tpu.ops.spmv import spmv_dia
 
-        def chain2(nrep):
-            return jax.jit(lambda x: jax.lax.fori_loop(
-                0, nrep, lambda i, u: spmv_dia(g2.dia, u * 0.999), x))
-        times = {}
-        for nrep in (2, 30):
-            h = chain2(nrep)
-            fetch_sync(h(jnp.ones((n,), jnp.float32)))
-            ts = []
-            for k in range(3):
-                xq = jnp.full((n,), 1.0 + 0.001 * k, jnp.float32)
-                t0 = time.time()
-                fetch_sync(h(xq))
-                ts.append(time.time() - t0)
-            times[nrep] = min(ts)
-        per = (times[30] - times[2]) / 28
+        per = chain_time(lambda u: spmv_dia(g2.dia, u * 0.999),
+                         jnp.ones((n,), jnp.float32), lens=(2, 30))
         band_bytes = shuf.nnz * 4 + n * 8
         out["shuffled_rcm"] = {
             "gbs_hoisted": round(band_bytes / per / 1e9, 1),
@@ -706,18 +653,7 @@ def bench_spmv(dtype_str: str = "f32"):
         from g4s_tpu.ops.route import apply_permute
 
         def delta(f, z, k1=10, k2=60):
-            def chain(K):
-                h = jax.jit(lambda z: jax.lax.fori_loop(
-                    0, K, lambda i, v: f(v), z))
-                fetch_sync(h(z))
-                ts = []
-                for _ in range(5):
-                    t0 = time.time()
-                    fetch_sync(h(z))
-                    ts.append(time.time() - t0)
-            # median-of-5 per chain length
-                return float(np.median(ts))
-            return (chain(k2) - chain(k1)) / (k2 - k1)
+            return chain_time(f, z, lens=(k1, k2), tries=5)
         zp = jnp.ones((g3.route_in.m,), jnp.float32)
         t_b = delta(lambda v: apply_permute(g3.route_in, v), zp)
         t_s = delta(lambda v: jax.lax.sort_key_val(g3.iperm, v[:n3])[1],

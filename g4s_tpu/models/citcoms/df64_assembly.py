@@ -52,6 +52,7 @@ class TDepDF(NamedTuple):
     B_p: df.DF | None = None       # (nel, 8g, 6s, 8a, 3i) pairs
     sdepv_c_p: df.DF | None = None  # (nel,) (n-1)/n exponents, pairs
     pdepv: tuple | None = None     # (a_p, b_p, y_p, rg_p, eff: bool)
+    cdepv_ln_ff: tuple | None = None  # (ln ff0, ln ff1) df scalars
 
 
 def build_tdep(model) -> TDepDF:
@@ -127,6 +128,10 @@ def build_tdep(model) -> TDepDF:
                  split64(pick(cfg.pdepv_y)),
                  split64(np.float64(cfg.radius_outer) - r_g),
                  bool(cfg.pdepv_eff))
+    cdepv_ln_ff = None
+    if getattr(cfg, "CDEPV", False):
+        ff = [np.float64(x) for x in cfg.cdepv_ff[:2]]
+        cdepv_ln_ff = (split64(np.log(ff[0])), split64(np.log(ff[1])))
     return TDepDF(
         split64(M), scat, split64(np.asarray(model.N, np.float64)),
         split64(pick(cfg.visc0)), split64(pick(cfg.viscE)),
@@ -136,7 +141,7 @@ def build_tdep(model) -> TDepDF:
         float(cfg.visc_max) if cfg.VMAX else None,
         (noy, nox, noz),
         bool(cfg.TDEPV and any(e != 0.0 for e in cfg.viscE)),
-        B_p, sdepv_c_p, pdepv)
+        B_p, sdepv_c_p, pdepv, cdepv_ln_ff)
 
 
 def strain_rate_df(td: TDepDF, V_p: df.DF, ien) -> df.DF:
@@ -156,10 +161,12 @@ def strain_rate_df(td: TDepDF, V_p: df.DF, ien) -> df.DF:
     return df.sqrt(val)                                   # (nel,)
 
 
-def evisc_df(td: TDepDF, T_p: df.DF, ien, srII_p: df.DF | None = None) \
-        -> df.DF:
+def evisc_df(td: TDepDF, T_p: df.DF, ien, srII_p: df.DF | None = None,
+             C_p: df.DF | None = None) -> df.DF:
     """eta at (nel, 8g) in df64 (viscosity_at_vpts: TDEPV laws 0-4, then
-    the SDEPV power law and PDEPV yield plasticity, then VMIN/VMAX)."""
+    the SDEPV power law, the CDEPV geometric-mean compositional prefactor
+    (visc_from_C, Viscosity_structures.c:1110-1155) and PDEPV yield
+    plasticity, then VMIN/VMAX). C_p: nodal composition pairs."""
     T_el = _take(T_p, ien, axis=0)                        # (nel, 8a)
     T_el = _where(T_el[0] < 0.0, (jnp.zeros_like(T_el[0]),) * 2, T_el)
     T_el = _where(T_el[0] > 1.0,
@@ -202,6 +209,22 @@ def evisc_df(td: TDepDF, T_p: df.DF, ien, srII_p: df.DF | None = None) \
         cb = (jnp.broadcast_to(td.sdepv_c_p[0][:, None], eta[0].shape),
               jnp.broadcast_to(td.sdepv_c_p[1][:, None], eta[0].shape))
         eta = df.mul(eta, df.pow_df(ratio, cb))
+    if td.cdepv_ln_ff is not None and C_p is not None:
+        # vmean = exp((1-C) ln ff0 + C ln ff1) at the vpts
+        C_el = _take(C_p, ien, axis=0)                    # (nel, 8a)
+        cg = df.mul((C_el[0][:, :, None], C_el[1][:, :, None]),
+                    (td.N_p[0][None], td.N_p[1][None]))
+        C_g = _tree_sum(cg, axis=1)                       # (nel, 8g)
+        C_g = _where(C_g[0] < 0.0, (jnp.zeros_like(C_g[0]),) * 2, C_g)
+        C_g = _where(C_g[0] > 1.0,
+                     (jnp.ones_like(C_g[0]), jnp.zeros_like(C_g[1])), C_g)
+        lf0, lf1 = td.cdepv_ln_ff
+        b0 = (jnp.broadcast_to(lf0[0], C_g[0].shape),
+              jnp.broadcast_to(lf0[1], C_g[0].shape))
+        b1 = (jnp.broadcast_to(lf1[0], C_g[0].shape),
+              jnp.broadcast_to(lf1[1], C_g[0].shape))
+        arg_c = df.add(b0, df.mul(C_g, df.sub(b1, b0)))
+        eta = df.mul(eta, df.exp(arg_c))
     if td.pdepv is not None and srII_p is not None:
         a_p, b_p, y_p, depth, eff = td.pdepv
         bcg = lambda p: (jnp.broadcast_to(p[0][:, None], eta[0].shape),

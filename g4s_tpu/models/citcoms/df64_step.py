@@ -720,26 +720,26 @@ class DF64Model:
             raise ValueError(f"inner must be 'ir', 'df' or 'mg': {inner}")
         self.inner_ir = inner in ("ir", "mg")
         self.mg = None
-        if (cfg.CDEPV
-                or cfg.disptn_number != 0.0 or cfg.lith_age
+        if (cfg.disptn_number != 0.0 or cfg.lith_age
                 or cfg.filter_temp or cfg.solver_type != "cgrad"
                 or cfg.Ra_410 != 0.0 or cfg.Ra_670 != 0.0
                 or cfg.Ra_cmb != 0.0):
             raise NotImplementedError(
-                "DF64Model covers the T/strain-rate/anisotropic "
-                "viscosity envelopes (cgrad, PG advection); use the "
-                "df64_inner hybrid for other configurations")
+                "DF64Model covers the T/strain-rate/compositional/"
+                "anisotropic viscosity envelopes (cgrad, PG advection); "
+                "use the df64_inner hybrid for other configurations")
         self.tdep = None
         self.mg_hier = None
-        if inner == "mg" and cfg.ANIVISC and cfg.ani_vis2_factor != 0.0:
+        if inner == "mg" and ((cfg.ANIVISC and cfg.ani_vis2_factor != 0.0)
+                              or cfg.CDEPV):
             raise NotImplementedError(
-                "inner='mg' builds an isotropic correction hierarchy "
-                "(MGHierarchy.build_ops); use inner='ir' with "
-                "anisotropic viscosity")
+                "inner='mg' builds an isotropic T-only correction "
+                "hierarchy (MGHierarchy.build_ops); use inner='ir' with "
+                "anisotropic or compositional viscosity")
         # TDEPV with all-zero activation energies is constant viscosity:
         # keep the (cheaper, exactly-f64) static-operator path unless a
         # strain-rate dependence forces per-step re-assembly
-        if (cfg.SDEPV or cfg.PDEPV
+        if (cfg.SDEPV or cfg.PDEPV or cfg.CDEPV
                 or (cfg.TDEPV and any(e != 0.0 for e in cfg.viscE))):
             from g4s_tpu.models.citcoms.df64_assembly import build_tdep
             self.tdep = build_tdep(model)
@@ -798,13 +798,27 @@ class DF64Model:
         self.rayleigh = np.float64(cfg.rayleigh)
         if inner == "mg" and self.tdep is None:
             self.mg = build_mg_f32(model)
+        from g4s_tpu.models.citcoms.df64_tracers import TracerStaticsDF
+        from g4s_tpu.models.citcoms.tracers import TracerField
+        self.tracer_st = TracerStaticsDF.build(
+            TracerField.from_mesh(model.mesh))
         self._step_fn = jax.jit(self._timestep_impl)
+        self._step_tr_fn = jax.jit(self._timestep_tracers_impl)
         self._stokes_jit = jax.jit(self._stokes_impl)
 
     # -- physics pieces --
 
-    def _buoyancy(self, T_p):
+    def _buoyancy(self, T_p, C_p=None):
         buoy = df.mul_f(T_p, np.float32(self.rayleigh))
+        if C_p is not None:
+            # buoy -= Ra * buoyancy_ratio * C (get_buoyancy,
+            # Pan_problem_misc_functions.c:170-182)
+            rb = np.float64(self.rayleigh) * np.float64(
+                self.cfg.buoyancy_ratio)
+            rbp = split64(rb)
+            buoy = df.sub(buoy, df.mul(
+                C_p, (jnp.broadcast_to(rbp[0], C_p[0].shape),
+                      jnp.broadcast_to(rbp[1], C_p[0].shape))))
         # remove per-layer weighted mean (return_horiz_ave_f semantics)
         b2 = _reshape(buoy, (-1, self.noz))
         bsum = _tree_sum(df.mul(b2, self.lw_p), axis=0)     # (noz,)
@@ -813,7 +827,7 @@ class DF64Model:
                         jnp.broadcast_to(have[1][None], b2[0].shape)))
         return _reshape(b, (-1,))
 
-    def _operators(self, T_p, V_p=None):
+    def _operators(self, T_p, V_p=None, C_p=None):
         """(W, BI, BPI) pairs for the current temperature (and velocity
         when strain-rate dependent): the statics of the constant-viscosity
         envelope, or a df64 device re-assembly
@@ -828,20 +842,20 @@ class DF64Model:
         srII = None
         if self.tdep.B_p is not None and V_p is not None:
             srII = strain_rate_df(self.tdep, V_p, self.ien)
-        eta = evisc_df(self.tdep, T_p, self.ien, srII_p=srII)
+        eta = evisc_df(self.tdep, T_p, self.ien, srII_p=srII, C_p=C_p)
         W_p = stencil_df(self.tdep, eta)
         BI_p = bi_from_stencil_df(W_p)
         BPI_p = bpi_df(self.G_p, BI_p, self.ien, self.vbc_mask)
         return W_p, BI_p, BPI_p
 
-    def _stokes_pass(self, T_p, V_p, P_p):
+    def _stokes_pass(self, T_p, V_p, P_p, C_p=None):
         """One viscosity -> stiffness -> forces -> Uzawa pass in df64."""
         cfg = self.cfg
-        W_p, BI_p, BPI_p = self._operators(T_p, V_p)
+        W_p, BI_p, BPI_p = self._operators(T_p, V_p, C_p)
         mg = self.mg
         if self.mg_hier is not None:
             mg = mg_from_T(self.mg_hier, T_p[0])
-        buoy = self._buoyancy(T_p)
+        buoy = self._buoyancy(T_p, C_p)
         F = forces_df(self.N_p, self.gda_p, self.gw_p, self.ccr_p,
                       self.ien, self.scat_nodes, buoy, W_p,
                       self.vbc_mask, self.vbc_val_p)
@@ -854,9 +868,9 @@ class DF64Model:
             inner_ir=self.inner_ir, mg=mg)
         return V, P, mon
 
-    def _stokes_impl(self, T_p, V_p, P_p):
+    def _stokes_impl(self, T_p, V_p, P_p, C_p=None):
         cfg = self.cfg
-        V, P, mon = self._stokes_pass(T_p, V_p, P_p)
+        V, P, mon = self._stokes_pass(T_p, V_p, P_p, C_p)
         if not (cfg.SDEPV or cfg.PDEPV):
             return V, P, mon
         # nonlinear outer iteration for velocity-dependent viscosity
@@ -877,7 +891,7 @@ class DF64Model:
 
         def body(carry):
             V_, P_, _mon, it, _ = carry
-            Vn, Pn, mn = self._stokes_pass(T_p, V_, P_)
+            Vn, Pn, mn = self._stokes_pass(T_p, V_, P_, C_p)
             return Vn, Pn, mn, it + 1, dudot(Vn[0] - V_[0], Vn[0])
 
         V, P, mon, _, _ = jax.lax.while_loop(
@@ -896,6 +910,12 @@ class DF64Model:
                 sub_iterations=cfg.adv_sub_iterations,
                 tbc_mask=self.tbc_mask, tbc_val_p=self.tbc_val_p)
 
+        T, Td, dt = self._advect_T(T_p, Td_p, V_p, dt0, advect)
+        V, P, mon = self._stokes_impl(T, V_p, P_p)
+        return T, Td, V, P, dt, mon
+
+    def _advect_T(self, T_p, Td_p, V_p, dt0, advect):
+        cfg = self.cfg
         if cfg.monitor_max_T:
             T_int0 = jnp.max(jnp.where(self.tbc_mask, -jnp.inf, T_p[0]))
             T1, Td1 = advect(dt0)
@@ -917,8 +937,33 @@ class DF64Model:
         else:
             dt = dt0
             T, Td = advect(dt)
-        V, P, mon = self._stokes_impl(T, V_p, P_p)
-        return T, Td, V, P, dt, mon
+        return T, Td, dt
+
+    def _timestep_tracers_impl(self, T_p, Td_p, V_p, P_p, pos_p, flavors):
+        """Thermochemical timestep: T advection, tracer advection with
+        the same dt and the PRE-solve velocity (matching
+        CitcomModel._timestep's tracer branch), ratio composition ->
+        chemical buoyancy + CDEPV viscosity, Stokes."""
+        from g4s_tpu.models.citcoms.df64_tracers import (
+            advect_tracers_df, composition_to_nodes_df,
+            element_composition_df)
+        cfg = self.cfg
+        dt0 = cfl_timestep_df(self.adv, self.ien, V_p, cfg.finetunedt)
+
+        def advect(dt_p):
+            return pg_timestep_df(
+                self.adv, self.ien, self.scat_nodes, T_p, Td_p, V_p, dt_p,
+                diff_p=self.diff_p, Q0_p=self.Q0_p, gamma=cfg.adv_gamma,
+                sub_iterations=cfg.adv_sub_iterations,
+                tbc_mask=self.tbc_mask, tbc_val_p=self.tbc_val_p)
+
+        T, Td, dt = self._advect_T(T_p, Td_p, V_p, dt0, advect)
+        pos = advect_tracers_df(self.tracer_st, V_p, pos_p, dt)
+        comps, _ = element_composition_df(self.tracer_st, pos, flavors, 2)
+        C_p = composition_to_nodes_df(self.tracer_st, comps[1],
+                                      self.scat_nodes)
+        V, P, mon = self._stokes_impl(T, V_p, P_p, C_p)
+        return T, Td, V, P, dt, mon, pos
 
     # -- host API --
 
@@ -952,3 +997,27 @@ class DF64Model:
         return new, {"dt": dt64, "v_norm": v_norm, "p_norm": p_norm,
                      "incompressibility": incomp,
                      "outer": int(mon[3]), "inner": int(mon[4])}
+
+    def step_tracers(self, s, pos, flavors):
+        """Thermochemical timestep on a CPU-f64 State + (n, 3) f64 tracer
+        positions (CitcomModel.step_tracers in df64); returns
+        (state, diag, pos64)."""
+        T_p = split64(np.asarray(s.T))
+        Td_p = split64(np.asarray(s.Tdot))
+        V_p = split64(np.asarray(s.V))
+        P_p = split64(np.asarray(s.P))
+        pos_p = split64(np.asarray(pos))
+        T, Td, V, P, dt, mon, pos_o = self._step_tr_fn(
+            T_p, Td_p, V_p, P_p, pos_p, jnp.asarray(flavors))
+        import dataclasses as dc
+        dt64 = float(np.float64(np.asarray(dt[0], np.float64))
+                     + np.asarray(dt[1], np.float64))
+        new = dc.replace(
+            s, T=jnp.asarray(df.to_f64(T)), Tdot=jnp.asarray(df.to_f64(Td)),
+            V=jnp.asarray(df.to_f64(V)), P=jnp.asarray(df.to_f64(P)),
+            time=s.time + dt64, dt=jnp.asarray(dt64), step=s.step + 1)
+        diag = {"dt": dt64, "v_norm": float(df.to_f64(mon[0])),
+                "p_norm": float(df.to_f64(mon[1])),
+                "incompressibility": float(df.to_f64(mon[2])),
+                "outer": int(mon[3]), "inner": int(mon[4])}
+        return new, diag, jnp.asarray(df.to_f64(pos_o))

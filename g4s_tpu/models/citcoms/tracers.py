@@ -131,10 +131,13 @@ def element_composition(tf: TracerField, pos, flavors, n_flavors: int = 2):
     (jx, iy, kz), _ = tf.locate(pos)
     el = tf.element_index(iy, jx, kz)
     nel = (tf.nox - 1) * (tf.noy - 1) * (tf.noz - 1)
-    total = jax.ops.segment_sum(jnp.ones_like(el, jnp.float32), el, nel)
+    # count in the position dtype: the f64 model's ratios stay f64
+    # (Composition_related.c works in double), f32 production stays f32
+    dt = pos.dtype
+    total = jax.ops.segment_sum(jnp.ones_like(el, dt), el, nel)
     comps = []
     for f in range(n_flavors):
-        cnt = jax.ops.segment_sum((flavors == f).astype(jnp.float32), el, nel)
+        cnt = jax.ops.segment_sum((flavors == f).astype(dt), el, nel)
         comps.append(cnt / jnp.maximum(total, 1.0))
     return jnp.stack(comps), total
 

@@ -229,6 +229,71 @@ def pow_df(x: DF, c: DF) -> DF:
     return exp(mul(log(x), c))
 
 
+# Cody-Waite splitting of pi/2 (same scheme as ln2 above): H1/H2 carry
+# few enough significand bits that k*H1, k*H2 are exact for |k| <= 512,
+# so the reduction x - k*pi/2 cancels error-free
+_PIO2 = 1.5707963267948966192313216916397514
+_PIO2_H1 = np.float32(round(_PIO2 * 2 ** 13) / 2 ** 13)
+_PIO2_H2 = np.float32(round((_PIO2 - float(_PIO2_H1)) * 2 ** 28) / 2 ** 28)
+_PIO2_H3 = np.float32(_PIO2 - float(_PIO2_H1) - float(_PIO2_H2))
+_PIO2_H4 = np.float32(_PIO2 - float(_PIO2_H1) - float(_PIO2_H2)
+                      - float(_PIO2_H3))
+_INV_PIO2 = np.float32(2.0 / np.pi)
+
+# reduced-range Taylor coefficients in r^2 (|r| <= pi/4):
+# sin r = r * S(r^2), cos r = C(r^2); tails < 1e-16 relative
+import math as _math
+_SIN_COEF = [(-1.0) ** _k / _math.factorial(2 * _k + 1) for _k in range(9)]
+_COS_COEF = [(-1.0) ** _k / _math.factorial(2 * _k) for _k in range(10)]
+_SIN_COEF_DF = [(np.float32(c), np.float32(c - float(np.float32(c))))
+                for c in _SIN_COEF]
+_COS_COEF_DF = [(np.float32(c), np.float32(c - float(np.float32(c))))
+                for c in _COS_COEF]
+
+
+def _horner_sq(r2: DF, coef):
+    ch, cl = coef[-1]
+    p = (jnp.full_like(r2[0], ch), jnp.full_like(r2[0], cl))
+    for ch, cl in coef[-2::-1]:
+        p = mul(p, r2)
+        p = add(p, (jnp.full_like(r2[0], ch), jnp.full_like(r2[0], cl)))
+    return p
+
+
+def _sincos_reduced(x: DF):
+    """(sin, cos, quadrant) after Cody-Waite pi/2 reduction; accurate to
+    ~2^-49 relative for |x| <= ~400 (|k| <= 512 exactness bound)."""
+    k = jnp.round(x[0] * _INV_PIO2)
+    zero = jnp.zeros_like(k)
+    r = two_sum(x[0], -(k * _PIO2_H1))
+    r = add(r, (-(k * _PIO2_H2), zero))
+    r = sub(r, two_prod(k, _PIO2_H3))
+    r = sub(r, (k * _PIO2_H4, zero))
+    r = add(r, (x[1], zero))
+    r2 = mul(r, r)
+    s = mul(r, _horner_sq(r2, _SIN_COEF_DF))
+    c = _horner_sq(r2, _COS_COEF_DF)
+    q = jnp.mod(k.astype(jnp.int32), 4)
+    return s, c, q
+
+
+def sin(x: DF) -> DF:
+    """Double-word sine (the f64 libm sin the reference's spherical
+    geometry calls, e.g. tracer coordinate rates in
+    Regional_tracer_advection.c). |x| <= ~400."""
+    s, c, q = _sincos_reduced(x)
+    out = select(q == 0, s, select(q == 1, c, select(q == 2, neg(s),
+                                                    neg(c))))
+    return out
+
+
+def cos(x: DF) -> DF:
+    """Double-word cosine; same reduction/accuracy as sin."""
+    s, c, q = _sincos_reduced(x)
+    return select(q == 0, c, select(q == 1, neg(s), select(q == 2, neg(c),
+                                                           s)))
+
+
 # ---------------------------------------------------------------------------
 # reductions
 # ---------------------------------------------------------------------------

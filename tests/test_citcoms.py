@@ -1574,10 +1574,94 @@ class TestDF64Tier:
 
     def test_df64_rejects_out_of_envelope(self):
         from g4s_tpu.models.citcoms.df64_step import DF64Model
-        cfg = small_cfg(CDEPV=True, cdepv_ff=[1.0, 10.0])
+        cfg = small_cfg(filter_temp=True)
         model = cached_model(cfg)
         with pytest.raises(NotImplementedError):
             DF64Model(model)
+        # CDEPV is in-envelope for ir/df but the T-only mg hierarchy
+        # cannot carry the compositional prefactor
+        cfg2 = small_cfg(CDEPV=True, cdepv_ff=[1.0, 10.0])
+        with pytest.raises(NotImplementedError):
+            DF64Model(cached_model(cfg2, dtype=jnp.float64), inner="mg")
+
+    def test_df64_tracer_ops_track_f64_exactly(self):
+        """With identical inputs (no solver in the loop), the df64 tracer
+        pipeline (locate, PC advection, ratio composition, node
+        averaging) tracks true f64 at the 2^-49 arithmetic floor."""
+        import jax
+        if not jax.config.jax_enable_x64:
+            pytest.skip("needs x64 for the f64 oracle")
+        from g4s_tpu.models.citcoms.df64_step import PaddedScatter, split64
+        from g4s_tpu.models.citcoms.df64_tracers import (
+            TracerStaticsDF, advect_tracers_df, composition_to_nodes_df,
+            element_composition_df)
+        from g4s_tpu.models.citcoms.tracers import (
+            TracerField, advect_tracers, composition_to_nodes,
+            element_composition, seed_tracers)
+        from g4s_tpu.ops import df64 as df
+        cfg = small_cfg(nodex=9, nodey=9, nodez=5)
+        model = cached_model(cfg, dtype=jnp.float64)
+        tf = TracerField.from_mesh(model.mesh)
+        pos, flavors = seed_tracers(model.mesh, 10, seed=3)
+        rng = np.random.default_rng(0)
+        V = rng.standard_normal((model.mesh.nno, 3)) * 10.0
+        dt = 1e-3
+        p1 = advect_tracers(tf, jnp.asarray(V), jnp.asarray(pos), dt)
+        comp_el, _ = element_composition(tf, p1, jnp.asarray(flavors), 2)
+        C = composition_to_nodes(tf, comp_el[1], model.plan, model.ien)
+        st = TracerStaticsDF.build(tf)
+        scat = PaddedScatter.build(np.asarray(model.mesh.ien).ravel(),
+                                   model.mesh.nno)
+        p1_df = advect_tracers_df(st, split64(V), split64(pos),
+                                  split64(np.float64(dt)))
+        np.testing.assert_allclose(df.to_f64(p1_df), np.asarray(p1),
+                                   rtol=0, atol=1e-13)
+        comps, _ = element_composition_df(st, p1_df,
+                                          jnp.asarray(flavors), 2)
+        C_df = composition_to_nodes_df(st, comps[1], scat)
+        np.testing.assert_allclose(df.to_f64(C_df), np.asarray(C),
+                                   rtol=0, atol=1e-13)
+
+    def test_df64_thermochemical_tracks_f64(self):
+        """CDEPV + chemical buoyancy (df64_tracers.py): the df64
+        thermochemical step (tracer PC advection, ratio composition,
+        compositional viscosity prefactor and buoyancy) must track the
+        CPU-f64 CitcomModel.step_tracers."""
+        import jax
+        if not jax.config.jax_enable_x64:
+            pytest.skip("needs x64 for the f64 oracle")
+        from g4s_tpu.models.citcoms.df64_step import DF64Model
+        from g4s_tpu.models.citcoms.observables import rms_velocity
+        from g4s_tpu.models.citcoms.tracers import seed_tracers
+        cfg = small_cfg(nodex=9, nodey=9, nodez=5, rayleigh=1e5,
+                        topvbc=1, topvbxval=50.0,
+                        CDEPV=True, cdepv_ff=[1.0, 10.0],
+                        buoyancy_ratio=0.6, TDEPV=True, rheol=3,
+                        viscE=[1.0] * 4, viscT=[0.5] * 4,
+                        VMIN=True, visc_min=1e-3, VMAX=True, visc_max=1e3)
+        model = CitcomModel(cfg, dtype=jnp.float64)
+        pos, flavors = seed_tracers(model.mesh, 8, seed=11)
+        dfm = DF64Model(model, inner="ir")
+        s64 = model.init_state()
+        s64, _ = model.initial_solve(s64)
+        sdf, _ = dfm.initial_solve(model.init_state())
+        pos64 = jnp.asarray(pos)
+        posdf = jnp.asarray(pos)
+        fl = jnp.asarray(flavors)
+        for _ in range(2):
+            s64, _, pos64 = model.step_tracers(s64, pos64, fl)
+            sdf, _, posdf = dfm.step_tracers(sdf, posdf, fl)
+        # tracers advect a V that agrees only to the Uzawa stopping
+        # tolerance (~1e-3 relative), so positions inherit dt*dV ~ 1e-5;
+        # exact-V tracking at 7e-15 is covered by the df64_tracers
+        # module-level comparison below
+        np.testing.assert_allclose(np.asarray(posdf), np.asarray(pos64),
+                                   rtol=0, atol=1e-4)
+        v64 = float(rms_velocity(model, s64.V))
+        vdf = float(rms_velocity(model, sdf.V))
+        assert abs(vdf - v64) / v64 < 5e-3, (vdf, v64)
+        np.testing.assert_allclose(np.asarray(sdf.T), np.asarray(s64.T),
+                                   rtol=0, atol=1e-4)
 
 
 class TestExchangerHardening:

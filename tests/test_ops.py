@@ -510,3 +510,24 @@ class TestDF64:
         got = dfm.to_f64(jax.jit(lambda p: dfm.powf(p, c))(dfm.from_f64(r)))
         rel = np.abs(got - r ** c) / r ** c
         assert rel.max() < 1e-11, rel.max()
+
+    def test_sin_cos(self):
+        """df sin/cos (Cody-Waite pi/2 reduction + df Taylor): the tracer
+        coordinate-rate arithmetic (u_fi / (r sin theta)). Absolute
+        accuracy ~2^-48 on (0, pi); error grows ~|k|*1e-15 with the
+        reduction multiple, so relative accuracy near zeros of sin/cos
+        degrades for large |x| (documented; tracers use theta in (0, pi))."""
+        from g4s_tpu.ops import df64 as dfm
+        x = np.linspace(1e-6, np.pi - 1e-6, 4000)
+        s = dfm.to_f64(jax.jit(dfm.sin)(dfm.from_f64(x)))
+        c = dfm.to_f64(jax.jit(dfm.cos)(dfm.from_f64(x)))
+        assert np.abs(s - np.sin(x)).max() < 1e-14
+        assert np.abs(c - np.cos(x)).max() < 1e-14
+        xm = np.linspace(-50, 50, 4000)      # reduction error ~ |k|*1e-15
+        sm = dfm.to_f64(jax.jit(dfm.sin)(dfm.from_f64(xm)))
+        assert np.abs(sm - np.sin(xm)).max() < 2e-13
+        # tracer range: tight relative accuracy where sin is bounded away
+        th = np.linspace(0.05, np.pi - 0.05, 5000)
+        st = dfm.to_f64(jax.jit(dfm.sin)(dfm.from_f64(th)))
+        rel = np.abs(st - np.sin(th)) / np.sin(th)
+        assert rel.max() < 2e-13, rel.max()
