@@ -7,24 +7,31 @@ distinct x windows per pack than fit (ops/pallas_spmv.py raises).
 
 The TPU answer is to do the SpMV with *no gathers at all*:
 
-  1. expand  x is routed (ops/route.py Clos/Benes plan) to the run-head
-             slot of every column's entry run in the column-sorted entry
-             stream, then a log-doubling segmented fill broadcasts each
-             head down its run: s_fill = ceil(log2(max col degree))
-             masked static rolls.
-  2. multiply elementwise by the values, pre-permuted into column-sorted
-             slot order at plan build (pads hold 0).
-  3. route   the product stream through a second static plan into a
-             row-binned padded layout (rows sorted by degree, geometric
-             widths — the BIN.h:100-122 balancing idea applied to slots).
-  4. reduce  per-slice (rows, width) lane sums + one small un-permute.
+  1. expand  columns are grouped by width class (degree rounded up a
+             geometric ladder) at plan-build time. x is routed once by a
+             SMALL static permutation (ops/route.py, length n_cols) into
+             class-compact order; each class's values then broadcast to
+             their entry slots as a free (c, 1) * (c, L) elementwise
+             multiply with the values pre-laid-out in class order —
+             no big permute, no log-doubling fill stages.
+  2. route   the one irreducible data movement: the product stream moves
+             from column-grouped to row-grouped order through a single
+             static Clos/Benes routing plan over the padded stream.
+  3. reduce  per-slice (rows, width) lane sums (rows sorted by degree,
+             ladder widths — the BIN.h:100-122 balancing idea applied to
+             slots), then a small static permutation un-sorts the rows.
 
-Everything data-dependent was compiled offline into the two routing
-plans and the fill offsets; the device executes only butterfly stages,
+Everything data-dependent was compiled offline into the routing plans
+and the class layout; the device executes only butterfly stages,
 transposes, elementwise ops and sums. Role parity: the reference handles
 these matrices with hash tables + AVX gathers (mm/inc/hash_mult.h:
 111-492, radix re-bucketing radix_sort.h); on TPU the static-schedule
 equivalent wins because dynamic gathers don't vectorize.
+
+(The first version of this module placed x into run-head slots with a
+second full-size permute and broadcast it down runs with ceil(log2(max
+col degree)) masked rolls over the whole stream; the class-compact
+layout removes both, roughly halving device time and plan-build time.)
 """
 
 from __future__ import annotations
@@ -39,11 +46,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from g4s_tpu.ops.route import (MAX_M, TILE, PermutePlan, apply_permute,
-                               build_permute_plan)
+                               apply_permute_np, build_permute_plan)
 
 
 def _static():
     return field(metadata=dict(static=True))
+
+
+def _ladder_up(deg: np.ndarray) -> np.ndarray:
+    """Round degrees up to the next rung of a geometric ladder
+    {1, 2, 3, 4, 6, 8, 12, 16, ...} (pow2 and 1.5*pow2): padding waste
+    <= 4/3 instead of pow2's 2x, at ~2x the class count."""
+    deg = np.maximum(deg, 1)
+    p = 2 ** np.ceil(np.log2(deg)).astype(np.int64)          # pow2 >= deg
+    three_q = (3 * p) // 4                                   # 1.5 * p/2
+    return np.where((deg <= three_q) & (p > 2), three_q, p)
 
 
 @partial(jax.tree_util.register_dataclass)
@@ -51,16 +68,26 @@ def _static():
 class StreamPlan:
     """Static schedule for one matrix; apply with spmv_stream(plan, x)."""
 
-    place: PermutePlan        # x (padded to M) -> column run-head slots
-    off: jax.Array            # (M,) int32: offset within the entry run
-    vals_cs: jax.Array        # (M,) values in column-sorted order (0 pads)
-    route2: PermutePlan       # column-sorted slots -> row-binned slots
-    row_sort: jax.Array       # (n_rows,) sorted-row index -> original row
+    xplan: PermutePlan        # x (padded) -> class-compact column order
+    vals_e: jax.Array         # (m,) values in expand-space order (0 pads)
+    route2: PermutePlan       # expand-space slots -> row-binned slots
+    rowplan: PermutePlan      # sorted-row order -> original row order
+    col_classes: Tuple[Tuple[int, int, int, int], ...] = _static()
+    # each (n_cols_in_class, width L, expand offset, compact-x offset)
     slices: Tuple[Tuple[int, int, int], ...] = _static()  # (rows, w, off)
     n_rows: int = _static()
     n_cols: int = _static()
-    m: int = _static()        # padded stream length (both spaces)
-    s_fill: int = _static()   # fill stages = ceil(log2(max col degree))
+    m: int = _static()        # padded stream length (route2 space)
+    nc_pad: int = _static()   # xplan length (n_cols padded)
+    nr_pad: int = _static()   # rowplan length (n_rows padded)
+
+
+def _identity_fill(sigma: np.ndarray, used_src: np.ndarray) -> np.ndarray:
+    """Complete a partial permutation: dests marked -1 receive the unused
+    sources in order (any bijection works; these lanes carry pads)."""
+    free_dst = np.nonzero(sigma < 0)[0]
+    sigma[free_dst] = np.nonzero(~used_src)[0][: free_dst.size]
+    return sigma
 
 
 def build_stream_plan(a) -> StreamPlan:
@@ -72,17 +99,40 @@ def build_stream_plan(a) -> StreamPlan:
     csc.sort_indices()
     nnz = csc.nnz
     col_deg = np.diff(csc.indptr).astype(np.int64)
-    rows_cs = csc.indices.astype(np.int64)     # row of each col-sorted entry
+
+    # ---- expand side: columns grouped by ladder width class ----------
+    live = np.nonzero(col_deg > 0)[0]
+    Lc = _ladder_up(col_deg[live])
+    order_c = np.argsort(Lc, kind="stable")          # class-major columns
+    cols_sorted = live[order_c]
+    L_sorted = Lc[order_c]
+
+    col_classes = []
+    # per original column: its expand-block start and compact-x slot
+    col_eoff = np.zeros(n_cols, np.int64)
+    pos_e = 0
+    pos_x = 0
+    i = 0
+    while i < cols_sorted.size:
+        L = int(L_sorted[i])
+        j = i
+        while j < cols_sorted.size and L_sorted[j] == L:
+            j += 1
+        c = j - i
+        col_classes.append((c, L, pos_e, pos_x))
+        col_eoff[cols_sorted[i:j]] = pos_e + np.arange(c) * L
+        pos_e += c * L
+        pos_x += c
+        i = j
+    m_e = pos_e
+    n_live = pos_x
 
     # ---- row-binned destination layout -------------------------------
     row_deg = np.diff(sp_a.indptr).astype(np.int64)
     row_sort = np.argsort(-row_deg, kind="stable")
-    deg_sorted = row_deg[row_sort]
-    widths = np.maximum(1, 2 ** np.ceil(
-        np.log2(np.maximum(deg_sorted, 1))).astype(np.int64))
+    widths = _ladder_up(row_deg[row_sort])
     slices = []
     slot_of_row = np.empty(n_rows, np.int64)   # first slot of each row
-    w_of_row = np.empty(n_rows, np.int64)
     pos = 0
     i = 0
     while i < n_rows:
@@ -92,97 +142,111 @@ def build_stream_plan(a) -> StreamPlan:
             j += 1
         slices.append((j - i, w, pos))
         slot_of_row[row_sort[i:j]] = pos + np.arange(j - i) * w
-        w_of_row[row_sort[i:j]] = w
         pos += (j - i) * w
         i = j
     m_r = pos
 
-    m = -(-max(nnz, m_r, n_cols) // TILE) * TILE
+    m = -(-max(m_e, m_r, 1) // TILE) * TILE
     if m > MAX_M:
         raise NotImplementedError(
             f"padded stream {m} exceeds the routing-plan limit {MAX_M}")
 
-    # ---- expansion side ----------------------------------------------
-    # place: run-head slot of column j = csc.indptr[j]
-    heads = csc.indptr[:-1][col_deg > 0].astype(np.int64)
-    live_cols = np.nonzero(col_deg > 0)[0].astype(np.int64)
-    sigma_place = np.full(m, -1, np.int64)
-    sigma_place[heads] = live_cols
-    free_dst = np.nonzero(sigma_place < 0)[0]
-    used = np.zeros(m, bool)
-    used[live_cols] = True
-    sigma_place[free_dst] = np.nonzero(~used)[0][: free_dst.size]
+    # ---- expand-space values + entry positions -----------------------
+    # entry k (column-sorted order) of column j, rank r in the column,
+    # sits at col_eoff[j] + r
+    rank_c = (np.arange(nnz, dtype=np.int64)
+              - np.repeat(csc.indptr[:-1].astype(np.int64), col_deg))
+    cols_of = np.repeat(np.arange(n_cols, dtype=np.int64), col_deg)
+    epos = col_eoff[cols_of] + rank_c
+    vals_e = np.zeros(m, sp_a.dtype)
+    vals_e[epos] = csc.data
 
-    off = np.zeros(m, np.int32)
-    off[:nnz] = (np.arange(nnz, dtype=np.int64)
-                 - np.repeat(csc.indptr[:-1].astype(np.int64), col_deg))
-    s_fill = int(np.ceil(np.log2(max(int(col_deg.max(initial=1)), 1) or 1))) \
-        if col_deg.size and col_deg.max(initial=0) > 1 else 0
+    # ---- xplan: original x -> class-compact order ---------------------
+    nc_pad = -(-max(n_cols, 1) // TILE) * TILE
+    sigma_x = np.full(nc_pad, -1, np.int64)
+    sigma_x[:n_live] = cols_sorted           # compact slot i <- column
+    used = np.zeros(nc_pad, bool)
+    used[cols_sorted] = True
+    sigma_x = _identity_fill(sigma_x, used)
 
-    vals_cs = np.zeros(m, sp_a.dtype)
-    vals_cs[:nnz] = csc.data
-
-    # ---- routing to row slots ----------------------------------------
-    # col-sorted entry k belongs to row rows_cs[k]; its rank within the
-    # row (in column order) is its position among equal rows_cs
+    # ---- route2: expand-space slot -> row-binned slot ------------------
+    rows_cs = csc.indices.astype(np.int64)   # row of each col-sorted entry
     order_r = np.argsort(rows_cs, kind="stable")
-    rank = np.empty(nnz, np.int64)
-    rank[order_r] = (np.arange(nnz, dtype=np.int64)
-                     - np.repeat(sp_a.indptr[:-1].astype(np.int64), row_deg))
-    dest = slot_of_row[rows_cs] + rank
+    rank_r = np.empty(nnz, np.int64)
+    rank_r[order_r] = (np.arange(nnz, dtype=np.int64)
+                       - np.repeat(sp_a.indptr[:-1].astype(np.int64),
+                                   row_deg))
+    dest = slot_of_row[rows_cs] + rank_r
     sigma2 = np.full(m, -1, np.int64)
-    sigma2[dest] = np.arange(nnz, dtype=np.int64)
-    free2 = np.nonzero(sigma2 < 0)[0]
+    sigma2[dest] = epos
     used2 = np.zeros(m, bool)
-    used2[:nnz] = True
-    sigma2[free2] = np.nonzero(~used2)[0][: free2.size]
+    used2[epos] = True
+    sigma2 = _identity_fill(sigma2, used2)
+
+    # ---- rowplan: sorted-row y -> original row order -------------------
+    nr_pad = -(-max(n_rows, 1) // TILE) * TILE
+    inv_sort = np.empty(n_rows, np.int64)
+    inv_sort[row_sort] = np.arange(n_rows, dtype=np.int64)
+    sigma_r = np.concatenate(
+        [inv_sort, np.arange(n_rows, nr_pad, dtype=np.int64)])
 
     return StreamPlan(
-        build_permute_plan(sigma_place), jnp.asarray(off),
-        jnp.asarray(vals_cs), build_permute_plan(sigma2),
-        jnp.asarray(row_sort.astype(np.int32)),
-        tuple(slices), n_rows, n_cols, m, s_fill)
+        build_permute_plan(sigma_x), jnp.asarray(vals_e),
+        build_permute_plan(sigma2), build_permute_plan(sigma_r),
+        tuple(col_classes), tuple(slices), n_rows, n_cols, m,
+        nc_pad, nr_pad)
 
 
-def _fill(s, off, s_fill):
-    """Log-doubling segmented broadcast: after stage t, slot k holds the
-    value of slot k - (off[k] mod 2^(t+1)); after all stages, its run
-    head. Bit t of off selects a static roll by 2^t (cyclic wrap is
-    harmless: the bit is only set when k >= 2^t)."""
-    for t in range(s_fill):
-        mask = jnp.bitwise_and(
-            jax.lax.shift_right_logical(off, jnp.int32(t)), 1) != 0
-        s = jnp.where(mask, jnp.roll(s, 1 << t), s)
-    return s
+def _expand(plan: StreamPlan, xc, xp):
+    """Products in expand-space order: per class, broadcast the compact
+    x values over the class's (c, L) value block. `xp` is the backend's
+    zeros/pad constructor (jnp or np)."""
+    parts = []
+    for c, L, eoff, xoff in plan.col_classes:
+        seg = xc[xoff: xoff + c]
+        blk = plan.vals_e[eoff: eoff + c * L].reshape(c, L)
+        parts.append((seg[:, None] * blk).reshape(-1))
+    m_e = (plan.col_classes[-1][2]
+           + plan.col_classes[-1][0] * plan.col_classes[-1][1]) \
+        if plan.col_classes else 0
+    prod = xp.concatenate(parts) if parts else xp.zeros((0,), xc.dtype)
+    if m_e < plan.m:
+        prod = xp.concatenate(
+            [prod, xp.zeros((plan.m - m_e,), prod.dtype)])
+    return prod
 
 
 def spmv_stream(plan: StreamPlan, x):
     """y = A @ x through the gather-free streaming schedule."""
-    xp = jnp.zeros((plan.m,), x.dtype).at[: plan.n_cols].set(x)
-    s = apply_permute(plan.place, xp)
-    s = _fill(s, plan.off, plan.s_fill)
-    t = apply_permute(plan.route2, s * plan.vals_cs)
+    xpad = jnp.zeros((plan.nc_pad,), x.dtype).at[: plan.n_cols].set(x)
+    xc = apply_permute(plan.xplan, xpad)
+    t = apply_permute(plan.route2, _expand(plan, xc, jnp))
     parts = []
     for nr, w, o in plan.slices:
         parts.append(t[o: o + nr * w].reshape(nr, w).sum(axis=1))
     y_sorted = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-    return jax.lax.sort_key_val(plan.row_sort, y_sorted)[1]
+    ypad = jnp.zeros((plan.nr_pad,), y_sorted.dtype) \
+        .at[: plan.n_rows].set(y_sorted)
+    return apply_permute(plan.rowplan, ypad)[: plan.n_rows]
 
 
 def spmv_stream_np(plan: StreamPlan, x: np.ndarray) -> np.ndarray:
     """Numpy oracle for the staged schedule (tests)."""
-    from g4s_tpu.ops.route import apply_permute_np
-    xp = np.zeros(plan.m, x.dtype)
-    xp[: plan.n_cols] = x
-    s = apply_permute_np(plan.place, xp)
-    off = np.asarray(plan.off)
-    for t in range(plan.s_fill):
-        mask = ((off >> np.int32(t)) & 1) != 0
-        s = np.where(mask, np.roll(s, 1 << t), s)
-    t_ = apply_permute_np(plan.route2, s * np.asarray(plan.vals_cs))
-    parts = [t_[o: o + nr * w].reshape(nr, w).sum(axis=1)
+    class _NP:
+        concatenate = staticmethod(np.concatenate)
+
+        @staticmethod
+        def zeros(shape, dtype):
+            return np.zeros(shape, dtype)
+
+    xpad = np.zeros(plan.nc_pad, x.dtype)
+    xpad[: plan.n_cols] = x
+    xc = apply_permute_np(plan.xplan, xpad)
+    plan_np = dataclasses.replace(plan, vals_e=np.asarray(plan.vals_e))
+    t = apply_permute_np(plan.route2, _expand(plan_np, xc, _NP))
+    parts = [t[o: o + nr * w].reshape(nr, w).sum(axis=1)
              for nr, w, o in plan.slices]
     y_sorted = np.concatenate(parts)
-    y = np.empty(plan.n_rows, y_sorted.dtype)
-    y[np.asarray(plan.row_sort)] = y_sorted
-    return y
+    ypad = np.zeros(plan.nr_pad, y_sorted.dtype)
+    ypad[: plan.n_rows] = y_sorted
+    return apply_permute_np(plan.rowplan, ypad)[: plan.n_rows]
