@@ -187,8 +187,11 @@ def div_u_df(Gp, ien, u_pair):
 
 
 def forces_df(Np, gda_p, gweight_p, ccr_p, ien, scat_nodes, buoy_p,
-              Wp, vbc_mask, vbc_val_p):
+              Wp, vbc_mask, vbc_val_p, *, matvec=None):
     """assemble_forces transcription (buoyancy + Dirichlet lifting)."""
+    if matvec is None:
+        def matvec(u, strip=True):
+            return stencil_matvec_df(Wp, u, vbc_mask, strip=strip)
     f_nodes = _take(buoy_p, ien, axis=0)                  # (nel, 8)
     # f_gs[e,g] = sum_a f[e,a] N[a,g]
     t = df.mul((f_nodes[0][:, :, None], f_nodes[1][:, :, None]),
@@ -207,7 +210,7 @@ def forces_df(Np, gda_p, gweight_p, ccr_p, ien, scat_nodes, buoy_p,
     f = scat_nodes.apply(_reshape(contrib, (-1, 3)))
     vb = (jnp.where(vbc_mask, vbc_val_p[0], 0.0),
           jnp.where(vbc_mask, vbc_val_p[1], 0.0))
-    Kvb = stencil_matvec_df(Wp, vb, vbc_mask, strip=False)
+    Kvb = matvec(vb, strip=False)
     f = df.sub(f, Kvb)
     return (jnp.where(vbc_mask, 0.0, f[0]), jnp.where(vbc_mask, 0.0, f[1]))
 
@@ -216,7 +219,13 @@ def forces_df(Np, gda_p, gweight_p, ccr_p, ien, scat_nodes, buoy_p,
 # solvers in df64 (conj_grad:307-433, solve_Ahat_p_fhat_CG:188-451 mirrors)
 # ---------------------------------------------------------------------------
 
-def conj_grad_df(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int):
+def conj_grad_df(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int,
+                 *, matvec=None):
+    """matvec(u_pair, strip=True) overrides the stencil operator (the
+    element-form K of the unstructured full-sphere mesh, df64_full.py)."""
+    if matvec is None:
+        def matvec(u, strip=True):
+            return stencil_matvec_df(Wp, u, vbc_mask, strip=strip)
     zero = jnp.zeros_like(Fp[0])
     d = (zero, zero)
     r = Fp
@@ -237,7 +246,7 @@ def conj_grad_df(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int):
                                 df.select(dotr0z0[0] == 0, df.df(1.0),
                                           dotr0z0)))
         p2 = df.add(z1, df.mul(beta, p1))
-        Ap = stencil_matvec_df(Wp, p2, vbc_mask)
+        Ap = matvec(p2)
         dotprod = df.dot(p2, Ap)
         alpha = df.select(dotprod[0] == 0, df.df(1.0e-3),
                           df.div(dotr1z1,
@@ -254,11 +263,15 @@ def conj_grad_df(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int):
     return d, res, count
 
 
-def _conj_grad_f32(W, BI, F, vbc_mask, rel_acc, max_iter: int):
+def _conj_grad_f32(W, BI, F, vbc_mask, rel_acc, max_iter: int,
+                   *, matvec=None):
     """Plain f32 diag-preconditioned CG on the hi operator (the
     correction solver of the iterative-refinement scheme). Same loop
     as conj_grad:307-433 in single working precision."""
     from g4s_tpu.models.citcoms.nodal import nodal_matvec
+    if matvec is None:
+        def matvec(p):
+            return nodal_matvec(W, p, vbc_mask)
     zero = jnp.zeros_like(F)
     res0 = jnp.sqrt(jnp.vdot(F, F))
     tgt = jnp.asarray(rel_acc, res0.dtype) * res0
@@ -275,7 +288,7 @@ def _conj_grad_f32(W, BI, F, vbc_mask, rel_acc, max_iter: int):
         beta = jnp.where(count == 0, 0.0,
                          r1z1 / jnp.where(r0z0 == 0, 1.0, r0z0))
         p2 = z1 + beta * p1
-        Ap = nodal_matvec(W, p2, vbc_mask)
+        Ap = matvec(p2)
         pAp = jnp.vdot(p2, Ap)
         alpha = jnp.where(pAp == 0, 1e-3,
                           r1z1 / jnp.where(pAp == 0, 1.0, pAp))
@@ -438,7 +451,7 @@ def mg_from_T(hier, T_hi) -> MGF32:
 
 def conj_grad_ir(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int,
                  *, max_outer: int = 10, f32_rel: float = 1e-4,
-                 mg: MGF32 | None = None):
+                 mg: MGF32 | None = None, matvec=None, matvec_f32=None):
     """Inner velocity solve K d = F by mixed-precision iterative
     refinement: f32 CG computes each correction (12x cheaper per
     iteration than the df64 loop on this op-overhead-bound mesh), the
@@ -453,7 +466,11 @@ def conj_grad_ir(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int,
     work count is rounding-stable (the inner-count flips that moved the
     10-step trajectory at the CG plateau disappear) and independent of
     the operator's condition number."""
-    W, BI = Wp[0], BIp[0]
+    W = Wp[0] if Wp is not None else None
+    BI = BIp[0]
+    if matvec is None:
+        def matvec(u, strip=True):
+            return stencil_matvec_df(Wp, u, vbc_mask, strip=strip)
     zero = jnp.zeros_like(Fp[0])
     d0 = (zero, zero)
     res0 = df.sqrt(df.dot(Fp, Fp))
@@ -476,9 +493,9 @@ def conj_grad_ir(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int,
             delta, it = _mg_solve_f32(mg, r[0] * inv, rel, 16)
         else:
             delta, it = _conj_grad_f32(W, BI, r[0] * inv, vbc_mask,
-                                       rel, max_iter)
+                                       rel, max_iter, matvec=matvec_f32)
         d = df.add(d, df.mul_f((delta, jnp.zeros_like(delta)), rn))
-        r = df.sub(Fp, stencil_matvec_df(Wp, d, vbc_mask))
+        r = df.sub(Fp, matvec(d))
         r = (jnp.where(vbc_mask, 0.0, r[0]), jnp.where(vbc_mask, 0.0, r[1]))
         return (d, r, df.sqrt(df.dot(r, r)), outer + 1, tot + it)
 
@@ -516,23 +533,29 @@ def uzawa_cg_df(Wp, BIp, BPIp, Gp, ien, scat_nodes, norms,
                 accuracy: float, inner_acc_scale: float,
                 max_outer: int, max_inner: int,
                 check_pressure_convergence: bool,
-                inner_ir: bool = True, mg: MGF32 | None = None):
+                inner_ir: bool = True, mg: MGF32 | None = None,
+                matvec=None, matvec_f32=None):
     """Uzawa pressure CG in df64 (uzawa_cg mirror, same stopping logic).
     inner_ir=True solves the inner velocity systems by f32-CG +
     df64-residual iterative refinement (conj_grad_ir) instead of the
     all-df64 CG — same stopping targets, ~10x fewer df64 iterations.
-    mg= switches the IR correction solver to stencil multigrid."""
+    mg= switches the IR correction solver to stencil multigrid.
+    matvec/matvec_f32 override the stencil K (unstructured meshes)."""
+    from functools import partial as _partial
     if inner_ir:
-        from functools import partial as _partial
-        inner_solve = _partial(conj_grad_ir, mg=mg)
+        inner_solve = _partial(conj_grad_ir, mg=mg, matvec=matvec,
+                               matvec_f32=matvec_f32)
     else:
-        inner_solve = conj_grad_df
+        inner_solve = _partial(conj_grad_df, matvec=matvec)
+    if matvec is None:
+        def matvec(u, strip=True):
+            return stencil_matvec_df(Wp, u, vbc_mask, strip=strip)
     imp = np.float32(accuracy)
     fdotf = df.sqrt(df.dot(F_pair, F_pair))
     inner_acc = df.mul_f(fdotf, np.float32(accuracy * inner_acc_scale))
 
     F1 = df.sub(df.sub(F_pair, grad_p_df(Gp, P_pair, scat_nodes, vbc_mask)),
-                stencil_matvec_df(Wp, V_pair, vbc_mask))
+                matvec(V_pair))
     F1 = (jnp.where(vbc_mask, 0.0, F1[0]), jnp.where(vbc_mask, 0.0, F1[1]))
     du, _, it0 = inner_solve(Wp, BIp, F1, vbc_mask, inner_acc, max_inner)
     V = df.add(V_pair, du)
@@ -915,29 +938,8 @@ class DF64Model:
         return T, Td, V, P, dt, mon
 
     def _advect_T(self, T_p, Td_p, V_p, dt0, advect):
-        cfg = self.cfg
-        if cfg.monitor_max_T:
-            T_int0 = jnp.max(jnp.where(self.tbc_mask, -jnp.inf, T_p[0]))
-            T1, Td1 = advect(dt0)
-
-            def cond(carry):
-                T, Td, dt, tries = carry
-                blown = jnp.max(jnp.where(self.tbc_mask, -jnp.inf, T[0])) \
-                    / jnp.maximum(T_int0, 1e-30) > 1.05
-                return jnp.logical_and(blown, tries < 5)
-
-            def body(carry):
-                T, Td, dt, tries = carry
-                dt2 = df.mul_f(dt, np.float32(0.5))
-                T2, Td2 = advect(dt2)
-                return T2, Td2, dt2, tries + 1
-
-            T, Td, dt, _ = jax.lax.while_loop(
-                cond, body, (T1, Td1, dt0, jnp.asarray(0, jnp.int32)))
-        else:
-            dt = dt0
-            T, Td = advect(dt)
-        return T, Td, dt
+        return advect_monitored_df(advect, T_p, dt0, self.tbc_mask,
+                                   self.cfg.monitor_max_T)
 
     def _timestep_tracers_impl(self, T_p, Td_p, V_p, P_p, pos_p, flavors):
         """Thermochemical timestep: T advection, tracer advection with
@@ -1021,3 +1023,31 @@ class DF64Model:
                 "incompressibility": float(df.to_f64(mon[2])),
                 "outer": int(mon[3]), "inner": int(mon[4])}
         return new, diag, jnp.asarray(df.to_f64(pos_o))
+
+
+def advect_monitored_df(advect, T_p, dt0, tbc_mask, monitor: bool):
+    """df64 max-T guard shared by the regional and full-sphere tiers:
+    redo `advect(dt)` with halved dt while the interior maximum grows
+    past T_maxvaried=1.05 (PG_timestep_solve do/while,
+    Advection_diffusion.c:234-280; at most 5 retries)."""
+    if not monitor:
+        T, Td = advect(dt0)
+        return T, Td, dt0
+    T_int0 = jnp.max(jnp.where(tbc_mask, -jnp.inf, T_p[0]))
+    T1, Td1 = advect(dt0)
+
+    def cond(carry):
+        T, Td, dt, tries = carry
+        blown = jnp.max(jnp.where(tbc_mask, -jnp.inf, T[0])) \
+            / jnp.maximum(T_int0, 1e-30) > 1.05
+        return jnp.logical_and(blown, tries < 5)
+
+    def body(carry):
+        T, Td, dt, tries = carry
+        dt2 = df.mul_f(dt, np.float32(0.5))
+        T2, Td2 = advect(dt2)
+        return T2, Td2, dt2, tries + 1
+
+    T, Td, dt, _ = jax.lax.while_loop(
+        cond, body, (T1, Td1, dt0, jnp.asarray(0, jnp.int32)))
+    return T, Td, dt

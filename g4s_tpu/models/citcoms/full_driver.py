@@ -199,20 +199,55 @@ class FullSphereModel:
         DT = self.plan.scatter(res[:, :, None])[:, 0]
         return jnp.where(self.tbc_mask, 0.0, DT * self.tmass)
 
-    def _timestep(self, s: State):
+    def _cfl_dt(self, V):
         cfg = self.cfg
-        vv = jnp.take(s.V, self.ien, axis=0)
+        vv = jnp.take(V, self.ien, axis=0)
         uc = jnp.einsum("eai,a->ei", vv, self.N_center[:, 0])
         rate = jnp.sum(jnp.abs(uc) / self.e_size, axis=1)
-        dt = 1e-32 + jnp.minimum(cfg.finetunedt * 0.5 / jnp.max(rate),
-                                 self.diff_dt)
-        T = s.T + (1.0 - cfg.adv_gamma) * dt * s.Tdot
-        Tdot = jnp.zeros_like(s.Tdot)
-        for _ in range(cfg.adv_sub_iterations):
-            DT = self._pg_residual(T, Tdot, s.V)
-            T = T + cfg.adv_gamma * dt * DT
-            Tdot = Tdot + DT
-            T = jnp.where(self.tbc_mask, self.tbc_val, T)
+        return 1e-32 + jnp.minimum(cfg.finetunedt * 0.5 / jnp.max(rate),
+                                   self.diff_dt)
+
+    def _advect_T(self, T0, Tdot0, V, dt0):
+        """PG predictor-corrector with the max-T guard: if the interior
+        maximum grows by more than T_maxvaried=1.05, redo with half the
+        timestep (PG_timestep_solve do/while, Advection_diffusion.c:
+        234-280; at most 5 retries). Returns (T, Tdot, dt_used)."""
+        cfg = self.cfg
+
+        def advect(dt):
+            T = T0 + (1.0 - cfg.adv_gamma) * dt * Tdot0
+            Tdot = jnp.zeros_like(Tdot0)
+            for _ in range(cfg.adv_sub_iterations):
+                DT = self._pg_residual(T, Tdot, V)
+                T = T + cfg.adv_gamma * dt * DT
+                Tdot = Tdot + DT
+                T = jnp.where(self.tbc_mask, self.tbc_val, T)
+            return T, Tdot
+
+        if not cfg.monitor_max_T:
+            T, Tdot = advect(dt0)
+            return T, Tdot, dt0
+        T_int0 = jnp.max(jnp.where(self.tbc_mask, -jnp.inf, T0))
+        T1, Td1 = advect(dt0)
+
+        def cond(carry):
+            T, Td, dt, tries = carry
+            blown = jnp.max(jnp.where(self.tbc_mask, -jnp.inf, T)) \
+                / jnp.maximum(T_int0, 1e-30) > 1.05
+            return jnp.logical_and(blown, tries < 5)
+
+        def body(carry):
+            T, Td, dt, tries = carry
+            dt2 = dt * 0.5
+            T2, Td2 = advect(dt2)
+            return T2, Td2, dt2, tries + 1
+
+        T, Tdot, dt, _ = jax.lax.while_loop(
+            cond, body, (T1, Td1, dt0, jnp.asarray(0, jnp.int32)))
+        return T, Tdot, dt
+
+    def _timestep(self, s: State):
+        T, Tdot, dt = self._advect_T(s.T, s.Tdot, s.V, self._cfl_dt(s.V))
         V, P, mon = self._stokes(T, s.V, s.P)
         diag = StepDiagnostics(dt, mon.v_norm, mon.p_norm,
                                mon.incompressibility, mon.outer_iterations,
@@ -244,15 +279,10 @@ class FullSphereModel:
 
     def _timestep_tracers(self, s: State, pos, flavors):
         from g4s_tpu.models.citcoms import full_tracers as ft
-        cfg = self.cfg
         tf = self._tracer_field
-        # CFL dt (same rule as _timestep), advect tracers, form the
-        # composition, then advance with chemical buoyancy in the solve
-        vv = jnp.take(s.V, self.ien, axis=0)
-        uc = jnp.einsum("eai,a->ei", vv, self.N_center[:, 0])
-        rate = jnp.sum(jnp.abs(uc) / self.e_size, axis=1)
-        dt = 1e-32 + jnp.minimum(cfg.finetunedt * 0.5 / jnp.max(rate),
-                                 self.diff_dt)
+        # CFL dt (same rule as _timestep, incl. the max-T guard); the
+        # tracers advect with the step's final (possibly halved) dt
+        T, Tdot, dt = self._advect_T(s.T, s.Tdot, s.V, self._cfl_dt(s.V))
         pos = ft.advect_tracers(tf, s.V, pos, dt)
         comp_el, _ = ft.element_composition(tf, self.mesh, pos, flavors, 2)
         # composition -> nodes (volume-agnostic average, like the
@@ -262,15 +292,6 @@ class FullSphereModel:
         num = self.plan.scatter(contrib[:, :, None])[:, 0]
         den = self.plan.scatter(jnp.ones_like(contrib)[:, :, None])[:, 0]
         C_nodes = num / jnp.maximum(den, 1.0)
-
-        # energy advection (same as _timestep)
-        T = s.T + (1.0 - cfg.adv_gamma) * dt * s.Tdot
-        Tdot = jnp.zeros_like(s.Tdot)
-        for _ in range(cfg.adv_sub_iterations):
-            DT = self._pg_residual(T, Tdot, s.V)
-            T = T + cfg.adv_gamma * dt * DT
-            Tdot = Tdot + DT
-            T = jnp.where(self.tbc_mask, self.tbc_val, T)
         V, P, mon = self._stokes(T, s.V, s.P, C=C_nodes)
         diag = StepDiagnostics(dt, mon.v_norm, mon.p_norm,
                                mon.incompressibility, mon.outer_iterations,
