@@ -1815,3 +1815,54 @@ class TestGgrdNetCDF:
                   & (node_lon > lon[0]) & (node_lon < lon[-1]))
         np.testing.assert_allclose(vals[inside], expect[inside],
                                    rtol=1e-6)
+
+
+class TestDF64FullSphere:
+    """df64 tier for the full-sphere solver (df64_full.py): the element-
+    form df64 timestep must track the f64 FullSphereModel (the same
+    defect-correction envelope validated for the regional model in
+    TestDF64Tier, now through the unstructured merged 12-cap mesh)."""
+
+    @pytest.mark.parametrize("inner,v_tol", [("ir", 1.2e-3), ("df", 2e-4)])
+    def test_df64_full_sphere_tracks_f64(self, inner, v_tol):
+        import jax
+        if not jax.config.jax_enable_x64:
+            pytest.skip("needs x64 for the f64 oracle")
+        import dataclasses as dc
+        from g4s_tpu.models.citcoms.df64_full import DF64FullModel
+        from g4s_tpu.models.citcoms.full_driver import FullSphereModel
+        cfg = CitcomConfig(nodex=9, nodey=9, nodez=5, radius_inner=0.55,
+                           radius_outer=1.0, rayleigh=1e4, num_mat=1)
+        model = FullSphereModel(cfg)
+        dfm = DF64FullModel(model, inner=inner)
+        s0 = model.init_state()
+        xyz = model._xyz
+        blob = np.exp(-np.sum((xyz - np.array([0.6, 0.3, 0.2])) ** 2,
+                              axis=1) / 0.05)
+        T2 = jnp.asarray(np.clip(np.asarray(s0.T) + 0.3 * blob, 0, 1),
+                         jnp.float64)
+        s0 = dc.replace(s0, T=T2)
+        s64, mon64 = model.initial_solve(s0)
+        sdf, _ = dfm.initial_solve(s0)
+        vmax = float(np.abs(np.asarray(s64.V)).max())
+        np.testing.assert_allclose(np.asarray(sdf.V), np.asarray(s64.V),
+                                   rtol=0, atol=v_tol * vmax)
+        for _ in range(2):
+            s64, d64 = model.step(s64)
+            sdf, ddf = dfm.step(sdf)
+        # temperature tracks tighter than the solver-tolerance V. The
+        # blob drives the step to the explicit diffusion limit at the
+        # smallest pole elements, where the max-T guard halves dt
+        # (both models must take the SAME halvings — the real assert
+        # here); the marginal step-1 dt leaves a few 1e-4-level pole
+        # residuals, hence atol 1e-3 rather than solver-tolerance.
+        np.testing.assert_allclose(np.asarray(sdf.T), np.asarray(s64.T),
+                                   rtol=0, atol=1e-3)
+        vmax = float(np.abs(np.asarray(s64.V)).max())
+        np.testing.assert_allclose(np.asarray(sdf.V), np.asarray(s64.V),
+                                   rtol=0, atol=5 * v_tol * vmax)
+        assert abs(float(sdf.dt) - float(s64.dt)) < 5e-3 * float(s64.dt)
+        # df64 net-rotation projection leaves no residual rotation
+        Vr = model.remove_net_rotation(jnp.asarray(np.asarray(sdf.V)))
+        assert float(jnp.max(jnp.abs(Vr - jnp.asarray(np.asarray(sdf.V))))) \
+            < 1e-9
