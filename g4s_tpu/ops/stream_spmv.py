@@ -28,6 +28,15 @@ these matrices with hash tables + AVX gathers (mm/inc/hash_mult.h:
 111-492, radix re-bucketing radix_sort.h); on TPU the static-schedule
 equivalent wins because dynamic gathers don't vectorize.
 
+Power-law skew (RMAT/G500) adds a hub split: columns/rows whose degree
+exceeds ~8x the mean leave the stream and run as small dense MXU
+matmuls (y += A[:, hubc] @ x[hubc]; y[hubr] += A_nohubc[hubr, :] @ x).
+A hub column of degree d costs ~16 bytes/slot through the three stream
+stages but only 4*n_rows bytes densely, so the MXU path wins for
+d >~ n/4; pulling hubs out also shrinks the padded stream and its
+ladder classes (BIN.h's "few heavy rows dominate" case handled the way
+TPUs want: feed them to the systolic array).
+
 (The first version of this module placed x into run-head slots with a
 second full-size permute and broadcast it down runs with ceil(log2(max
 col degree)) masked rolls over the whole stream; the class-compact
@@ -72,6 +81,11 @@ class StreamPlan:
     vals_e: jax.Array         # (m,) values in expand-space order (0 pads)
     route2: PermutePlan       # expand-space slots -> row-binned slots
     rowplan: PermutePlan      # sorted-row order -> original row order
+    # hub split (None when the pattern has no heavy hubs)
+    hub_cols: jax.Array | None      # (n_hub_c,) int32 column ids
+    hub_dense_c: jax.Array | None   # (n_rows, n_hub_c) A[:, hub_cols]
+    hub_rows: jax.Array | None      # (n_hub_r,) int32 row ids
+    hub_dense_r: jax.Array | None   # (n_hub_r, n_cols) minus hub cols
     col_classes: Tuple[Tuple[int, int, int, int], ...] = _static()
     # each (n_cols_in_class, width L, expand offset, compact-x offset)
     slices: Tuple[Tuple[int, int, int], ...] = _static()  # (rows, w, off)
@@ -90,11 +104,67 @@ def _identity_fill(sigma: np.ndarray, used_src: np.ndarray) -> np.ndarray:
     return sigma
 
 
-def build_stream_plan(a) -> StreamPlan:
+def _extract_hubs(sp_a, n_rows, n_cols):
+    """Pull heavy hub columns/rows out of the matrix for the dense MXU
+    path. Returns (remainder_csr, hub_cols, Dc, hub_rows, Dr), hubs None
+    when no degree exceeds 8x the mean (or 256). Dense blocks are capped
+    at 64 MB each (at most 512 hubs per side)."""
+    import scipy.sparse as sps
+    coo = sp_a.tocoo()
+    r = coo.row.astype(np.int64)
+    c = coo.col.astype(np.int64)
+    v = coo.data
+    nnz = r.size
+    hub_cols = Dc = hub_rows = Dr = None
+    if nnz == 0:
+        return sp_a, hub_cols, Dc, hub_rows, Dr
+    keep = np.ones(nnz, bool)
+    col_deg = np.bincount(c, minlength=n_cols)
+    thr_c = max(256, (8 * nnz) // max(n_cols, 1))
+    cap_c = min(512, max(1, (64 << 20) // (4 * max(n_rows, 1))))
+    cand = np.nonzero(col_deg >= thr_c)[0]
+    if cand.size:
+        cand = cand[np.argsort(-col_deg[cand], kind="stable")][:cap_c]
+        hub_cols = np.sort(cand)
+        in_hc = np.zeros(n_cols, bool)
+        in_hc[hub_cols] = True
+        sel = in_hc[c]
+        pos = np.zeros(n_cols, np.int64)
+        pos[hub_cols] = np.arange(hub_cols.size)
+        Dc = np.zeros((n_rows, hub_cols.size), v.dtype)
+        np.add.at(Dc, (r[sel], pos[c[sel]]), v[sel])
+        keep &= ~sel
+    row_deg = np.bincount(r[keep], minlength=n_rows)
+    thr_r = max(256, (8 * nnz) // max(n_rows, 1))
+    cap_r = min(512, max(1, (64 << 20) // (4 * max(n_cols, 1))))
+    cand = np.nonzero(row_deg >= thr_r)[0]
+    if cand.size:
+        cand = cand[np.argsort(-row_deg[cand], kind="stable")][:cap_r]
+        hub_rows = np.sort(cand)
+        in_hr = np.zeros(n_rows, bool)
+        in_hr[hub_rows] = True
+        sel = in_hr[r] & keep
+        pos = np.zeros(n_rows, np.int64)
+        pos[hub_rows] = np.arange(hub_rows.size)
+        Dr = np.zeros((hub_rows.size, n_cols), v.dtype)
+        np.add.at(Dr, (pos[r[sel]], c[sel]), v[sel])
+        keep &= ~sel
+    if hub_cols is None and hub_rows is None:
+        return sp_a, None, None, None, None
+    rem = sps.csr_matrix((v[keep], (r[keep], c[keep])),
+                         shape=(n_rows, n_cols))
+    return rem, hub_cols, Dc, hub_rows, Dr
+
+
+def build_stream_plan(a, *, hub_split: bool = True) -> StreamPlan:
     """Compile the streaming schedule for a CSR matrix (host-side, once
     per pattern — the analog of the reference's symbolic phase)."""
     sp_a = a.to_scipy().tocsr() if hasattr(a, "to_scipy") else a.tocsr()
     n_rows, n_cols = sp_a.shape
+    hub_cols = Dc = hub_rows = Dr = None
+    if hub_split:
+        sp_a, hub_cols, Dc, hub_rows, Dr = _extract_hubs(
+            sp_a, n_rows, n_cols)
     csc = sp_a.tocsc()
     csc.sort_indices()
     nnz = csc.nnz
@@ -193,6 +263,10 @@ def build_stream_plan(a) -> StreamPlan:
     return StreamPlan(
         build_permute_plan(sigma_x), jnp.asarray(vals_e),
         build_permute_plan(sigma2), build_permute_plan(sigma_r),
+        None if hub_cols is None else jnp.asarray(hub_cols, jnp.int32),
+        None if Dc is None else jnp.asarray(Dc),
+        None if hub_rows is None else jnp.asarray(hub_rows, jnp.int32),
+        None if Dr is None else jnp.asarray(Dr),
         tuple(col_classes), tuple(slices), n_rows, n_cols, m,
         nc_pad, nr_pad)
 
@@ -227,7 +301,13 @@ def spmv_stream(plan: StreamPlan, x):
     y_sorted = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     ypad = jnp.zeros((plan.nr_pad,), y_sorted.dtype) \
         .at[: plan.n_rows].set(y_sorted)
-    return apply_permute(plan.rowplan, ypad)[: plan.n_rows]
+    y = apply_permute(plan.rowplan, ypad)[: plan.n_rows]
+    if plan.hub_cols is not None:
+        y = y + plan.hub_dense_c.astype(y.dtype) \
+            @ jnp.take(x, plan.hub_cols, axis=0)
+    if plan.hub_rows is not None:
+        y = y.at[plan.hub_rows].add(plan.hub_dense_r.astype(y.dtype) @ x)
+    return y
 
 
 def spmv_stream_np(plan: StreamPlan, x: np.ndarray) -> np.ndarray:
@@ -249,4 +329,11 @@ def spmv_stream_np(plan: StreamPlan, x: np.ndarray) -> np.ndarray:
     y_sorted = np.concatenate(parts)
     ypad = np.zeros(plan.nr_pad, y_sorted.dtype)
     ypad[: plan.n_rows] = y_sorted
-    return apply_permute_np(plan.rowplan, ypad)[: plan.n_rows]
+    y = apply_permute_np(plan.rowplan, ypad)[: plan.n_rows]
+    if plan.hub_cols is not None:
+        hc = np.asarray(plan.hub_cols)
+        y = y + np.asarray(plan.hub_dense_c, y.dtype) @ x[hc]
+    if plan.hub_rows is not None:
+        hr = np.asarray(plan.hub_rows)
+        y[hr] += np.asarray(plan.hub_dense_r, y.dtype) @ x
+    return y

@@ -41,6 +41,29 @@ class TestStreamPlan:
         x = rng.standard_normal(n).astype(np.float32)
         np.testing.assert_allclose(spmv_stream_np(plan, x), a @ x,
                                    rtol=2e-5, atol=1e-5)
+        # the pareto-0.6 head columns exceed 8x mean degree -> MXU split
+        # (hub rows may or may not survive the column removal)
+        assert plan.hub_cols is not None
+        # without the split the answer is identical (and the stream longer)
+        plan0 = build_stream_plan(a, hub_split=False)
+        assert plan0.hub_cols is None and plan0.m >= plan.m
+        np.testing.assert_allclose(spmv_stream_np(plan0, x),
+                                   spmv_stream_np(plan, x),
+                                   rtol=2e-5, atol=1e-5)
+
+    def test_hub_overlap_entries_counted_once(self, rng):
+        # entries at (hub row, hub col) intersections must not be double
+        # counted between the two dense blocks
+        n = 1200
+        a = _random_csr(rng, n, n, 5000).tolil()
+        a[:, 5] = 1.0          # hub column (degree n)
+        a[7, :] = 2.0          # hub row (degree n), overlaps at (7, 5)
+        a = a.tocsr()
+        plan = build_stream_plan(a)
+        assert plan.hub_cols is not None and plan.hub_rows is not None
+        x = rng.standard_normal(n).astype(np.float32)
+        np.testing.assert_allclose(spmv_stream_np(plan, x), a @ x,
+                                   rtol=2e-5, atol=2e-4)
 
     def test_rectangular(self, rng):
         a = sp.random(1500, 6000, density=0.002, format="csr",
@@ -82,3 +105,18 @@ class TestDeviceApply:
         y = np.asarray(jax.jit(
             lambda v: spmv_stream(plan, v))(jnp.asarray(x)))
         np.testing.assert_allclose(y, a @ x, rtol=2e-5, atol=1e-5)
+
+    def test_device_hub_split(self, rng):
+        import jax
+        import jax.numpy as jnp
+        n = 1500
+        a = _random_csr(rng, n, n, 8000).tolil()
+        a[:, 3] = 1.5
+        a[9, :] = -0.5
+        a = a.tocsr()
+        plan = build_stream_plan(a)
+        assert plan.hub_cols is not None and plan.hub_rows is not None
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(jax.jit(
+            lambda v: spmv_stream(plan, v))(jnp.asarray(x)))
+        np.testing.assert_allclose(y, a @ x, rtol=2e-5, atol=2e-4)
