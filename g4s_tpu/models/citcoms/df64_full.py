@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from g4s_tpu.ops import df64 as df
+from g4s_tpu.models.citcoms.df64_assembly import TDepDF, bpi_df, evisc_df
 from g4s_tpu.models.citcoms.df64_step import (
     AdvDF, PaddedScatter, _Norms, _reshape, _take, _tree_sum, _where,
     advect_monitored_df, cfl_timestep_df, forces_df, pg_timestep_df,
@@ -58,6 +59,63 @@ def elt_matvec_f32(elt_k_hi, ien, plan, u, vbc_mask):
     au = jnp.einsum("eab,eb->ea", elt_k_hi, u_el)
     au = plan.scatter(au.reshape(-1, 8, 3))
     return jnp.where(vbc_mask, 0.0, au)
+
+
+def _build_tdep_full(model):
+    """Element-form TDEPV statics for the full sphere: the per-Gauss
+    geometry blocks M[e,g] = w_g |J|_eg B^T D B|_eg with viscosity held
+    out (elt_k is linear in eta — the same factorization build_tdep uses
+    for the regional 27-stencil, kept in (nel, 8g, 24, 24) element form
+    because the merged 12-cap mesh has no structured stencil), plus the
+    viscosity-law constants for evisc_df."""
+    cfg = model.cfg
+    B = np.asarray(model.B, np.float64)            # (nel, 8g, 6s, 8a, 3i)
+    gda = np.asarray(model.gda, np.float64)
+    gw = np.asarray(model.gweight, np.float64)
+    W = gw[None, :] * gda
+    D = np.array([2.0, 2.0, 2.0, 1.0, 1.0, 1.0])
+    BD = B * D[None, None, :, None, None]
+    M = np.einsum("egsai,egsbj->egaibj", BD, B, optimize=True) \
+        * W[:, :, None, None, None, None]
+    nel = B.shape[0]
+    M = M.reshape(nel, 8, 24, 24)
+    mat = np.asarray(model.mat)
+    pick = lambda v: np.asarray(v, np.float64)[
+        np.minimum(mat, len(np.atleast_1d(v)) - 1)]
+    td = TDepDF(
+        None, None, split64(np.asarray(model.N, np.float64)),
+        split64(pick(cfg.visc0)), split64(pick(cfg.viscE)),
+        split64(pick(cfg.viscT)), split64(pick(cfg.viscZ)),
+        int(cfg.rheol),
+        float(cfg.visc_min) if cfg.VMIN else None,
+        float(cfg.visc_max) if cfg.VMAX else None,
+        None, bool(cfg.TDEPV and any(e != 0.0 for e in cfg.viscE)))
+    return td, split64(M), jnp.asarray(M.astype(np.float32))
+
+
+def elt_k_from_eta_df(M_el_p, eta_p):
+    """elt_k pairs (nel, 24, 24) = sum_g eta[e,g] * M[e,g]: 8 df64
+    multiply-adds against the element geometry blocks (the
+    construct_stiffness_B_matrix role on the unstructured mesh)."""
+    acc = None
+    for g in range(8):
+        Mg = (M_el_p[0][:, g], M_el_p[1][:, g])             # (nel, 24, 24)
+        eh = jnp.broadcast_to(eta_p[0][:, g, None, None], Mg[0].shape)
+        el = jnp.broadcast_to(eta_p[1][:, g, None, None], Mg[0].shape)
+        term = df.mul((eh, el), Mg)
+        acc = term if acc is None else df.add(acc, term)
+    return acc
+
+
+def bi_from_elt_k_df(eltk_p, scat_nodes):
+    """Jacobi preconditioner 1/diag(K) from the element diagonals
+    (build_diag_K in df64, element form)."""
+    dh = jnp.diagonal(eltk_p[0], axis1=1, axis2=2).reshape(-1, 3)
+    dl = jnp.diagonal(eltk_p[1], axis1=1, axis2=2).reshape(-1, 3)
+    diag = scat_nodes.apply((dh, dl))                       # (nno, 3)
+    ones = (jnp.ones_like(diag[0]), jnp.zeros_like(diag[1]))
+    inv = df.div(ones, _where(diag[0] != 0.0, diag, ones))
+    return _where(diag[0] != 0.0, inv, ones)
 
 
 def _col(pair, i):
@@ -94,11 +152,12 @@ class DF64FullModel:
         self.inner_ir = inner == "ir"
         if (cfg.disptn_number != 0.0 or cfg.SDEPV or cfg.PDEPV or cfg.CDEPV
                 or cfg.Ra_410 != 0.0 or cfg.Ra_670 != 0.0
-                or cfg.Ra_cmb != 0.0
-                or (cfg.TDEPV and any(e != 0.0 for e in cfg.viscE))):
+                or cfg.Ra_cmb != 0.0):
             raise NotImplementedError(
-                "DF64FullModel covers the constant-viscosity full-sphere "
-                "envelope; use the f64 FullSphereModel otherwise")
+                "DF64FullModel covers the (T-dependent-)viscosity "
+                "full-sphere envelope; use the f64 FullSphereModel "
+                "otherwise")
+        self.tdepv = bool(cfg.TDEPV and any(e != 0.0 for e in cfg.viscE))
         m = model.mesh
         np64 = lambda x: np.asarray(x, np.float64)
         self.ien = jnp.asarray(np.asarray(m.ien))
@@ -115,19 +174,26 @@ class DF64FullModel:
         self.gw_p = split64(np64(g.gweight))
         self.ccr_p = split64(np64(g.cc)[:, :, 2])          # (nel,8g,3,8a)
 
-        # constant operators computed ONCE in true f64 by the CPU model
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            s0 = model.init_state()
-            ops = model._build_ops(s0.T)
-        eltk64 = np.asarray(ops.elt_k, np.float64)
-        self.eltk_p = split64(eltk64)
-        self.eltk_hi = jnp.asarray(eltk64.astype(np.float32))
-        self.BI_p = split64(np.asarray(ops.BI, np.float64))
-        self.BPI_p = split64(np.asarray(ops.BPI, np.float64))
         self.scat_nodes = PaddedScatter.build(np.asarray(m.ien).ravel(),
                                               m.nno)
         self.plan = model.plan
+        if self.tdepv:
+            # viscosity changes per step: precompute the eta-held-out
+            # geometry blocks; elt_k/BI/BPI re-assemble on device
+            self.td, self.M_el_p, self.M_el_hi = _build_tdep_full(model)
+            self.eltk_p = self.eltk_hi = self.BI_p = self.BPI_p = None
+        else:
+            # constant operators computed ONCE in true f64 on the CPU
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                s0 = model.init_state()
+                ops = model._build_ops(s0.T)
+            eltk64 = np.asarray(ops.elt_k, np.float64)
+            self.eltk_p = split64(eltk64)
+            self.eltk_hi = jnp.asarray(eltk64.astype(np.float32))
+            self.BI_p = split64(np.asarray(ops.BI, np.float64))
+            self.BPI_p = split64(np.asarray(ops.BPI, np.float64))
+            self.td = None
 
         nmass64 = np64(model.nmass)                        # lumped mass
         self.norms = _Norms(split64(nmass64), split64(np64(model.e_area)),
@@ -171,11 +237,30 @@ class DF64FullModel:
 
     # -- operator closures --
 
+    def _operators(self, T_p):
+        """(eltk_p, eltk_hi, BI_p, BPI_p) for this step: the constant
+        precomputes, or the TDEPV re-assembly from T (the
+        construct_stiffness_B_matrix-after-viscosity-update role)."""
+        if not self.tdepv:
+            return self.eltk_p, self.eltk_hi, self.BI_p, self.BPI_p
+        eta = evisc_df(self.td, T_p, self.ien)             # (nel, 8g)
+        eltk_p = elt_k_from_eta_df(self.M_el_p, eta)
+        eltk_hi = jnp.einsum("eg,egab->eab", eta[0], self.M_el_hi)
+        BI_p = bi_from_elt_k_df(eltk_p, self.scat_nodes)
+        BPI_p = bpi_df(self.G_p, BI_p, self.ien, self.vbc_mask)
+        return eltk_p, eltk_hi, BI_p, BPI_p
+
     def matvec(self, u_pair, strip=True):
+        if self.tdepv:
+            raise NotImplementedError(
+                "TDEPV operators are per-step; use _operators(T_p)")
         return elt_matvec_df(self.eltk_p, self.ien, self.scat_nodes,
                              u_pair, self.vbc_mask, strip=strip)
 
     def matvec_f32(self, u):
+        if self.tdepv:
+            raise NotImplementedError(
+                "TDEPV operators are per-step; use _operators(T_p)")
         return elt_matvec_f32(self.eltk_hi, self.ien, self.plan, u,
                               self.vbc_mask)
 
@@ -207,18 +292,28 @@ class DF64FullModel:
 
     def _stokes_impl(self, T_p, V_p, P_p):
         cfg = self.cfg
+        eltk_p, eltk_hi, BI_p, BPI_p = self._operators(T_p)
+
+        def matvec(u_pair, strip=True):
+            return elt_matvec_df(eltk_p, self.ien, self.scat_nodes,
+                                 u_pair, self.vbc_mask, strip=strip)
+
+        def matvec_f32(u):
+            return elt_matvec_f32(eltk_hi, self.ien, self.plan, u,
+                                  self.vbc_mask)
+
         buoy = self._buoyancy(T_p)
         F = forces_df(self.N_p, self.gda_p, self.gw_p, self.ccr_p,
                       self.ien, self.scat_nodes, buoy, None,
-                      self.vbc_mask, self.vbc_val_p, matvec=self.matvec)
+                      self.vbc_mask, self.vbc_val_p, matvec=matvec)
         V = _where(self.vbc_mask, self.vbc_val_p, V_p)
         V, P, mon = uzawa_cg_df(
-            None, self.BI_p, self.BPI_p, self.G_p, self.ien,
+            None, BI_p, BPI_p, self.G_p, self.ien,
             self.scat_nodes, self.norms, V, P_p, F, self.vbc_mask,
             cfg.accuracy, cfg.inner_accuracy_scale,
             cfg.piterations, cfg.vlowstep, cfg.check_pressure_convergence,
-            inner_ir=self.inner_ir, matvec=self.matvec,
-            matvec_f32=self.matvec_f32)
+            inner_ir=self.inner_ir, matvec=matvec,
+            matvec_f32=matvec_f32)
         V = self._remove_net_rotation(V)
         return V, P, mon
 

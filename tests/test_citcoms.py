@@ -1866,3 +1866,39 @@ class TestDF64FullSphere:
         Vr = model.remove_net_rotation(jnp.asarray(np.asarray(sdf.V)))
         assert float(jnp.max(jnp.abs(Vr - jnp.asarray(np.asarray(sdf.V))))) \
             < 1e-9
+
+    def test_df64_full_sphere_tdepv(self):
+        """TDEPV full sphere: per-step df64 elt_k/BI/BPI re-assembly from
+        the eta-held-out geometry blocks must track the f64 solver that
+        rebuilds operators from viscosity_at_vpts each solve."""
+        import jax
+        if not jax.config.jax_enable_x64:
+            pytest.skip("needs x64 for the f64 oracle")
+        import dataclasses as dc
+        from g4s_tpu.models.citcoms.df64_full import DF64FullModel
+        from g4s_tpu.models.citcoms.full_driver import FullSphereModel
+        cfg = CitcomConfig(nodex=9, nodey=9, nodez=5, radius_inner=0.55,
+                           radius_outer=1.0, rayleigh=1e4, num_mat=1,
+                           TDEPV=True, rheol=3, visc0=[1.0], viscE=[2.0],
+                           viscT=[0.5], VMIN=True, visc_min=1e-2,
+                           VMAX=True, visc_max=1e2)
+        model = FullSphereModel(cfg)
+        dfm = DF64FullModel(model, inner="ir")
+        assert dfm.tdepv
+        s0 = model.init_state()
+        xyz = model._xyz
+        blob = np.exp(-np.sum((xyz - np.array([0.6, 0.3, 0.2])) ** 2,
+                              axis=1) / 0.05)
+        T2 = jnp.asarray(np.clip(np.asarray(s0.T) + 0.2 * blob, 0, 1),
+                         jnp.float64)
+        s0 = dc.replace(s0, T=T2)
+        s64, _ = model.initial_solve(s0)
+        sdf, _ = dfm.initial_solve(s0)
+        vmax = float(np.abs(np.asarray(s64.V)).max())
+        np.testing.assert_allclose(np.asarray(sdf.V), np.asarray(s64.V),
+                                   rtol=0, atol=2e-3 * vmax)
+        s64, d64 = model.step(s64)
+        sdf, ddf = dfm.step(sdf)
+        np.testing.assert_allclose(np.asarray(sdf.T), np.asarray(s64.T),
+                                   rtol=0, atol=1e-3)
+        assert abs(float(sdf.dt) - float(s64.dt)) < 5e-3 * float(s64.dt)
