@@ -159,6 +159,7 @@ class DF64FullModel:
                 "otherwise")
         self.tdepv = bool(cfg.TDEPV and any(e != 0.0 for e in cfg.viscE))
         m = model.mesh
+        self._mesh = m
         np64 = lambda x: np.asarray(x, np.float64)
         self.ien = jnp.asarray(np.asarray(m.ien))
         self.nno, self.nel = m.nno, m.nel
@@ -266,8 +267,11 @@ class DF64FullModel:
 
     # -- physics pieces --
 
-    def _buoyancy(self, T_p):
+    def _buoyancy(self, T_p, C_p=None):
         buoy = df.mul_f(T_p, np.float32(self.rayleigh))
+        if C_p is not None:
+            buoy = df.sub(buoy, df.mul_f(
+                C_p, np.float32(self.rayleigh * self.cfg.buoyancy_ratio)))
         b2 = _reshape(buoy, (-1, self.noz))
         bsum = _tree_sum(df.mul(b2, self.lw_p), axis=0)     # (noz,)
         have = df.div(bsum, self.lwsum_p)
@@ -290,7 +294,7 @@ class DF64FullModel:
         t = df.mul((v_new[0][:, None, :], v_new[1][:, None, :]), E)
         return _tree_sum(t, axis=2)                         # (nno, 3i)
 
-    def _stokes_impl(self, T_p, V_p, P_p):
+    def _stokes_impl(self, T_p, V_p, P_p, C_p=None):
         cfg = self.cfg
         eltk_p, eltk_hi, BI_p, BPI_p = self._operators(T_p)
 
@@ -302,7 +306,7 @@ class DF64FullModel:
             return elt_matvec_f32(eltk_hi, self.ien, self.plan, u,
                                   self.vbc_mask)
 
-        buoy = self._buoyancy(T_p)
+        buoy = self._buoyancy(T_p, C_p)
         F = forces_df(self.N_p, self.gda_p, self.gw_p, self.ccr_p,
                       self.ien, self.scat_nodes, buoy, None,
                       self.vbc_mask, self.vbc_val_p, matvec=matvec)
@@ -356,3 +360,57 @@ class DF64FullModel:
                      "p_norm": float(df.to_f64(mon[1])),
                      "incompressibility": float(df.to_f64(mon[2])),
                      "outer": int(mon[3]), "inner": int(mon[4])}
+
+    # -- thermochemical step (Full_tracer_advection.c capability) --
+
+    def _timestep_tracers_impl(self, T_p, Td_p, V_p, P_p, pos_p, flavors):
+        """Thermochemical full-sphere timestep: guarded T advection,
+        tracer advection with the same dt and the PRE-solve velocity
+        (matching FullSphereModel._timestep_tracers), ratio composition
+        -> chemical buoyancy in the Stokes solve."""
+        from g4s_tpu.models.citcoms.df64_full_tracers import (
+            advect_tracers_full_df, element_composition_full_df)
+        from g4s_tpu.models.citcoms.df64_tracers import \
+            composition_to_nodes_df
+        cfg = self.cfg
+        dt0 = cfl_timestep_df(self.adv, self.ien, V_p, cfg.finetunedt)
+
+        def advect(dt_p):
+            return pg_timestep_df(
+                self.adv, self.ien, self.scat_nodes, T_p, Td_p, V_p, dt_p,
+                diff_p=self.diff_p, Q0_p=self.Q0_p, gamma=cfg.adv_gamma,
+                sub_iterations=cfg.adv_sub_iterations,
+                tbc_mask=self.tbc_mask, tbc_val_p=self.tbc_val_p)
+
+        T, Td, dt = advect_monitored_df(advect, T_p, dt0, self.tbc_mask,
+                                        cfg.monitor_max_T)
+        pos = advect_tracers_full_df(self._tfdf, V_p, pos_p, dt)
+        comps, _ = element_composition_full_df(self._tfdf, pos, flavors, 2)
+        C = composition_to_nodes_df(None, comps[1], self.scat_nodes)
+        V, P, mon = self._stokes_impl(T, V_p, P_p, C_p=C)
+        return T, Td, V, P, dt, mon, pos, C
+
+    def step_tracers(self, s, pos, flavors):
+        """Whole thermochemical step on device; pos (n, 3) Cartesian f64.
+        Returns (state, diag, pos64, C_nodes64)."""
+        if not hasattr(self, "_tfdf"):
+            from g4s_tpu.models.citcoms.df64_full_tracers import \
+                FullTracerDF
+            self._tfdf = FullTracerDF.build(self._mesh)
+            self._step_tr_fn = jax.jit(self._timestep_tracers_impl)
+        T, Td, V, P, dt, mon, pos_o, C = self._step_tr_fn(
+            split64(np.asarray(s.T)), split64(np.asarray(s.Tdot)),
+            split64(np.asarray(s.V)), split64(np.asarray(s.P)),
+            split64(np.asarray(pos)), jnp.asarray(flavors))
+        dt64 = float(np.float64(np.asarray(dt[0], np.float64))
+                     + np.asarray(dt[1], np.float64))
+        new = dataclasses.replace(
+            s, T=jnp.asarray(df.to_f64(T)), Tdot=jnp.asarray(df.to_f64(Td)),
+            V=jnp.asarray(df.to_f64(V)), P=jnp.asarray(df.to_f64(P)),
+            time=s.time + dt64, dt=jnp.asarray(dt64), step=s.step + 1)
+        diag = {"dt": dt64, "v_norm": float(df.to_f64(mon[0])),
+                "p_norm": float(df.to_f64(mon[1])),
+                "incompressibility": float(df.to_f64(mon[2])),
+                "outer": int(mon[3]), "inner": int(mon[4])}
+        return (new, diag, jnp.asarray(df.to_f64(pos_o)),
+                jnp.asarray(df.to_f64(C)))

@@ -1867,6 +1867,92 @@ class TestDF64FullSphere:
         assert float(jnp.max(jnp.abs(Vr - jnp.asarray(np.asarray(sdf.V))))) \
             < 1e-9
 
+    def test_df64_full_tracer_primitives_track_f64(self):
+        """The df64 full-sphere tracer machinery (location decisions,
+        trilinear weights, velocity interpolation, PC advection,
+        composition) must reproduce the f64 full_tracers oracle."""
+        import jax
+        if not jax.config.jax_enable_x64:
+            pytest.skip("needs x64 for the f64 oracle")
+        from g4s_tpu.models.citcoms import full_tracers as ft
+        from g4s_tpu.models.citcoms import df64_full_tracers as ftd
+        from g4s_tpu.models.citcoms.df64_step import split64
+        from g4s_tpu.models.citcoms.full_driver import FullSphereModel
+        from g4s_tpu.ops import df64 as df
+        cfg = CitcomConfig(nodex=9, nodey=9, nodez=5, radius_inner=0.55,
+                           radius_outer=1.0, rayleigh=1e4, num_mat=1)
+        model = FullSphereModel(cfg)
+        tf = ft.FullTracerField.build(model.mesh)
+        tfd = ftd.FullTracerDF.build(model.mesh)
+        pos, flav = ft.seed_tracers(model.mesh, 3, seed=2)
+        pos_p = split64(pos)
+        # location decisions agree (knife-edge tracers aside: seeded
+        # positions are generic)
+        cap, iy, ix, kz, _, _ = ft.locate(tf, jnp.asarray(pos))
+        capd, iyd, ixd, kzd, _, _ = ftd.locate_full_df(tfd, pos_p)
+        for a, b in ((cap, capd), (iy, iyd), (ix, ixd), (kz, kzd)):
+            assert (np.asarray(a) == np.asarray(b)).mean() > 0.999
+        # velocity interpolation tracks to df64 accuracy
+        rng = np.random.default_rng(3)
+        V = rng.standard_normal((model.mesh.nno, 3))
+        v64 = np.asarray(ft.interp_velocity(tf, jnp.asarray(V),
+                                            jnp.asarray(pos)))
+        vdf = np.asarray(df.to_f64(ftd.interp_velocity_full_df(
+            tfd, split64(V), pos_p)))
+        scale = np.abs(v64).max()
+        mism = np.abs(vdf - v64).max() / scale
+        assert mism < 1e-9, mism
+        # one PC advection step
+        dt = 1e-3
+        p64 = np.asarray(ft.advect_tracers(tf, jnp.asarray(V),
+                                           jnp.asarray(pos), dt))
+        pdf = np.asarray(df.to_f64(ftd.advect_tracers_full_df(
+            tfd, split64(V), pos_p, df.from_f64(np.float64(dt)))))
+        assert np.abs(pdf - p64).max() < 1e-9
+        # composition ratio
+        c64, _ = ft.element_composition(tf, model.mesh, jnp.asarray(p64),
+                                        jnp.asarray(flav), 2)
+        cdf, _ = ftd.element_composition_full_df(
+            tfd, split64(p64), jnp.asarray(flav), 2)
+        np.testing.assert_allclose(np.asarray(df.to_f64(cdf[1])),
+                                   np.asarray(c64[1]), atol=1e-7)
+
+    def test_df64_full_thermochemical_step_tracks_f64(self):
+        """Whole thermochemical df64 step (guarded T advection + tracer
+        advection + ratio composition -> chemical buoyancy) tracks the
+        f64 FullSphereModel.step_tracers."""
+        import jax
+        if not jax.config.jax_enable_x64:
+            pytest.skip("needs x64 for the f64 oracle")
+        import dataclasses as dc
+        from g4s_tpu.models.citcoms import full_tracers as ft
+        from g4s_tpu.models.citcoms.df64_full import DF64FullModel
+        from g4s_tpu.models.citcoms.full_driver import FullSphereModel
+        cfg = CitcomConfig(nodex=5, nodey=5, nodez=4, radius_inner=0.55,
+                           radius_outer=1.0, rayleigh=1e4, num_mat=1,
+                           buoyancy_ratio=0.5)
+        model = FullSphereModel(cfg)
+        dfm = DF64FullModel(model, inner="ir")
+        s0 = model.init_state()
+        s0 = dc.replace(s0, T=s0.T + 0.05 * jnp.sin(
+            jnp.arange(model.mesh.nno) * 0.37))
+        s64, _ = model.initial_solve(s0)
+        pos, flav = ft.seed_tracers(model.mesh, 3, seed=0)
+        a64, d64, p64, C64 = model.step_tracers(
+            s64, jnp.asarray(pos), jnp.asarray(flav))
+        adf, ddf, pdf, Cdf = dfm.step_tracers(s64, pos, flav)
+        assert abs(ddf["dt"] - float(a64.dt)) < 5e-3 * float(a64.dt)
+        np.testing.assert_allclose(np.asarray(adf.T), np.asarray(a64.T),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pdf), np.asarray(p64),
+                                   rtol=0, atol=1e-7)
+        # composition fields agree except possible knife-edge tracers
+        assert (np.abs(np.asarray(Cdf) - np.asarray(C64)) < 1e-6).mean() \
+            > 0.999
+        vmax = float(np.abs(np.asarray(a64.V)).max())
+        np.testing.assert_allclose(np.asarray(adf.V), np.asarray(a64.V),
+                                   rtol=0, atol=2e-3 * vmax)
+
     def test_df64_full_sphere_tdepv(self):
         """TDEPV full sphere: per-step df64 elt_k/BI/BPI re-assembly from
         the eta-held-out geometry blocks must track the f64 solver that
