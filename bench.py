@@ -646,6 +646,13 @@ def bench_spmv(dtype_str: str = "f32"):
                         "variant": g5.variant,
                         "plan_build_s": round(build_s, 1),
                         "max_deg": int(np.diff(rmat.indptr).max())}
+    if g5.variant == "stream" and g5.stream is not None:
+        sp_ = g5.stream
+        out["rmat_skew"]["hub_cols"] = (
+            0 if sp_.hub_cols is None else int(sp_.hub_cols.shape[0]))
+        out["rmat_skew"]["hub_rows"] = (
+            0 if sp_.hub_rows is None else int(sp_.hub_rows.shape[0]))
+        out["rmat_skew"]["stream_m"] = sp_.m
 
     # ---- the permutation primitive itself (ops/route.py): Clos/Benes
     # routing vs the sort_key_val fallback at n ~ 1M (radix_sort.h role) ----
