@@ -13,10 +13,13 @@ which is parameterized on the matvec. Net-rotation removal
 (Determine_net_rotation.c) runs in df64 against host-precomputed f64
 basis vectors and inverse inertia tensor.
 
-Feature envelope: constant viscosity (or TDEPV with all-zero activation
-energies), cgrad inner, free-slip or prescribed-velocity BCs, PG
-advection, no tracers/TALA/phase-change — the CitcomSFull regression
-configuration. Outside it callers use the f64-CPU FullSphereModel.
+Feature envelope: constant or T-dependent viscosity (TDEPV laws 0-4
+with VMIN/VMAX, per-step df64 operator re-assembly from eta-held-out
+geometry blocks), cgrad inner, free-slip or prescribed-velocity BCs, PG
+advection with the max-T guard, and the thermochemical step (df64
+tracer advection + ratio composition + chemical buoyancy through
+df64_full_tracers.py). No TALA/phase-change/SDEPV/PDEPV/CDEPV-viscosity
+— outside the envelope callers use the f64-CPU FullSphereModel.
 """
 
 from __future__ import annotations
