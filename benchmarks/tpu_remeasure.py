@@ -70,9 +70,68 @@ def df64_probe(steps=3):
     return {"what": "df64_cookbook2", **out}
 
 
+def wsell_ab_probe():
+    """A/B the WSELL kernel modes on the shuffled 3D stencil (the spmv
+    headline case): 'select' (recorded 258 GB/s) vs 'wide' (single
+    K*128-wide gather). Also times the hub-split stream on RMAT."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from g4s_tpu.obs.devtime import time_fn
+    from g4s_tpu.ops import pallas_spmv as ps
+    from g4s_tpu.sparse.containers import CSR
+    from bench import _rmat_matrix
+
+    nx = 101                                   # bench's headline matrix
+    t_ = sp.diags([1.0, 1.0, 1.0], [-1, 0, 1], (nx, nx))
+    e_ = sp.eye(nx)
+    a = (sp.kron(sp.kron(e_, e_), t_) + sp.kron(sp.kron(e_, t_), e_)
+         + sp.kron(t_, sp.kron(e_, e_))).tocsr().astype(np.float32)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(a.shape[0])
+    shuf = a[perm][:, perm].tocsr()
+    from g4s_tpu.engine.dispatch import build_graph
+    g = build_graph(CSR.from_scipy(shuf))          # RCM + WSELL pack
+    out = {"what": "wsell_ab"}
+    if g.wsell is not None:
+        x = jnp.ones((g.wsell.n_cols,), jnp.float32)
+        nbytes = shuf.nnz * 4 + shuf.shape[0] * 8
+        for mode in ("select", "wide"):
+            per = time_fn(
+                lambda v, m=mode: ps.spmv_wsell(g.wsell, v, kernel_mode=m),
+                x, reps=30)
+            out[mode] = {"ms": round(per * 1e3, 3),
+                         "gbs": round(nbytes / per / 1e9, 1)}
+    else:
+        out["note"] = f"dispatcher chose {g.variant}, not wsell"
+    # hub-split stream on RMAT
+    rmat = _rmat_matrix(17, 16, np.random.default_rng(7))
+    t0 = time.time()
+    g5 = build_graph(CSR.from_scipy(rmat), reorder=False)
+    build_s = time.time() - t0
+    if g5.variant == "stream":
+        from g4s_tpu.ops.stream_spmv import spmv_stream
+        x = jnp.ones((rmat.shape[1],), jnp.float32)
+        per = time_fn(lambda v: spmv_stream(g5.stream, v), x, reps=30)
+        nbytes = rmat.nnz * 4 + rmat.shape[0] * 8
+        sp_ = g5.stream
+        out["rmat_stream"] = {
+            "ms": round(per * 1e3, 2),
+            "gbs": round(nbytes / per / 1e9, 1),
+            "plan_build_s": round(build_s, 1),
+            "hub_cols": 0 if sp_.hub_cols is None else
+            int(sp_.hub_cols.shape[0]),
+            "hub_rows": 0 if sp_.hub_rows is None else
+            int(sp_.hub_rows.shape[0]),
+            "stream_m": sp_.m}
+    return out
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("spgemm", "all"):
         print(json.dumps(spgemm_probe()), flush=True)
     if what in ("df64", "all"):
         print(json.dumps(df64_probe()), flush=True)
+    if what in ("wsell", "all"):
+        print(json.dumps(wsell_ab_probe()), flush=True)
