@@ -71,9 +71,11 @@ def df64_probe(steps=3):
 
 
 def wsell_ab_probe():
-    """A/B the WSELL kernel modes on the shuffled 3D stencil (the spmv
-    headline case): 'select' (recorded 258 GB/s) vs 'wide' (single
-    K*128-wide gather). Also times the hub-split stream on RMAT."""
+    """Time the WSELL kernel on the shuffled 3D stencil (the spmv
+    headline case) and the hub-split stream on RMAT. (A 'wide'
+    single-gather kernel variant was tried and removed: Mosaic's gather
+    lowering only accepts same-shape 128-lane crossbars, see the note
+    in _wsell_kernel.)"""
     import numpy as np
     import scipy.sparse as sp
     import jax.numpy as jnp
@@ -93,14 +95,13 @@ def wsell_ab_probe():
     from g4s_tpu.engine.dispatch import build_graph
     g = build_graph(CSR.from_scipy(shuf))          # RCM + WSELL pack
     out = {"what": "wsell_ab"}
+    from g4s_tpu.obs.devtime import chain_time
     if g.wsell is not None:
         x = jnp.ones((g.wsell.n_cols,), jnp.float32)
-        nbytes = shuf.nnz * 4 + shuf.shape[0] * 8
-        for mode in ("select", "wide"):
-            per = time_fn(
-                lambda v, m=mode: ps.spmv_wsell(g.wsell, v, kernel_mode=m),
-                x, reps=30)
-            out[mode] = {"ms": round(per * 1e3, 3),
+        nbytes = shuf.nnz * 8 + shuf.shape[0] * 8
+        per = chain_time(lambda v: ps.spmv_wsell(g.wsell, v * 0.999), x,
+                         lens=(2, 100))
+        out["select"] = {"ms": round(per * 1e3, 3),
                          "gbs": round(nbytes / per / 1e9, 1)}
     else:
         out["note"] = f"dispatcher chose {g.variant}, not wsell"
@@ -112,7 +113,8 @@ def wsell_ab_probe():
     if g5.variant == "stream":
         from g4s_tpu.ops.stream_spmv import spmv_stream
         x = jnp.ones((rmat.shape[1],), jnp.float32)
-        per = time_fn(lambda v: spmv_stream(g5.stream, v), x, reps=30)
+        per = chain_time(lambda v: spmv_stream(g5.stream, v * 0.999), x,
+                         lens=(2, 30))
         nbytes = rmat.nnz * 4 + rmat.shape[0] * 8
         sp_ = g5.stream
         out["rmat_stream"] = {

@@ -392,7 +392,7 @@ def pack_wsell(a: CSR, *, width: Optional[int] = None,
         width, n_rows, n_cols, packs_per_tile, K, a.shape)
 
 
-def _wsell_kernel(pb: int, width: int, K: int, mode: str = "select"):
+def _wsell_kernel(pb: int, width: int, K: int):
     rpr = 128 // width
 
     def kernel(starts_ref, lanes_ref, vals_ref, x_ref, seg_ref, y_ref):
@@ -401,34 +401,28 @@ def _wsell_kernel(pb: int, width: int, K: int, mode: str = "select"):
         vals = vals_ref[0].reshape(pb * 8, 128)
         hi = jax.lax.shift_right_logical(lanes, jnp.int32(7))   # slot id
         lo = jnp.bitwise_and(lanes, jnp.int32(127))         # window lane
+        # NOTE on the kernel shape: Mosaic's gather lowering accepts
+        # take_along_axis ONLY when indices.shape == operand.shape (a
+        # same-shape 128-lane crossbar; _gather_lowering_rule asserts
+        # this). A "single K*128-wide gather per row group" variant was
+        # tried and cannot lower on real TPUs — the K separate
+        # 128-wide gathers + overwrite-selects below are the
+        # hardware-supported formulation, and K itself is structural
+        # (a 7-point stencil row touches ~5-7 distinct 128-aligned
+        # x-blocks no matter how rows are packed).
         rows = []
         for qq in range(pb):
-            if mode == "wide":
-                # one gather over the concatenated window buffer: the
-                # packed lane code slot*128+offset IS the index into
-                # win = [window_0 | ... | window_{K-1}] — trades the K
-                # 128-wide gathers + selects of "select" for a single
-                # K*128-wide gather (A/B candidate; measure on chip)
-                wins = [x_ref[0, pl.ds(pl.multiple_of(
-                    starts_ref[(i * pb + qq) * K + k] * 128, 128), 128)]
-                    for k in range(K)]
-                win = jnp.concatenate(wins)                   # (K*128,)
-                op = jnp.broadcast_to(win[None, :], (8, K * 128))
-                acc = jnp.take_along_axis(
-                    op, lanes[qq * 8:(qq + 1) * 8], axis=1)
-            else:
-                hi_q = hi[qq * 8:(qq + 1) * 8]
-                lo_q = lo[qq * 8:(qq + 1) * 8]
-                acc = jnp.zeros((8, 128), vals.dtype)
-                for k in range(K):
-                    w0 = pl.multiple_of(
-                        starts_ref[(i * pb + qq) * K + k] * 128, 128)
-                    win = x_ref[0, pl.ds(w0, 128)]
-                    op = jnp.broadcast_to(win[None, :], (8, 128))
-                    g = jnp.take_along_axis(op, lo_q, axis=1)
-                    # overwrite-select: every lane belongs to exactly
-                    # one slot
-                    acc = jnp.where(hi_q == k, g, acc)
+            hi_q = hi[qq * 8:(qq + 1) * 8]
+            lo_q = lo[qq * 8:(qq + 1) * 8]
+            acc = jnp.zeros((8, 128), vals.dtype)
+            for k in range(K):
+                w0 = pl.multiple_of(
+                    starts_ref[(i * pb + qq) * K + k] * 128, 128)
+                win = x_ref[0, pl.ds(w0, 128)]
+                op = jnp.broadcast_to(win[None, :], (8, 128))
+                g = jnp.take_along_axis(op, lo_q, axis=1)
+                # overwrite-select: every lane belongs to exactly one slot
+                acc = jnp.where(hi_q == k, g, acc)
             rows.append(vals[qq * 8:(qq + 1) * 8] * acc)
         prod = jnp.concatenate(rows, axis=0)
         # one batched in-lane segmented reduce (HIGHEST: bf16 input
@@ -442,14 +436,11 @@ def _wsell_kernel(pb: int, width: int, K: int, mode: str = "select"):
     return kernel
 
 
-def spmv_wsell(packed: WSELL, x, *, kernel_mode: str = "select"):
+def spmv_wsell(packed: WSELL, x):
     """y = A @ x with the general WSELL-K Pallas kernel. x: (n_cols,).
 
     One grid step = one tile of `ppt` packs, fully unrolled in the kernel
-    so Mosaic double-buffers the entry DMA against the gather compute.
-    kernel_mode: "select" (K gathers + overwrite-selects, the recorded
-    258 GB/s path) or "wide" (single K*128-wide gather per row group,
-    A/B candidate)."""
+    so Mosaic double-buffers the entry DMA against the gather compute."""
     n_tiles = packed.lanes.shape[0]
     pb = packed.ppt
     rpr = 128 // packed.width
@@ -468,7 +459,7 @@ def spmv_wsell(packed: WSELL, x, *, kernel_mode: str = "select"):
         out_specs=pl.BlockSpec((1, pb, 8, rpr), lambda i, *_: (i, 0, 0, 0)),
     )
     y = pl.pallas_call(
-        _wsell_kernel(pb, packed.width, packed.k, kernel_mode),
+        _wsell_kernel(pb, packed.width, packed.k),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, pb, 8, rpr), x.dtype),
     )(packed.starts, packed.lanes, packed.vals, x_pad[None, :],

@@ -239,10 +239,6 @@ class TestPallasSpMV:
             y = ps.spmv_wsell(packed, x)
             np.testing.assert_allclose(np.asarray(y), m @ np.asarray(x),
                                        atol=1e-4)
-            # the single-wide-gather A/B variant computes the same thing
-            y2 = ps.spmv_wsell(packed, x, kernel_mode="wide")
-            np.testing.assert_allclose(np.asarray(y2), np.asarray(y),
-                                       atol=1e-6)
         finally:
             pl.pallas_call = orig
 
