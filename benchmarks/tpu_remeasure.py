@@ -79,7 +79,6 @@ def wsell_ab_probe():
     import numpy as np
     import scipy.sparse as sp
     import jax.numpy as jnp
-    from g4s_tpu.obs.devtime import time_fn
     from g4s_tpu.ops import pallas_spmv as ps
     from g4s_tpu.sparse.containers import CSR
     from bench import _rmat_matrix
@@ -115,7 +114,9 @@ def wsell_ab_probe():
         x = jnp.ones((rmat.shape[1],), jnp.float32)
         per = chain_time(lambda v: spmv_stream(g5.stream, v * 0.999), x,
                          lens=(2, 30))
-        nbytes = rmat.nnz * 4 + rmat.shape[0] * 8
+        # same byte accounting as bench.measure()'s stream branch so the
+        # probe's gbs agrees with RESULTS.json
+        nbytes = rmat.nnz * 12 + rmat.shape[0] * 8
         sp_ = g5.stream
         out["rmat_stream"] = {
             "ms": round(per * 1e3, 2),

@@ -137,3 +137,33 @@ def pg_timestep(adv: AdvectionGeometry, ien, plan: ScatterPlan,
         Tdot = Tdot + DTdot
         T = jnp.where(tbc_mask, tbc_val, T)    # temperatures_conform_bcs
     return T, Tdot
+
+
+def advect_monitored(advect, T0, dt0, tbc_mask, monitor: bool):
+    """Max-T guard shared by the regional and full-sphere f64/f32
+    drivers: redo `advect(dt) -> (T, Tdot)` with halved dt while the
+    interior maximum grows past T_maxvaried=1.05 (PG_timestep_solve
+    do/while, Advection_diffusion.c:234-280; at most 5 retries).
+    Returns (T, Tdot, dt_used). The df64 twin is
+    df64_step.advect_monitored_df."""
+    if not monitor:
+        T, Tdot = advect(dt0)
+        return T, Tdot, dt0
+    T_int0 = jnp.max(jnp.where(tbc_mask, -jnp.inf, T0))
+    T1, Td1 = advect(dt0)
+
+    def cond(carry):
+        T, Td, dt, tries = carry
+        blown = jnp.max(jnp.where(tbc_mask, -jnp.inf, T)) \
+            / jnp.maximum(T_int0, 1e-30) > 1.05
+        return jnp.logical_and(blown, tries < 5)
+
+    def body(carry):
+        T, Td, dt, tries = carry
+        dt2 = dt * 0.5
+        T2, Td2 = advect(dt2)
+        return T2, Td2, dt2, tries + 1
+
+    T, Tdot, dt, _ = jax.lax.while_loop(
+        cond, body, (T1, Td1, dt0, jnp.asarray(0, jnp.int32)))
+    return T, Tdot, dt

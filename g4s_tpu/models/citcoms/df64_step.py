@@ -471,6 +471,13 @@ def conj_grad_ir(Wp, BIp, Fp, vbc_mask, acc_pair, max_iter: int,
     if matvec is None:
         def matvec(u, strip=True):
             return stencil_matvec_df(Wp, u, vbc_mask, strip=strip)
+    if matvec_f32 is None and W is None and mg is None:
+        # custom df64 operator but no f32 companion: run the correction
+        # solver through the df64 matvec's hi word (2-4x the cost of a
+        # true f32 operator but correct) rather than crash in
+        # _conj_grad_f32's stencil default
+        def matvec_f32(u):
+            return matvec((u, jnp.zeros_like(u)))[0]
     zero = jnp.zeros_like(Fp[0])
     d0 = (zero, zero)
     res0 = df.sqrt(df.dot(Fp, Fp))

@@ -384,30 +384,11 @@ class CitcomModel:
                 sub_iterations=cfg.adv_sub_iterations,
                 tbc_mask=tbc_mask, tbc_val=tbc_val)
 
-        if cfg.monitor_max_T:
-            # max-T guard with dt-halving subcycles (PG_timestep_solve
-            # do/while, Advection_diffusion.c:234-280; T_maxvaried=1.05,
-            # Convection.c:58; at most 5 retries)
-            from g4s_tpu.models.citcoms.observables import                 max_interior_temperature
-            T_int0 = max_interior_temperature(s.T, tbc_mask)
-            T1, Td1 = advect(dt0)
-
-            def cond(carry):
-                T, Td, dt, tries = carry
-                blown = max_interior_temperature(T, tbc_mask)                     / jnp.maximum(T_int0, 1e-30) > 1.05
-                return jnp.logical_and(blown, tries < 5)
-
-            def body(carry):
-                T, Td, dt, tries = carry
-                dt2 = dt * 0.5
-                T2, Td2 = advect(dt2)
-                return T2, Td2, dt2, tries + 1
-
-            T, Tdot, dt, _ = jax.lax.while_loop(
-                cond, body, (T1, Td1, dt0, jnp.asarray(0, jnp.int32)))
-        else:
-            dt = dt0
-            T, Tdot = advect(dt)
+        # max-T guard with dt-halving subcycles (PG_timestep_solve
+        # do/while, Advection_diffusion.c:234-280; T_maxvaried=1.05,
+        # Convection.c:58; at most 5 retries)
+        T, Tdot, dt = adv_mod.advect_monitored(advect, s.T, dt0, tbc_mask,
+                                               cfg.monitor_max_T)
         if cfg.filter_temp:
             from g4s_tpu.models.citcoms.observables import filter_temperature
             T = filter_temperature(T, tbc_mask, tbc_val)

@@ -208,10 +208,11 @@ class FullSphereModel:
                                    self.diff_dt)
 
     def _advect_T(self, T0, Tdot0, V, dt0):
-        """PG predictor-corrector with the max-T guard: if the interior
-        maximum grows by more than T_maxvaried=1.05, redo with half the
-        timestep (PG_timestep_solve do/while, Advection_diffusion.c:
-        234-280; at most 5 retries). Returns (T, Tdot, dt_used)."""
+        """PG predictor-corrector through the shared max-T guard
+        (advection.advect_monitored: dt-halving retries when the
+        interior maximum grows past T_maxvaried=1.05, PG_timestep_solve
+        do/while). Returns (T, Tdot, dt_used)."""
+        from g4s_tpu.models.citcoms.advection import advect_monitored
         cfg = self.cfg
 
         def advect(dt):
@@ -224,27 +225,8 @@ class FullSphereModel:
                 T = jnp.where(self.tbc_mask, self.tbc_val, T)
             return T, Tdot
 
-        if not cfg.monitor_max_T:
-            T, Tdot = advect(dt0)
-            return T, Tdot, dt0
-        T_int0 = jnp.max(jnp.where(self.tbc_mask, -jnp.inf, T0))
-        T1, Td1 = advect(dt0)
-
-        def cond(carry):
-            T, Td, dt, tries = carry
-            blown = jnp.max(jnp.where(self.tbc_mask, -jnp.inf, T)) \
-                / jnp.maximum(T_int0, 1e-30) > 1.05
-            return jnp.logical_and(blown, tries < 5)
-
-        def body(carry):
-            T, Td, dt, tries = carry
-            dt2 = dt * 0.5
-            T2, Td2 = advect(dt2)
-            return T2, Td2, dt2, tries + 1
-
-        T, Tdot, dt, _ = jax.lax.while_loop(
-            cond, body, (T1, Td1, dt0, jnp.asarray(0, jnp.int32)))
-        return T, Tdot, dt
+        return advect_monitored(advect, T0, dt0, self.tbc_mask,
+                                cfg.monitor_max_T)
 
     def _timestep(self, s: State):
         T, Tdot, dt = self._advect_T(s.T, s.Tdot, s.V, self._cfl_dt(s.V))
