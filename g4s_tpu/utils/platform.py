@@ -8,18 +8,39 @@ python -m g4s_tpu...` behaves as documented.
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def machine_cache_dir(base: str) -> str:
+    """Per-machine compilation cache directory: XLA's CPU AOT results
+    embed the COMPILE machine's CPU features, and loading an entry
+    written by a different host warns 'could lead to execution errors
+    such as SIGILL' (cpu_aot_loader.cc) — observed as silent test-run
+    crashes when rounds move between hosts. Suffix the cache dir with a
+    hash of the host's cpuinfo flags so each machine keeps its own."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = hashlib.sha1(line.encode()).hexdigest()[:8]
+                    break
+            else:
+                tag = "generic"
+    except OSError:
+        tag = "generic"
+    return f"{base}-{tag}"
 
 
 def enable_persistent_cache() -> None:
     """Point XLA's persistent compilation cache at the repo-local
-    .jax_cache directory (the one tests/conftest.py uses), so repeated
-    bench/driver runs skip recompiles of unchanged programs — on the
-    remote-tunnel backend a cold compile of a large fused kernel can
-    cost minutes."""
+    per-machine .jax_cache-<cpu-hash> directory (the one
+    tests/conftest.py uses), so repeated bench/driver runs skip
+    recompiles of unchanged programs — on the remote-tunnel backend a
+    cold compile of a large fused kernel can cost minutes."""
     import jax
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    cache = machine_cache_dir(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

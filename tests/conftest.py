@@ -23,9 +23,14 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache: the suite is dominated by repeated
 # compilations of the same solver graphs; cached reruns (driver checks,
-# bisection, CI) skip them entirely.
-_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+# bisection, CI) skip them entirely. Per-machine dir: loading CPU AOT
+# entries compiled on a different host can SIGILL (see
+# g4s_tpu.utils.platform.machine_cache_dir).
+from g4s_tpu.utils.platform import machine_cache_dir  # noqa: E402
+
+_cache_dir = machine_cache_dir(os.path.abspath(
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
