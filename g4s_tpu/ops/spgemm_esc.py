@@ -176,9 +176,38 @@ def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
         (int(e - s), int(Mh[s]), int(W[s]), int(a_off[s]), int(b_off[s]))
         for s, e in zip(cls_start, cls_end))
 
-    # ---- A side: CSC entries -> class-major (block, r) order -----------
     if max(a.nnz, b.nnz) >= (1 << 31) - 1:
         raise NotImplementedError("nnz >= 2^31 needs int64 rank streams")
+
+    # ---- native fast path: all O(flop) passes in fused C++ loops -------
+    # (g4s_esc_plan_core in runtime/native/host_kernels.cc — the host
+    # graph-builder role the reference threads natively,
+    # hash_mult.h:495-508). The numpy section below is the equivalent
+    # fallback, kept bit-identical (tests/test_spgemm_esc.py compares).
+    two_key = m * n >= (1 << 31)
+    n_min_ = n if order_by == "row" else m
+    n_major_ = m if order_by == "row" else n
+    F_ = int((M * L).sum())
+    from g4s_tpu.runtime.native_lib import esc_plan_core_native
+    native = esc_plan_core_native(
+        kk, M, L, Mh, W, a_off[:-1], b_off[:-1], p_off[:-1],
+        ac_indptr, ac_rows, csc_of_csr, b_indptr, b_indices,
+        a.nnz, b.nnz, n_min_, n_major_, F_, na, nb_len, m2,
+        order_by == "row", two_key)
+    if native is not None:
+        (a_rank_n, b_rank_n, d_a_n, d_b_n, d_pad_n, keys_n, kmin_n,
+         off_c_n, d_head_n, c_idx_n, c_ptr_n, nnz_n, meta) = native
+        return ESCPlan(
+            a_rank=a_rank_n, b_rank=b_rank_n, d_a=d_a_n, d_b=d_b_n,
+            d_pad=d_pad_n, keys=keys_n, keys_minor=kmin_n,
+            off_c=off_c_n, d_head=d_head_n, c_indptr=c_ptr_n,
+            c_indices=c_idx_n, classes=classes, na=na, nb_len=nb_len,
+            m2=m2, flops=F_, nnz=nnz_n,
+            t_a=stages_for(int(meta[1])), t_b=stages_for(int(meta[2])),
+            t_pad=stages_for(int(meta[3])), t_sum=stages_for(int(meta[4])),
+            t_head=stages_for(int(meta[5])), shape=(m, n))
+
+    # ---- A side: CSC entries -> class-major (block, r) order -----------
     a_src = _expand(ac_indptr[kk], M)        # csc positions, class-major
     n_arows = a_src.size                     # == nnz over active columns
     # int32 sentinel: inactive entries sort (stably) to the tail; int64

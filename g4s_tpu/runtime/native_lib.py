@@ -68,6 +68,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.g4s_edge_color.argtypes = [
             I64, I64, ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.c_long, I64]
+        I32 = ctypes.POINTER(ctypes.c_int32)
+        lib.g4s_esc_plan_core.restype = ctypes.c_long
+        lib.g4s_esc_plan_core.argtypes = (
+            [I64] * 8 + [ctypes.c_long] + [I64, I64, I64, ctypes.c_long]
+            + [I64, I64, ctypes.c_long]
+            + [ctypes.c_long] * 8
+            + [I32] * 10 + [I64, I64])
         _lib = lib
         return _lib
 
@@ -148,6 +155,68 @@ def benes_route_native(sigma: np.ndarray):
     if rc != 0:
         return None
     return bits
+
+
+def esc_plan_core_native(kk, Mv, Lv, Mh, Wv, a_off, b_off, p_off,
+                         ac_indptr, ac_rows, csc_of_csr,
+                         b_indptr, b_indices, nnz_a, nnz_b,
+                         n_min, n_major, F, na, nb_len, m2,
+                         order_row: bool, two_key: bool):
+    """Heavy O(flop) passes of the ESC SpGEMM plan (spgemm_esc.esc_plan)
+    as fused native loops + an LSD radix key sort; None if the library
+    is missing or on an internal inconsistency (caller falls back to the
+    equivalent numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    I32 = ctypes.POINTER(ctypes.c_int32)
+
+    def as64(x):
+        return np.ascontiguousarray(x, np.int64)
+
+    kk, Mv, Lv, Mh, Wv = map(as64, (kk, Mv, Lv, Mh, Wv))
+    a_off, b_off, p_off = map(as64, (a_off, b_off, p_off))
+    ac_indptr, ac_rows, csc_of_csr = map(as64, (ac_indptr, ac_rows,
+                                                csc_of_csr))
+    b_indptr, b_indices = as64(b_indptr), as64(b_indices)
+    a_rank = np.empty(nnz_a, np.int32)
+    b_rank = np.empty(nnz_b, np.int32)
+    d_a = np.empty(na, np.int32)
+    d_b = np.empty(nb_len, np.int32)
+    d_pad = np.empty(m2, np.int32)
+    keys_dev = np.empty(F, np.int32)
+    keys_minor = np.empty(F if two_key else 1, np.int32)
+    off_c = np.empty(F, np.int32)
+    d_head = np.empty(F, np.int32)
+    c_indices = np.empty(F, np.int32)
+    c_indptr = np.empty(n_major + 1, np.int64)
+    meta = np.zeros(8, np.int64)
+
+    def p64(x):
+        return x.ctypes.data_as(I64)
+
+    def p32(x):
+        return x.ctypes.data_as(I32)
+
+    nnz = lib.g4s_esc_plan_core(
+        p64(kk), p64(Mv), p64(Lv), p64(Mh), p64(Wv), p64(a_off),
+        p64(b_off), p64(p_off), ctypes.c_long(len(kk)),
+        p64(ac_indptr), p64(ac_rows), p64(csc_of_csr),
+        ctypes.c_long(nnz_a),
+        p64(b_indptr), p64(b_indices), ctypes.c_long(nnz_b),
+        ctypes.c_long(n_min), ctypes.c_long(n_major), ctypes.c_long(F),
+        ctypes.c_long(na), ctypes.c_long(nb_len), ctypes.c_long(m2),
+        ctypes.c_long(1 if order_row else 0),
+        ctypes.c_long(1 if two_key else 0),
+        p32(a_rank), p32(b_rank), p32(d_a), p32(d_b), p32(d_pad),
+        p32(keys_dev), p32(keys_minor), p32(off_c), p32(d_head),
+        p32(c_indices), p64(c_indptr), p64(meta))
+    if nnz < 0:
+        return None
+    return (a_rank, b_rank, d_a, d_b, d_pad, keys_dev,
+            keys_minor if two_key else None, off_c, d_head,
+            c_indices[:nnz].copy(), c_indptr, int(nnz), meta)
 
 
 def spgemm_symbolic_native(a_indptr, a_indices, b_indptr, b_indices,

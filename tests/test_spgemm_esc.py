@@ -159,6 +159,59 @@ class TestESC:
         _check(A, B)
 
 
+@pytest.mark.parametrize("order_by", ["row", "col"])
+def test_native_plan_bit_identical_to_numpy(rng, order_by, monkeypatch):
+    """The C++ plan core (g4s_esc_plan_core) must emit bit-identical plan
+    arrays to the numpy fallback — the numeric phase consumes every one of
+    them, so any divergence is silent corruption."""
+    import g4s_tpu.runtime.native_lib as nl
+    if nl.get_lib() is None:
+        pytest.skip("native library unavailable")
+    A_s = sp.random(300, 260, density=0.06,
+                    random_state=np.random.RandomState(21), format="csr",
+                    dtype=np.float32)
+    B_s = sp.random(260, 340, density=0.05,
+                    random_state=np.random.RandomState(22), format="csr",
+                    dtype=np.float32)
+    A, B = CSR.from_scipy(A_s), CSR.from_scipy(B_s)
+    p_nat = esc_plan(A, B, order_by=order_by)
+    monkeypatch.setattr(nl, "esc_plan_core_native",
+                        lambda *a, **k: None)
+    p_np = esc_plan(A, B, order_by=order_by)
+    for f in ("a_rank", "b_rank", "d_a", "d_b", "d_pad", "keys", "off_c",
+              "d_head", "c_indptr", "c_indices"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(p_nat, f)), np.asarray(getattr(p_np, f)), f)
+    for f in ("nnz", "flops", "na", "nb_len", "m2", "t_a", "t_b", "t_pad",
+              "t_sum", "t_head", "classes", "shape"):
+        assert getattr(p_nat, f) == getattr(p_np, f), f
+    assert p_nat.keys_minor is None and p_np.keys_minor is None
+
+
+def test_native_plan_identity_two_key(rng, monkeypatch):
+    """Two-key (m*n >= 2^31) native plan matches the numpy fallback."""
+    import g4s_tpu.runtime.native_lib as nl
+    if nl.get_lib() is None:
+        pytest.skip("native library unavailable")
+    n, nnz = 70000, 8000
+    A_s = sp.coo_matrix(
+        (rng.standard_normal(nnz).astype(np.float32),
+         (rng.integers(0, n, nnz), rng.integers(0, n, nnz))),
+        shape=(n, n)).tocsr()
+    A_s.sum_duplicates()
+    A = CSR.from_scipy(A_s)
+    p_nat = esc_plan(A, A)
+    monkeypatch.setattr(nl, "esc_plan_core_native",
+                        lambda *a, **k: None)
+    p_np = esc_plan(A, A)
+    assert p_nat.keys_minor is not None
+    for f in ("a_rank", "b_rank", "d_a", "d_b", "d_pad", "keys",
+              "keys_minor", "off_c", "d_head", "c_indptr", "c_indices"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(p_nat, f)), np.asarray(getattr(p_np, f)), f)
+    assert (p_nat.nnz, p_nat.flops) == (p_np.nnz, p_np.flops)
+
+
 def test_two_key_sort_large_keyspace(rng):
     """m*n >= 2^31 switches the device merge to the int32 (major, minor)
     two-key stable sort (no int64 keys on device)."""
