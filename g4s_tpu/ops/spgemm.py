@@ -168,19 +168,44 @@ def spgemm_expand_map(a: CSR, b: CSR):
     return src_a, src_b, rows, F
 
 
+def _sort_merge_compact(key, val, F):
+    """Sort (key, val), reduce equal-key runs, compact to the front.
+
+    Duplicate merge runs as a Hillis-Steele segmented scan (log2(F)
+    shift/select/add passes, ~3 ms at F = 8.4M) instead of a
+    sorted-segment-sum + scatter (73 + 67 ms measured at the same F:
+    XLA lowers both to serial-ish scatters on TPU, while shifts run at
+    memory speed). Compaction reuses the sorter: run tails keep their
+    key, every other slot is keyed to INT_MAX, and one more stable sort
+    moves the merged entries to the front in key order. Output contract:
+    keys sorted ascending over [0, nnz), -1 beyond; values merged."""
+    key_s, val_s = jax.lax.sort((key, val), num_keys=1)
+    v = val_s
+    for p in range(max(int(F - 1).bit_length(), 1)):
+        d = 1 << p
+        if d >= F:
+            break
+        ks = jnp.concatenate([jnp.full((d,), -1, key_s.dtype), key_s[:-d]])
+        vs = jnp.concatenate([jnp.zeros((d,), v.dtype), v[:-d]])
+        v = v + jnp.where(key_s == ks, vs, jnp.zeros((), v.dtype))
+    tail = jnp.concatenate([key_s[1:] != key_s[:-1],
+                            jnp.ones((1,), bool)])
+    nnz = jnp.sum(tail.astype(jnp.int32))
+    pad = jnp.iinfo(key_s.dtype).max
+    out_key = jnp.where(tail, key_s, pad)
+    out_val = jnp.where(tail, v, jnp.zeros((), v.dtype))
+    out_key, out_val = jax.lax.sort((out_key, out_val), num_keys=1)
+    out_key = jnp.where(out_key == pad, jnp.array(-1, out_key.dtype),
+                        out_key)
+    return out_key, out_val, nnz
+
+
 @partial(jax.jit, static_argnames=("F",))
 def _device_merge_core(src_a, src_b, row_key, b_indices, a_data, b_data, F):
     cols = jnp.take(b_indices, src_b)
     key = row_key + cols
     val = jnp.take(a_data, src_a) * jnp.take(b_data, src_b)
-    key_s, val_s = jax.lax.sort((key, val), num_keys=1)
-    head = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
-    seg = (jnp.cumsum(head) - 1).astype(jnp.int32)
-    merged = sorted_segment_sum(val_s, seg, F)
-    nnz = seg[-1] + 1
-    out_keys = jnp.full((F,), -1, key_s.dtype)
-    out_keys = out_keys.at[seg].set(key_s)   # same-key writes agree
-    return out_keys, merged, nnz
+    return _sort_merge_compact(key, val, F)
 
 
 def spgemm_device_merge(a: CSR, b: CSR):
@@ -249,6 +274,22 @@ def spgemm_device_csr(a: CSR, b: CSR) -> CSR:
     return CSR(indptr, cols.astype(np.int64), vals, (m, n))
 
 
+def _bits_cols(x, it):
+    """View a <=32-bit float array as an (n, 1) integer bit column of
+    dtype `it` (f64 is never packed: TPU's X64 rewriting cannot lower a
+    bitcast-convert that touches 64-bit floats)."""
+    xb = jnp.dtype(x.dtype).itemsize
+    u = jax.lax.bitcast_convert_type(
+        x, jnp.dtype(f"uint{8 * xb}")).astype(it)
+    return u[:, None]
+
+
+def _bits_back(col, dtype, it):
+    """Inverse of _bits_cols: (n,) bit column -> float array."""
+    ut = jnp.dtype(f"uint{8 * jnp.dtype(dtype).itemsize}")
+    return jax.lax.bitcast_convert_type(col.astype(ut), dtype)
+
+
 @partial(jax.jit, static_argnames=("F", "n_cols"))
 def _device_expand_merge(a_indptr, a_indices, a_data, b_indptr, b_indices,
                          b_data, F, n_cols):
@@ -259,46 +300,71 @@ def _device_expand_merge(a_indptr, a_indices, a_data, b_indptr, b_indices,
     sort, duplicate merge — runs on the TPU. This kills the cold-start
     cost of shipping an O(F) host-built map to the device (the round-2
     symbolic path moved ~25 bytes/flop over the host link; this moves
-    only the CSR arrays)."""
+    only the CSR arrays).
+
+    Gather discipline: dynamic gathers are the TPU's weak op (one
+    F-sized scalar gather measured 55 ms at F = 8.4M, vs 0.3 ms for an
+    elementwise pass), so each side's per-entry state — B-run start
+    minus run offset, row key base, value bits — is packed into ONE
+    (nnz, k) int record and fetched with a single row gather per side
+    (44 ms for (F,3): cheaper than one scalar gather, 6x cheaper than
+    the six separate gathers it replaces)."""
     nnz_a = a_indices.shape[0]
     m = a_indptr.shape[0] - 1
+    it = a_indices.dtype
     deg_b = b_indptr[1:] - b_indptr[:-1]
     counts = jnp.take(deg_b, a_indices)                 # (nnz_a,)
-    offsets = jnp.concatenate([jnp.zeros((1,), counts.dtype),
-                               jnp.cumsum(counts)])     # (nnz_a+1,)
-    pos = jnp.arange(F, dtype=counts.dtype)
-    # src_a[p] = which A-entry product p belongs to
-    src_a = jnp.searchsorted(offsets, pos, side="right") - 1
-    src_b = (pos - jnp.take(offsets, src_a)
-             + jnp.take(jnp.take(b_indptr, a_indices), src_a))
+    ends = jnp.cumsum(counts)
+    starts = ends - counts
+    pos = jnp.arange(F, dtype=it)
+    # src_a[p] = which A-entry product p belongs to: scatter +1 at each
+    # run head, cumsum. Empty runs stack their heads on one slot (add
+    # keeps them all), so the cumsum skips them — two memory-bound
+    # passes instead of searchsorted's log(nnz_a) binary-search gathers
+    # over the flop stream.
+    heads = jnp.zeros((F,), it).at[starts].add(1, mode="drop")
+    src_a = jnp.cumsum(heads) - 1
     deg_a = a_indptr[1:] - a_indptr[:-1]
-    a_rows = jnp.repeat(jnp.arange(m, dtype=counts.dtype), deg_a,
+    a_rows = jnp.repeat(jnp.arange(m, dtype=it), deg_a,
                         total_repeat_length=nnz_a)
-    rows = jnp.take(a_rows, src_a)
-    cols = jnp.take(b_indices, src_b)
-    key = rows * n_cols + cols
-    val = jnp.take(a_data, src_a) * jnp.take(b_data, src_b)
-    key_s, val_s = jax.lax.sort((key, val), num_keys=1)
-    head = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
-    seg = (jnp.cumsum(head) - 1).astype(jnp.int32)
-    merged = sorted_segment_sum(val_s, seg, F)
-    nnz = seg[-1] + 1
-    out_keys = jnp.full((F,), -1, key_s.dtype)
-    out_keys = out_keys.at[seg].set(key_s)
-    return out_keys, merged, nnz
+    pack = jnp.dtype(a_data.dtype).itemsize <= 4 \
+        and jnp.dtype(b_data.dtype).itemsize <= 4
+    base_b = jnp.take(b_indptr, a_indices) - starts
+    key_a = a_rows * n_cols
+    if pack:
+        rec_a = jnp.concatenate(
+            [base_b[:, None], key_a[:, None], _bits_cols(a_data, it)],
+            axis=1)                                     # (nnz_a, 3)
+        ga = jnp.take(rec_a, src_a, axis=0)             # ONE row gather
+        src_b = pos + ga[:, 0]
+        rec_b = jnp.concatenate(
+            [b_indices[:, None], _bits_cols(b_data, it)], axis=1)
+        gb = jnp.take(rec_b, src_b, axis=0)             # ONE row gather
+        key = ga[:, 1] + gb[:, 0]
+        val = (_bits_back(ga[:, 2], a_data.dtype, it)
+               * _bits_back(gb[:, 1], b_data.dtype, it))
+    else:   # 64-bit values: unpacked gathers (CPU-oracle path)
+        src_b = pos + jnp.take(base_b, src_a)
+        key = jnp.take(key_a, src_a) + jnp.take(b_indices, src_b)
+        val = jnp.take(a_data, src_a) * jnp.take(b_data, src_b)
+    return _sort_merge_compact(key, val, F)
 
 
 def spgemm_device_full(a: CSR, b: CSR):
     """One-shot SpGEMM with both structure discovery AND product
     expansion on device. Host work: flop count + final CSR split.
-    Returns (keys, values, nnz) like spgemm_device_merge."""
+    Returns (keys, values, nnz) like spgemm_device_merge. When a and b
+    share their arrays (A @ A), each is shipped to the device once."""
     m, n = a.shape[0], b.shape[1]
     F = spgemm_flops(a, b) // 2
     kt = np.int32 if max(m * n, F, a.nnz, b.nnz) < 2**31 else np.int64
-    return _device_expand_merge(
-        jnp.asarray(np.asarray(a.indptr).astype(kt)),
-        jnp.asarray(np.asarray(a.indices).astype(kt)),
-        jnp.asarray(a.data),
-        jnp.asarray(np.asarray(b.indptr).astype(kt)),
-        jnp.asarray(np.asarray(b.indices).astype(kt)),
-        jnp.asarray(b.data), int(F), n)
+    a_ptr = jnp.asarray(np.asarray(a.indptr).astype(kt))
+    a_idx = jnp.asarray(np.asarray(a.indices).astype(kt))
+    a_dat = jnp.asarray(a.data)
+    same = a.indptr is b.indptr and a.indices is b.indices \
+        and a.data is b.data
+    b_ptr = a_ptr if same else jnp.asarray(np.asarray(b.indptr).astype(kt))
+    b_idx = a_idx if same else jnp.asarray(np.asarray(b.indices).astype(kt))
+    b_dat = a_dat if same else jnp.asarray(b.data)
+    return _device_expand_merge(a_ptr, a_idx, a_dat, b_ptr, b_idx, b_dat,
+                                int(F), n)

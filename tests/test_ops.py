@@ -438,7 +438,13 @@ class TestDeviceSymbolicCSR:
                               dense_to_csr(B.toarray()))
         Cs = sp.csr_matrix((np.asarray(C.data), np.asarray(C.indices),
                             np.asarray(C.indptr)), shape=C.shape)
-        assert abs((Cs - A @ B).toarray()).max() == 0.0
+        # structure must be exact; values merge duplicate runs with tree
+        # adds (Hillis-Steele scan), which reassociates vs scipy's
+        # sequential accumulation -> ulp-level differences
+        assert (Cs - A @ B).nnz <= (A @ B).nnz
+        ref = (A @ B).toarray()
+        assert Cs.nnz == sp.csr_matrix(ref).nnz
+        assert abs((Cs.toarray() - ref)).max() <= 1e-14 * abs(ref).max()
 
 
 class TestDF64:
