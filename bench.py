@@ -453,6 +453,33 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
     num = jax.jit(spgemm_numeric)
     take_ms = _time_fn(num, a_d, a_d, tplan, reps=3) * 1e3
 
+    # routed tier: offline Benes routes replace the sort + compactions
+    # (persistent-plan regime — the value-reuse pattern the reference
+    # apps live in). Build cost is recorded honestly alongside.
+    routed = None
+    if jax.default_backend() != "cpu":
+        from g4s_tpu.ops.spgemm_esc import (esc_numeric_routed,
+                                            esc_route_plan)
+        try:
+            t0 = time.perf_counter()
+            rp = esc_route_plan(A, A)
+            route_build_s = time.perf_counter() - t0
+            c_r = esc_numeric_routed(a_d, a_d, rp)         # compile
+            import numpy as _np
+            c_s = esc_numeric(a_d, a_d, esc_plan(A, A).to_device())
+            assert _np.allclose(_np.asarray(c_r), _np.asarray(c_s),
+                                rtol=1e-5, atol=1e-6)
+            per = _time_fn(esc_numeric_routed, a_d, a_d, rp, reps=reps)
+            routed = {"gflops": round(er["flops"] / per / 1e9, 3),
+                      "numeric_ms": round(per * 1e3, 2),
+                      "route_build_s": round(route_build_s, 1),
+                      "note": "Benes-routed value phase (sort and "
+                              "compactions replaced by static butterfly "
+                              "routes); amortizes when one sparsity is "
+                              "re-multiplied with fresh values"}
+        except Exception as e:                     # record, keep headline
+            routed = {"error": f"{type(e).__name__}: {e}"}
+
     return {"metric": "spgemm_gflops_numeric", "value": er["gflops"],
             "unit": "GFLOPS",
             "vs_baseline": round(er["vs_scipy"], 3),
@@ -472,6 +499,7 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
                          "reference's MKL baseline also holds library "
                          "code warm)",
             "er": er, "rmat_skew": rmat, "er_large": er_large,
+            "routed": routed,
             "take_path_ms": round(take_ms, 1),
             "n": n, "nnz": er["nnz"], "flops": er["flops"], "reps": reps}
 

@@ -35,10 +35,18 @@ def spgemm_probe(n=1 << 15, avg_deg=16, reps=10):
     a_d = jnp.asarray(np.asarray(A.data))   # device-resident
     per = time_fn(esc_numeric, a_d, a_d, dplan, reps=reps)
     _, stages = esc_numeric_staged(a_d, a_d, dplan)
-    return {"what": "esc_spgemm", "n": n, "flops": plan.flops,
-            "plan_s": round(plan_s, 2), "numeric_ms": round(per * 1e3, 2),
-            "gflops": round(2 * plan.flops / per / 1e9, 2),
-            "stages_ms": stages}
+    out = {"what": "esc_spgemm", "n": n, "flops": plan.flops,
+           "plan_s": round(plan_s, 2), "numeric_ms": round(per * 1e3, 2),
+           "gflops": round(2 * plan.flops / per / 1e9, 2),
+           "stages_ms": stages}
+    from g4s_tpu.ops.spgemm_esc import esc_numeric_routed, esc_route_plan
+    t0 = time.perf_counter()
+    rp = esc_route_plan(A, A, plan=plan)
+    out["route_build_s"] = round(time.perf_counter() - t0, 1)
+    per_r = time_fn(esc_numeric_routed, a_d, a_d, rp, reps=reps)
+    out["routed_ms"] = round(per_r * 1e3, 2)
+    out["routed_gflops"] = round(2 * plan.flops / per_r / 1e9, 2)
+    return out
 
 
 def df64_probe(steps=3):
@@ -134,7 +142,9 @@ if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("spgemm", "all"):
         print(json.dumps(spgemm_probe()), flush=True)
+    if what in ("wsell", "all"):
+        # before df64: df64_probe enables x64 process-globally, which
+        # would poison the f32 Pallas kernels traced here
+        print(json.dumps(wsell_ab_probe()), flush=True)
     if what in ("df64", "all"):
         print(json.dumps(df64_probe()), flush=True)
-    if what in ("wsell", "all"):
-        print(json.dumps(wsell_ab_probe()), flush=True)

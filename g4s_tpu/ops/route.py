@@ -47,7 +47,10 @@ import numpy as np
 
 C = 128               # lane width: butterfly granularity
 TILE = C * C          # plan granularity: m is padded to a multiple of 128^2
-MAX_M = C * C * 512   # largest m one plan covers (q2 <= 512, VMEM-bound)
+# largest m one plan covers: the middle kernel streams (bl, q2, 128)
+# blocks with bl = max(1, 8*128 // q2), so VMEM stays <= ~5 MB up to
+# q2 = 2048 (block + 3 bit planes + out at 1 MB each)
+MAX_M = C * C * 2048
 
 
 def _static():

@@ -120,19 +120,37 @@ def _expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
             + np.arange(total, dtype=np.int64))
 
 
-def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
-    """Symbolic phase: class partition, spread distances, sort metadata
-    and C's exact structure. Pure vectorized numpy, O(flop).
+@dataclasses.dataclass(frozen=True)
+class _Partition:
+    """Deterministic class partition of the inner index (host-side).
 
-    order_by="row" merges products in row-major slot order and emits
-    CSR structure (the hash engine's strategy, hash_mult.h:558-608);
-    order_by="col" merges COLUMN-major — the genuinely column-wise
-    engine of the reference's HeapSpGEMM (heap_mult.h:47-223: walk
-    columns, k-way merge sorted contributions): the single stable sort
-    under j*m+i keys IS the k-way column merge, C comes out as CSC with
-    rows sorted within each column by construction."""
-    if order_by not in ("row", "col"):
-        raise ValueError(f"order_by must be 'row' or 'col': {order_by}")
+    Shared between `esc_plan` and `esc_route_plan` so the routed
+    numeric's stream positions agree with the plan's by construction."""
+
+    m: int
+    n: int
+    kk: np.ndarray          # active inner indices, class-major order
+    M: np.ndarray           # A-column counts per block
+    L: np.ndarray           # B-row lengths per block
+    Mh: np.ndarray          # pow2-rounded M
+    W: np.ndarray           # rounded L
+    a_off: np.ndarray       # (nblk+1,) slab offsets
+    b_off: np.ndarray
+    p_off: np.ndarray
+    classes: tuple
+    ac_indptr: np.ndarray   # A as CSC
+    ac_rows: np.ndarray
+    csc_of_csr: np.ndarray
+    b_indptr: np.ndarray
+    b_indices: np.ndarray
+
+    @property
+    def sizes(self):
+        return (int(self.a_off[-1]), int(self.b_off[-1]),
+                int(self.p_off[-1]))
+
+
+def _partition(a: CSR, b: CSR) -> _Partition:
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
     m, n = a.shape[0], b.shape[1]
@@ -148,7 +166,6 @@ def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
     b_indptr = np.asarray(b.indptr).astype(np.int64)
     b_indices = np.asarray(b.indices).astype(np.int64)
 
-    K = a.shape[1]
     M_all = np.diff(ac_indptr)
     L_all = np.diff(b_indptr)
     active = np.nonzero((M_all > 0) & (L_all > 0))[0]
@@ -170,11 +187,35 @@ def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
     a_off = np.concatenate([[0], np.cumsum(Mh)])        # per block
     b_off = np.concatenate([[0], np.cumsum(W)])
     p_off = np.concatenate([[0], np.cumsum(Mh * W)])
-    na, nb_len, m2 = int(a_off[-1]), int(b_off[-1]), int(p_off[-1])
 
     classes = tuple(
         (int(e - s), int(Mh[s]), int(W[s]), int(a_off[s]), int(b_off[s]))
         for s, e in zip(cls_start, cls_end))
+    return _Partition(m, n, kk, M, L, Mh, W, a_off, b_off, p_off, classes,
+                      ac_indptr, ac_rows, csc_of_csr, b_indptr, b_indices)
+
+
+def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
+    """Symbolic phase: class partition, spread distances, sort metadata
+    and C's exact structure. Pure vectorized numpy, O(flop).
+
+    order_by="row" merges products in row-major slot order and emits
+    CSR structure (the hash engine's strategy, hash_mult.h:558-608);
+    order_by="col" merges COLUMN-major — the genuinely column-wise
+    engine of the reference's HeapSpGEMM (heap_mult.h:47-223: walk
+    columns, k-way merge sorted contributions): the single stable sort
+    under j*m+i keys IS the k-way column merge, C comes out as CSC with
+    rows sorted within each column by construction."""
+    if order_by not in ("row", "col"):
+        raise ValueError(f"order_by must be 'row' or 'col': {order_by}")
+    P = _partition(a, b)
+    m, n = P.m, P.n
+    kk, M, L, Mh, W = P.kk, P.M, P.L, P.Mh, P.W
+    a_off, b_off, p_off = P.a_off, P.b_off, P.p_off
+    ac_indptr, ac_rows, csc_of_csr = P.ac_indptr, P.ac_rows, P.csc_of_csr
+    b_indptr, b_indices = P.b_indptr, P.b_indices
+    classes = P.classes
+    na, nb_len, m2 = P.sizes
 
     if max(a.nnz, b.nnz) >= (1 << 31) - 1:
         raise NotImplementedError("nnz >= 2^31 needs int64 rank streams")
@@ -409,6 +450,128 @@ def esc_numeric_staged(a_data, b_data, plan: ESCPlan):
     c = timed("compact_heads", _jax.jit(
         lambda x, d: compact(x, d, plan.t_head)[:plan.nnz]), sums, p.d_head)
     return c, out
+
+
+# ---------------------------------------------------------------------------
+# Routed numeric: Benes routes replace the sort and both compactions
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.tree_util.register_dataclass)
+@dataclasses.dataclass(frozen=True)
+class ESCRoutePlan:
+    """ESC plan + offline Clos/Benes routes for the two data movements
+    the sort-based numeric pays bandwidth for: products -> sorted-slot
+    order (replacing pad compaction AND the lax.sort) and run sums ->
+    C.data order (replacing head compaction).
+
+    The routes are static-permutation programs (ops/route.py) built once
+    per sparsity pattern; building them costs far more host time than
+    `esc_plan` alone, so this is the persistent-plan tier — the value
+    regime the reference apps live in (CitcomS re-assembles elt_k values
+    on a fixed incidence every Stokes solve; DeePMD re-evaluates fixed
+    neighbor-list structures every step), where the route build
+    amortizes to zero and the numeric runs at butterfly bandwidth
+    instead of O(n log^2 n) bitonic-sort rate."""
+
+    plan: ESCPlan
+    main: object            # PermutePlan: padded stream -> sorted order
+    heads: object           # PermutePlan: sorted stream -> C.data order
+
+
+def esc_route_plan(a: CSR, b: CSR, *, order_by: str = "row",
+                   plan: ESCPlan | None = None) -> ESCRoutePlan:
+    """Build the routed plan. Host-heavy (two Benes routings over the
+    product stream); reuse it across value updates."""
+    from g4s_tpu.ops.route import TILE, build_permute_plan
+    if plan is None:
+        plan = esc_plan(a, b, order_by=order_by)
+    P = _partition(a, b)
+    # real product positions in the padded class-major stream — the same
+    # construction esc_plan uses for d_pad (kept consistent via the
+    # shared _partition)
+    row_block = np.repeat(np.arange(P.kk.size, dtype=np.int64), P.M)
+    row_r = np.arange(row_block.size, dtype=np.int64) - \
+        np.repeat(np.cumsum(P.M) - P.M, P.M)
+    row_pos = P.p_off[row_block] + row_r * P.W[row_block]
+    real_pos = _expand(row_pos, P.L[row_block])
+    F, m2, nnz = plan.flops, plan.m2, plan.nnz
+
+    # sorted order of the F real products (any stable tie order yields
+    # the same run sums; run boundaries come from the key multiset)
+    keys = np.asarray(plan.keys, np.int64)
+    if plan.keys_minor is None:
+        s_ord = np.argsort(keys, kind="stable")
+    else:
+        s_ord = np.lexsort((np.asarray(plan.keys_minor, np.int64), keys))
+
+    m_r = -(-m2 // TILE) * TILE
+    sigma = np.empty(m_r, np.int64)
+    sigma[:F] = real_pos[s_ord]
+    dead = np.ones(m2, bool)
+    dead[real_pos] = False
+    sigma[F:m2] = np.nonzero(dead)[0]          # pads park at the tail
+    sigma[m2:] = np.arange(m2, m_r)
+    main = build_permute_plan(sigma)
+
+    heads_pos = np.nonzero(np.asarray(plan.off_c) == 0)[0]
+    m_h = -(-F // TILE) * TILE
+    sig_h = np.empty(m_h, np.int64)
+    sig_h[:nnz] = heads_pos
+    rest = np.ones(F, bool)
+    rest[heads_pos] = False
+    sig_h[nnz:F] = np.nonzero(rest)[0]
+    sig_h[F:] = np.arange(F, m_h)
+    # store the plan device-resident: the numeric re-reads a_rank/d_a/
+    # off_c every call, and host-resident arrays would re-cross the
+    # host<->device link per invocation (~35 MB at F ~ 8M)
+    return ESCRoutePlan(plan.to_device(), main, build_permute_plan(sig_h))
+
+
+@partial(jax.jit, static_argnames=("classes", "na", "nb_len", "flops",
+                                   "nnz", "t_a", "t_b", "t_sum"))
+def _esc_routed_impl(a_data, b_data, a_rank, b_rank, d_a, d_b, off_c,
+                     main, heads, *, classes, na, nb_len, flops, nnz,
+                     t_a, t_b, t_sum):
+    from g4s_tpu.ops.route import apply_permute
+    av = jax.lax.sort((a_rank, a_data), num_keys=1)[1]
+    bv = jax.lax.sort((b_rank, b_data), num_keys=1)[1]
+    xa = spread(_fit(av, na), d_a, t_a)
+    xb = spread(_fit(bv, nb_len), d_b, t_b)
+    parts = []
+    for nb, mh, w, aoff, boff in classes:
+        ta = jax.lax.dynamic_slice_in_dim(xa, aoff, nb * mh) \
+            .reshape(nb, mh, 1)
+        tb = jax.lax.dynamic_slice_in_dim(xb, boff, nb * w) \
+            .reshape(nb, 1, w)
+        parts.append((ta * tb).reshape(-1))
+    prod = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    prod_s = apply_permute(main, _fit(prod, main.m))[:flops]
+    sums = runsum(prod_s, off_c, t_sum)
+    return apply_permute(heads, _fit(sums, heads.m))[:nnz]
+
+
+def esc_numeric_routed(a_data, b_data, rp: ESCRoutePlan):
+    """Value phase through the routes: C.data (plan.c_indptr/c_indices
+    order) from A/B values. Jit-safe, reusable across value updates."""
+    p = rp.plan
+    return _esc_routed_impl(
+        jnp.asarray(a_data), jnp.asarray(b_data), jnp.asarray(p.a_rank),
+        jnp.asarray(p.b_rank), jnp.asarray(p.d_a), jnp.asarray(p.d_b),
+        jnp.asarray(p.off_c), rp.main, rp.heads,
+        classes=p.classes, na=p.na, nb_len=p.nb_len, flops=p.flops,
+        nnz=p.nnz, t_a=p.t_a, t_b=p.t_b, t_sum=p.t_sum)
+
+
+def spgemm_esc_routed(a: CSR, b: CSR, *,
+                      rplan: ESCRoutePlan | None = None) -> CSR:
+    """C = A @ B through the routed ESC engine (persistent-plan tier)."""
+    if rplan is None:
+        rplan = esc_route_plan(a, b)
+    c_data = esc_numeric_routed(np.asarray(a.data), np.asarray(b.data),
+                                rplan)
+    p = rplan.plan
+    return CSR(p.c_indptr, p.c_indices, c_data, p.shape)
 
 
 def spgemm_esc_col(a: CSR, b: CSR, *, plan: ESCPlan | None = None):

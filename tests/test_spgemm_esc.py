@@ -212,6 +212,58 @@ def test_native_plan_identity_two_key(rng, monkeypatch):
     assert (p_nat.nnz, p_nat.flops) == (p_np.nnz, p_np.flops)
 
 
+@pytest.fixture
+def _interpret(monkeypatch):
+    """Run Pallas route kernels in interpreter mode (CPU test env)."""
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **k: orig(*a, interpret=True, **k))
+
+
+class TestESCRouted:
+    """Routed numeric (Benes routes replace sort + compactions) must
+    reproduce the sort-based engine bit-for-bit structure-wise and match
+    its sums up to addition order."""
+
+    def test_routed_matches_sorted(self, rng, _interpret):
+        from g4s_tpu.ops.spgemm_esc import (esc_numeric_routed,
+                                            esc_route_plan)
+        A_s = sp.random(256, 256, density=4 / 256,
+                        random_state=np.random.RandomState(11),
+                        format="csr", dtype=np.float32)
+        A = CSR.from_scipy(A_s)
+        rp = esc_route_plan(A, A)
+        c_sorted = np.asarray(esc_numeric(
+            np.asarray(A.data), np.asarray(A.data), rp.plan))
+        c_routed = np.asarray(esc_numeric_routed(
+            np.asarray(A.data), np.asarray(A.data), rp))
+        np.testing.assert_allclose(c_routed, c_sorted, rtol=1e-6)
+        C = (A_s.astype(np.float64) @ A_s.astype(np.float64)).tocsr()
+        C.sort_indices()
+        np.testing.assert_allclose(c_routed, C.data, rtol=1e-5, atol=1e-6)
+
+    def test_routed_skewed_col_order(self, rng, _interpret):
+        from g4s_tpu.ops.spgemm_esc import (esc_numeric_routed,
+                                            esc_route_plan)
+        r = np.random.RandomState(13)
+        n, nnz = 300, 3000
+        rows = np.minimum((n * r.power(0.3, nnz)).astype(int), n - 1)
+        cols = np.minimum((n * r.power(0.3, nnz)).astype(int), n - 1)
+        A_s = sp.coo_matrix(
+            (r.randn(nnz).astype(np.float32), (rows, cols)),
+            shape=(n, n)).tocsr()
+        A_s.sum_duplicates()
+        A = CSR.from_scipy(A_s)
+        rp = esc_route_plan(A, A, order_by="col")
+        c = np.asarray(esc_numeric_routed(
+            np.asarray(A.data), np.asarray(A.data), rp))
+        C = (A_s.astype(np.float64) @ A_s.astype(np.float64)).tocsc()
+        C.sort_indices()
+        assert rp.plan.nnz == C.nnz
+        np.testing.assert_allclose(c, C.data, rtol=1e-5, atol=1e-6)
+
+
 def test_two_key_sort_large_keyspace(rng):
     """m*n >= 2^31 switches the device merge to the int32 (major, minor)
     two-key stable sort (no int64 keys on device)."""
