@@ -832,7 +832,16 @@ class DF64Model:
         from g4s_tpu.models.citcoms.tracers import TracerField
         self.tracer_st = TracerStaticsDF.build(
             TracerField.from_mesh(model.mesh))
-        self._step_fn = jax.jit(self._timestep_impl)
+        def _renormed_step(T_p, Td_p, V_p, P_p):
+            # Renormalize outputs so device-resident chaining (step_pairs)
+            # is bit-identical to the host f64 merge+split round trip of
+            # step(): two_sum's s is fl(hi+lo) and its error term is
+            # exactly the lo that split64 recovers.
+            T, Td, V, P, dt, mon = self._timestep_impl(T_p, Td_p, V_p, P_p)
+            T, Td, V, P = (df.two_sum(p[0], p[1]) for p in (T, Td, V, P))
+            return T, Td, V, P, dt, mon
+
+        self._step_fn = jax.jit(_renormed_step)
         self._step_tr_fn = jax.jit(self._timestep_tracers_impl)
         self._stokes_jit = jax.jit(self._stokes_impl)
 
@@ -985,6 +994,56 @@ class DF64Model:
         import dataclasses as dc
         return dc.replace(
             s, V=jnp.asarray(df.to_f64(V)), P=jnp.asarray(df.to_f64(P))), mon
+
+    def to_pairs(self, s):
+        """Host-f64 State -> device-resident (T, Td, V, P) df64 pairs."""
+        return (split64(np.asarray(s.T)), split64(np.asarray(s.Tdot)),
+                split64(np.asarray(s.V)), split64(np.asarray(s.P)))
+
+    def step_pairs(self, pairs):
+        """One timestep entirely on device: pairs -> (pairs', diag).
+
+        `pairs` is the tuple `to_pairs` returns; `diag` is (dt_pair, mon)
+        with every leaf still a device array (nothing is fetched). Steps
+        chain device-to-device — the per-step host split/merge round trip
+        of `step` (~1 MB each way over the accelerator tunnel) disappears,
+        which is what a production loop would do.
+
+        One call is bit-identical to `step` (outputs are two_sum-
+        renormalized inside the jit, so `step`'s f64 merge+split64 is a
+        value no-op on them). Multi-step chains are NOT bitwise equal to
+        chained `step` calls: a normalized (hi, lo) pair can carry one
+        more significand bit than f64 (hi's 24 bits + an exponent gap +
+        lo's 24 bits can exceed 53), so `step`'s host merge rounds away
+        the lowest lo bit each step while this chain keeps it. The
+        carried states agree to <= 1 f64 ulp per step; the solver's
+        tolerance-threshold branches can amplify that to iteration-count
+        flips, i.e. the same equivalence class as the df64-vs-f64
+        comparisons (see test_df64_step_pairs_matches_step)."""
+        T_p, Td_p, V_p, P_p = pairs
+        T, Td, V, P, dt, mon = self._step_fn(T_p, Td_p, V_p, P_p)
+        return (T, Td, V, P), (dt, mon)
+
+    @staticmethod
+    def pairs_diag(diag):
+        """Fetch a step_pairs diag into the dict `step` returns."""
+        dt, mon = diag
+        dt64 = float(np.float64(np.asarray(dt[0], np.float64))
+                     + np.asarray(dt[1], np.float64))
+        return {"dt": dt64, "v_norm": float(df.to_f64(mon[0])),
+                "p_norm": float(df.to_f64(mon[1])),
+                "incompressibility": float(df.to_f64(mon[2])),
+                "outer": int(mon[3]), "inner": int(mon[4])}
+
+    def pairs_state(self, s, pairs, diag):
+        """Fold device pairs (+ one step's diag) back into a host State."""
+        import dataclasses as dc
+        T, Td, V, P = pairs
+        dt64 = self.pairs_diag(diag)["dt"]
+        return dc.replace(
+            s, T=jnp.asarray(df.to_f64(T)), Tdot=jnp.asarray(df.to_f64(Td)),
+            V=jnp.asarray(df.to_f64(V)), P=jnp.asarray(df.to_f64(P)),
+            time=s.time + dt64, dt=jnp.asarray(dt64), step=s.step + 1)
 
     def step(self, s):
         """One timestep on a CPU-f64 State; returns (state, diag-tuple)."""

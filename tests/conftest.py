@@ -7,6 +7,19 @@ devices — the honest "distributed" testing strategy the reference never had
 """
 
 import os
+import resource
+
+# Two full-suite runs segfaulted natively inside XLA:CPU compile/cache-load
+# of the largest df64 solver graphs (deep-recursion compiler passes on a
+# ~1e5-instruction unrolled module). The default 8 MB stack is marginal for
+# those passes; raise the soft limit to 64 MB before JAX spawns any threads.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 64 << 20
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+    except (ValueError, OSError):
+        pass
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")

@@ -1451,6 +1451,46 @@ class TestDF64Tier:
         # dt is CFL-limited here, so it inherits V's tolerance-level diff
         assert abs(float(sdf.dt) - float(s64.dt)) < 5e-3 * float(s64.dt)
 
+    def test_df64_step_pairs_matches_step(self):
+        """Device-resident chaining (to_pairs/step_pairs): one step is
+        bit-identical to step(); multi-step chains agree at df64-tier
+        tolerance (the host merge in step() rounds the pair's 54th
+        significand bit away each step — see step_pairs docstring)."""
+        import jax
+        if not jax.config.jax_enable_x64:
+            pytest.skip("needs x64 for the host State")
+        from g4s_tpu.models.citcoms.df64_step import DF64Model
+        cfg = small_cfg(nodex=9, nodey=9, nodez=5, rayleigh=1e5,
+                        topvbc=1, topvbxval=50.0)
+        model = CitcomModel(cfg, dtype=jnp.float64)
+        dfm = DF64Model(model, inner="ir")
+        s0, _ = dfm.initial_solve(model.init_state())
+        # one step: bit-identical
+        sa, da = dfm.step(s0)
+        pairs, diag = dfm.step_pairs(dfm.to_pairs(s0))
+        sb = dfm.pairs_state(s0, pairs, diag)
+        for name in ("T", "Tdot", "V", "P"):
+            np.testing.assert_array_equal(np.asarray(getattr(sa, name)),
+                                          np.asarray(getattr(sb, name)),
+                                          err_msg=name)
+        dd = dfm.pairs_diag(diag)
+        assert dd["dt"] == da["dt"]
+        assert dd["inner"] == da["inner"]
+        # two more steps chained each way: <=1 ulp/step input skew, so
+        # values track at df64-tier tolerance (solver branch flips move
+        # V at its 1e-4 Uzawa tolerance on this tiny mesh)
+        for _ in range(2):
+            sa, da = dfm.step(sa)
+            pairs, diag = dfm.step_pairs(pairs)
+        sb = dfm.pairs_state(s0, pairs, diag)
+        np.testing.assert_allclose(np.asarray(sb.T), np.asarray(sa.T),
+                                   rtol=0, atol=1e-7)
+        vmax = float(np.abs(np.asarray(sa.V)).max())
+        np.testing.assert_allclose(np.asarray(sb.V), np.asarray(sa.V),
+                                   rtol=0, atol=2e-4 * vmax)
+        dd = dfm.pairs_diag(diag)
+        assert abs(dd["dt"] - da["dt"]) <= 1e-4 * da["dt"]
+
     @pytest.mark.parametrize("rheol", [3, 4, 1])
     def test_df64_tdep_viscosity_tracks_f64(self, rheol):
         """TDEPV extension (df64_assembly.py): per-step df64 viscosity +
