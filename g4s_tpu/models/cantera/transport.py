@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -150,7 +151,8 @@ def stefan_maxwell_velocities(mech: Mechanism, tr: TransportData, T, P,
     for the species diffusion velocities V_k [m/s]. Reduces exactly to
     Fick's law with the binary D for a two-species mixture; the
     mixture-averaged formula (mixture_diffusion_coeffs) is its dilute
-    approximation. Thermal diffusion (Soret) is not included.
+    approximation. Thermal diffusion (Soret) lives in
+    `multi_transport.py` (the Dixon-Lewis L-matrix tier).
     """
     K = mech.nspec
     D = binary_diffusion(mech, tr, T, P)

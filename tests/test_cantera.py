@@ -210,6 +210,138 @@ class TestTransport:
         assert 1e-5 < d_o2 < 4e-5            # O2-N2 ~ 2.1e-5 m2/s
 
 
+class TestMultiTransportLMatrix:
+    """Dixon-Lewis L-matrix multicomponent transport
+    (MultiTransport.cpp roles: thermalConductivity, getThermalDiffCoeffs,
+    getMultiDiffCoeffs, getSpeciesFluxes)."""
+
+    @pytest.fixture(scope="class")
+    def gri(self):
+        from g4s_tpu.models.cantera.transport import load_transport
+        p = "/root/reference/cantera/data/gri30.yaml"
+        mech = load_mechanism(p)
+        return mech, load_transport(p, mech)
+
+    def test_monatomic_limit(self, gri):
+        """Nearly-pure Ar: the 3K x 3K solve must reduce to the exact
+        first-Sonine monatomic result lambda = (15/4) mu R / W."""
+        from g4s_tpu.models.cantera.multi_transport import (
+            multicomponent_conductivity)
+        from g4s_tpu.models.cantera.thermo import cp0_R
+        from g4s_tpu.models.cantera.transport import species_viscosities
+        from g4s_tpu.models.cantera.mech import R_GAS
+        mech, tr = gri
+        T = jnp.asarray(400.0)
+        x = np.full(mech.nspec, 1e-9)
+        iar = mech.species_index("AR")
+        x[iar] = 1.0
+        x /= x.sum()
+        lam = float(multicomponent_conductivity(
+            mech, tr, T, jnp.asarray(x), cp0_R(mech, T)))
+        mu = float(species_viscosities(mech, tr, T)[iar])
+        W = mech.mol_weights[iar]
+        lam_exact = 3.75 * mu * R_GAS / W
+        assert abs(lam - lam_exact) < 2e-3 * lam_exact
+
+    def test_air_conductivity(self, gri):
+        """Multicomponent lambda for air at 300 K vs CRC and vs the
+        Wilke/Eucken mixture rule (same ballpark, not identical)."""
+        from g4s_tpu.models.cantera.multi_transport import (
+            multicomponent_conductivity)
+        from g4s_tpu.models.cantera.thermo import cp0_R
+        mech, tr = gri
+        x = np.zeros(mech.nspec)
+        x[mech.species_index("N2")] = 0.78
+        x[mech.species_index("O2")] = 0.22
+        T = jnp.asarray(300.0)
+        lam = float(multicomponent_conductivity(
+            mech, tr, T, jnp.asarray(x), cp0_R(mech, T)))
+        assert abs(lam - 0.0263) < 0.004     # CRC air: 0.0263 W/m/K
+
+    def test_soret_coefficients(self, gri):
+        """Thermal diffusion: coefficients sum to zero (mass
+        conservation) and the light species migrates toward hot
+        (D_T < 0 for H2 against N2)."""
+        from g4s_tpu.models.cantera.multi_transport import (
+            thermal_diff_coeffs)
+        from g4s_tpu.models.cantera.thermo import cp0_R
+        mech, tr = gri
+        x = np.zeros(mech.nspec)
+        ih2, in2 = mech.species_index("H2"), mech.species_index("N2")
+        x[ih2] = 0.5
+        x[in2] = 0.5
+        T = jnp.asarray(300.0)
+        dt = np.asarray(thermal_diff_coeffs(
+            mech, tr, T, jnp.asarray(x), cp0_R(mech, T)))
+        scale = np.abs(dt).max()
+        assert scale > 0.0
+        assert abs(dt.sum()) < 1e-6 * scale
+        assert dt[ih2] < 0.0 and dt[in2] > 0.0
+        # magnitude sanity: the binary thermal diffusion factor. From
+        # j_1 = -(n^2 m1 m2 / rho) D12 (grad x1 + alpha x1 x2 grad lnT)
+        # and Cantera's j_T,k = -D_T,k grad lnT:
+        #   D_T = rho D12 (W1 W2 / Wbar^2) x1 x2 alpha.
+        # H2-N2 at 300 K: alpha ~ 0.2-0.4 (Grew & Ibbs)
+        from g4s_tpu.models.cantera.transport import binary_diffusion
+        from g4s_tpu.models.cantera.mech import R_GAS
+        P = 101325.0
+        D12 = float(binary_diffusion(mech, tr, T, P)[ih2, in2])
+        W = mech.mol_weights
+        Wbar = float((x * W).sum())
+        rho = P * Wbar / (R_GAS * 300.0)
+        mass_fac = W[ih2] * W[in2] / Wbar ** 2
+        alpha = dt[in2] / (rho * D12 * mass_fac) / (0.5 * 0.5)
+        assert 0.15 < alpha < 0.55
+
+    def test_multi_diff_binary_limit(self, gri):
+        """For a two-species mixture the multicomponent D_ij equals the
+        binary Chapman-Enskog coefficient exactly."""
+        from g4s_tpu.models.cantera.multi_transport import (
+            multicomponent_diff_coeffs)
+        from g4s_tpu.models.cantera.transport import binary_diffusion
+        mech, tr = gri
+        x = np.full(mech.nspec, 1e-12)
+        io2, in2 = mech.species_index("O2"), mech.species_index("N2")
+        x[io2] = 0.21
+        x[in2] = 0.79
+        x /= x.sum()
+        T, P = jnp.asarray(300.0), 101325.0
+        D = np.asarray(multicomponent_diff_coeffs(
+            mech, tr, T, P, jnp.asarray(x)))
+        Db = float(binary_diffusion(mech, tr, T, P)[io2, in2])
+        assert abs(D[io2, in2] - Db) < 2e-2 * Db
+        assert abs(D[in2, io2] - Db) < 2e-2 * Db
+
+    def test_species_mass_fluxes_conserve(self, gri):
+        """Mass fluxes from combined composition + temperature gradients
+        sum to zero; Soret pushes H2 up the temperature gradient."""
+        from g4s_tpu.models.cantera.multi_transport import (
+            species_mass_fluxes)
+        from g4s_tpu.models.cantera.thermo import cp0_R
+        mech, tr = gri
+        K = mech.nspec
+        x = np.full(K, 1e-12)
+        ih2, in2 = mech.species_index("H2"), mech.species_index("N2")
+        x[ih2] = 0.3
+        x[in2] = 0.7
+        x /= x.sum()
+        T, P = jnp.asarray(320.0), 101325.0
+        cp = cp0_R(mech, T)
+        gx = np.zeros(K)
+        gx[ih2] = 1e-2
+        gx[in2] = -1e-2
+        j = np.asarray(species_mass_fluxes(
+            mech, tr, T, P, jnp.asarray(x), jnp.asarray(gx), 0.0, cp))
+        assert abs(j.sum()) < 1e-10 * np.abs(j).max()
+        # H2 diffuses down its own gradient
+        assert j[ih2] < 0.0
+        # pure temperature gradient: Soret only, H2 flux toward hot
+        jt = np.asarray(species_mass_fluxes(
+            mech, tr, T, P, jnp.asarray(x), jnp.zeros(K), 50.0, cp))
+        assert abs(jt.sum()) < 1e-10 * max(np.abs(jt).max(), 1e-300)
+        assert jt[ih2] > 0.0
+
+
 class TestEquilibrium:
     def test_h2o2_equilibrium_limits(self, h2o2):
         from g4s_tpu.models.cantera.equilibrium import (equilibrate_tp,
