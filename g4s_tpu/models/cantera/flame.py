@@ -23,6 +23,7 @@ from g4s_tpu.models.cantera.kinetics import (build_kinetics,
                                              net_production_rates)
 from g4s_tpu.models.cantera.mech import Mechanism, R_GAS
 from g4s_tpu.models.cantera.thermo import cp0_R, h0_RT
+from g4s_tpu.models.cantera.multi_transport import thermal_diff_coeffs
 from g4s_tpu.models.cantera.transport import (TransportData,
                                               mixture_diffusion_coeffs,
                                               thermal_conductivity)
@@ -42,9 +43,13 @@ class FlameSetup(NamedTuple):
 class BurnerFlame:
     def __init__(self, mech: Mechanism, tr: TransportData, *, n_points=64,
                  width=0.02, mdot=0.04, pressure=101325.0, T_burner=300.0,
-                 z=None):
+                 z=None, soret=False):
         self.mech = mech
         self.tr = tr
+        # StFlow::enableSoret (m_do_soret): add the thermal-diffusion
+        # species flux -D_T,k grad(ln T), with D_T,k from the
+        # multicomponent Dixon-Lewis solve (multi_transport.py)
+        self.soret = bool(soret)
         self.kin = build_kinetics(mech)
         zv = np.linspace(0.0, width, n_points) if z is None else np.asarray(z)
         self.n = int(zv.size)
@@ -125,6 +130,17 @@ class BurnerFlame:
 
         # species: rho dY/dt = -mdot dY/dz + d/dz(rho D dY/dz) + wdot W
         diff_Y = d2dz2(Y, rho[:, None] * D)
+        if self.soret:
+            # Soret flux j_T,k = -(D_T,k / T) dT/dz (StFlow.cpp
+            # updateDiffFluxes m_do_soret branch); its negative
+            # divergence enters the species equation:
+            # + d/dz((D_T,k / T) dT/dz)
+            cp_r = jax.vmap(lambda tt: cp0_R(self.mech, tt))(T)
+            dt_k = jax.vmap(lambda tt, xx, cc: thermal_diff_coeffs(
+                self.mech, self.tr, tt, xx, cc))(T, x, cp_r)   # (n, K)
+            K_ = dt_k.shape[1]
+            Tt = jnp.broadcast_to(T[:, None], (self.n, K_))
+            diff_Y = diff_Y + d2dz2(Tt, dt_k / T[:, None])
         dY = (-self.mdot * ddz_upwind(Y) + diff_Y
               + wdot * self.W[None, :]) / rho[:, None]
 
@@ -158,6 +174,17 @@ class BurnerFlame:
     def unpack(self, state):
         s = np.asarray(state).reshape(self.n, self.mech.nspec + 1)
         return s[:, 0], s[:, 1:]
+
+    def soret_flux(self, T, Y):
+        """Per-point Soret mass fluxes j_T,k = -(D_T,k / T) dT/dz
+        [kg/m^2/s] for a (n,) T and (n, K) Y profile (diagnostic)."""
+        x = Y / self.W[None, :]
+        x = x / x.sum(axis=1, keepdims=True)
+        cp_r = jax.vmap(lambda tt: cp0_R(self.mech, tt))(T)
+        dt_k = jax.vmap(lambda tt, xx, cc: thermal_diff_coeffs(
+            self.mech, self.tr, tt, xx, cc))(T, x, cp_r)
+        dTdz = jnp.gradient(T, self.z)
+        return -(dt_k / T[:, None]) * dTdz[:, None]
 
 
 class FreeFlame(BurnerFlame):

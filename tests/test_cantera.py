@@ -341,6 +341,36 @@ class TestMultiTransportLMatrix:
         assert abs(jt.sum()) < 1e-10 * max(np.abs(jt).max(), 1e-300)
         assert jt[ih2] > 0.0
 
+    def test_flame_soret_coupling(self):
+        """BurnerFlame(soret=True): the StFlow do_soret species-flux term
+        is mass-conserving and drives light species toward hot."""
+        from g4s_tpu.models.cantera.flame import BurnerFlame
+        from g4s_tpu.models.cantera.transport import load_transport
+        mech = load_mechanism(H2O2)
+        tr = load_transport(H2O2, mech)
+        Y_in = np.zeros(mech.nspec)
+        Y_in[mech.species_index("H2")] = 0.05
+        Y_in[mech.species_index("O2")] = 0.22
+        Y_in[mech.species_index("AR")] = 0.73
+        f_s = BurnerFlame(mech, tr, n_points=24, soret=True)
+        f_n = BurnerFlame(mech, tr, n_points=24, soret=False)
+        s0 = f_s.initial_profile(Y_in)
+        f_n.initial_profile(Y_in)
+        d = (np.asarray(f_s.rhs(0.0, s0))
+             - np.asarray(f_n.rhs(0.0, s0))).reshape(24, -1)
+        assert np.abs(d[:, 0]).max() == 0.0       # energy eq untouched
+        scale = np.abs(d[:, 1:]).max()
+        assert scale > 0.0                        # the term is live
+        # sum_k D_T,k = 0 -> the Soret divergence sums to zero per point
+        assert np.abs(d[:, 1:].sum(axis=1)).max() < 1e-9 * scale
+        # diagnostic flux direction on a rising-T profile
+        T = jnp.linspace(300.0, 1500.0, 24)
+        Y = jnp.tile(jnp.asarray(Y_in), (24, 1))
+        j = np.asarray(f_s.soret_flux(T, Y))
+        ih2 = mech.species_index("H2")
+        assert (j[2:-2, ih2] > 0).all()           # H2 toward hot
+        assert np.abs(j.sum(axis=1)).max() < 1e-12
+
 
 class TestEquilibrium:
     def test_h2o2_equilibrium_limits(self, h2o2):
