@@ -43,13 +43,21 @@ class FlameSetup(NamedTuple):
 class BurnerFlame:
     def __init__(self, mech: Mechanism, tr: TransportData, *, n_points=64,
                  width=0.02, mdot=0.04, pressure=101325.0, T_burner=300.0,
-                 z=None, soret=False):
+                 z=None, soret=False, transport="mix"):
         self.mech = mech
         self.tr = tr
         # StFlow::enableSoret (m_do_soret): add the thermal-diffusion
         # species flux -D_T,k grad(ln T), with D_T,k from the
         # multicomponent Dixon-Lewis solve (multi_transport.py)
         self.soret = bool(soret)
+        # transport="multi": StFlow's m_do_multicomponent fluxes
+        # j_k = (W_k rho / Wbar^2) sum_m W_m D_km dX_m/dz with the exact
+        # getMultiDiffCoeffs matrix and the L-matrix conductivity
+        # (StFlow.cpp:491-503, 536-549); "mix" keeps the mixture-averaged
+        # Fickian form.
+        if transport not in ("mix", "multi"):
+            raise ValueError(f"transport={transport!r}")
+        self.transport = transport
         self.kin = build_kinetics(mech)
         zv = np.linspace(0.0, width, n_points) if z is None else np.asarray(z)
         self.n = int(zv.size)
@@ -83,8 +91,14 @@ class BurnerFlame:
         rho = self.P * Wmix / (R_GAS * T)
         cp_r = jax.vmap(lambda t: cp0_R(self.mech, t))(T)     # (n, K)
         cp_mass = jnp.sum(Y * cp_r * R_GAS / self.W[None, :], axis=1)
-        lam = jax.vmap(lambda t, xx, c: thermal_conductivity(
-            self.mech, self.tr, t, xx, c))(T, x, cp_r)
+        if getattr(self, "transport", "mix") == "multi":
+            from g4s_tpu.models.cantera.multi_transport import (
+                multicomponent_conductivity)
+            lam = jax.vmap(lambda t, xx, c: multicomponent_conductivity(
+                self.mech, self.tr, t, xx, c))(T, x, cp_r)
+        else:
+            lam = jax.vmap(lambda t, xx, c: thermal_conductivity(
+                self.mech, self.tr, t, xx, c))(T, x, cp_r)
         D = jax.vmap(lambda t, xx: mixture_diffusion_coeffs(
             self.mech, self.tr, t, self.P, xx))(T, x)
         return rho, cp_mass, lam, D, x
@@ -129,7 +143,29 @@ class BurnerFlame:
             return (flux_p - flux_m) / _bcast(0.5 * (dzp + dzm), f)
 
         # species: rho dY/dt = -mdot dY/dz + d/dz(rho D dY/dz) + wdot W
-        diff_Y = d2dz2(Y, rho[:, None] * D)
+        if self.transport == "multi":
+            # StFlow multicomponent fluxes (updateDiffFluxes :538-549):
+            # j_k = (W_k rho / Wbar^2) sum_m W_m D_km dX_m/dz at interval
+            # midpoints (interval-averaged properties), zero end fluxes;
+            # the species term is -d(j_k)/dz.
+            from g4s_tpu.models.cantera.multi_transport import (
+                multicomponent_diff_coeffs)
+            Wmix = jnp.sum(x * self.W[None, :], axis=1)
+            Dm = jax.vmap(lambda tt, xx: multicomponent_diff_coeffs(
+                self.mech, self.tr, tt, self.P, xx))(T, x)   # (n, K, K)
+            fac = self.W[None, :] * (rho / Wmix ** 2)[:, None]
+            fac_h = 0.5 * (fac[1:] + fac[:-1])               # (n-1, K)
+            Dm_h = 0.5 * (Dm[1:] + Dm[:-1])                  # (n-1, K, K)
+            gx = (x[1:] - x[:-1]) / self._dzp[:-1, None]     # (n-1, K)
+            j_half = fac_h * jnp.einsum("ikm,im->ik", Dm_h,
+                                        self.W[None, :] * gx)
+            jpad = jnp.concatenate(
+                [jnp.zeros((1, j_half.shape[1])), j_half,
+                 jnp.zeros((1, j_half.shape[1]))])
+            diff_Y = -(jpad[1:] - jpad[:-1]) \
+                / (0.5 * (self._dzp + self._dzm))[:, None]
+        else:
+            diff_Y = d2dz2(Y, rho[:, None] * D)
         if self.soret:
             # Soret flux j_T,k = -(D_T,k / T) dT/dz (StFlow.cpp
             # updateDiffFluxes m_do_soret branch); its negative

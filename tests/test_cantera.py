@@ -371,6 +371,75 @@ class TestMultiTransportLMatrix:
         assert (j[2:-2, ih2] > 0).all()           # H2 toward hot
         assert np.abs(j.sum(axis=1)).max() < 1e-12
 
+    def test_multiflux_matches_stefan_maxwell(self):
+        """The StFlow multicomponent flux form
+        j_k = (W_k rho / Wbar^2) sum_m W_m D_km grad X_m with the exact
+        D matrix equals rho Y_k V_k from the independent Stefan-Maxwell
+        solve, to machine precision."""
+        from g4s_tpu.models.cantera.multi_transport import (
+            multicomponent_diff_coeffs)
+        from g4s_tpu.models.cantera.transport import (
+            load_transport, stefan_maxwell_velocities)
+        from g4s_tpu.models.cantera.mech import R_GAS
+        mech = load_mechanism(H2O2)
+        tr = load_transport(H2O2, mech)
+        K, W = mech.nspec, mech.mol_weights
+        T, P = 900.0, 101325.0
+        x = np.full(K, 1e-12)
+        for s, v in (("H2", 0.25), ("O2", 0.15), ("H2O", 0.1),
+                     ("AR", 0.5)):
+            x[mech.species_index(s)] = v
+        x /= x.sum()
+        gx = np.zeros(K)
+        gx[mech.species_index("H2")] = -2.0
+        gx[mech.species_index("H2O")] = 1.5
+        gx[mech.species_index("O2")] = 0.5
+        gx -= gx.sum() / K
+        Wbar = float((x * W).sum())
+        rho = P * Wbar / (R_GAS * T)
+        Y = x * W / Wbar
+        V = np.asarray(stefan_maxwell_velocities(
+            mech, tr, jnp.asarray(T), P, jnp.asarray(x), jnp.asarray(gx)))
+        j_sm = rho * Y * V
+        D = np.asarray(multicomponent_diff_coeffs(
+            mech, tr, jnp.asarray(T), P, jnp.asarray(x)))
+        j_mc = (W * rho / Wbar ** 2) * (D @ (W * gx))
+        m = np.abs(j_sm).max()
+        assert np.abs(j_sm - j_mc).max() < 1e-12 * m
+
+    def test_flame_multicomponent_mode(self):
+        """BurnerFlame(transport='multi') evaluates; the multicomponent
+        diffusion term conserves mass per grid point."""
+        from g4s_tpu.models.cantera.flame import BurnerFlame
+        from g4s_tpu.models.cantera.transport import load_transport
+        mech = load_mechanism(H2O2)
+        tr = load_transport(H2O2, mech)
+        Y_in = np.zeros(mech.nspec)
+        Y_in[mech.species_index("H2")] = 0.05
+        Y_in[mech.species_index("O2")] = 0.22
+        Y_in[mech.species_index("AR")] = 0.73
+        fm = BurnerFlame(mech, tr, n_points=24, transport="multi")
+        fx = BurnerFlame(mech, tr, n_points=24)
+        s0 = fm.initial_profile(Y_in)
+        fx.initial_profile(Y_in)
+        # composition gradients so the diffusion terms are live
+        s = np.array(np.asarray(s0).reshape(24, -1), copy=True)
+        zf = np.linspace(0, 1, 24)
+        s[:, 1 + mech.species_index("H2")] += 0.02 * np.sin(np.pi * zf)
+        s[:, 1 + mech.species_index("AR")] -= 0.02 * np.sin(np.pi * zf)
+        s0 = jnp.asarray(s.reshape(-1))
+        rm = np.asarray(fm.rhs(0.0, s0)).reshape(24, -1)
+        rx = np.asarray(fx.rhs(0.0, s0)).reshape(24, -1)
+        # the modes genuinely differ (diffusion terms are live)
+        assert np.abs((rm - rx)[:, 1:]).max() > 0.0
+        # exact multicomponent fluxes conserve mass per grid point
+        # (chemistry and convection species-sums vanish identically, so
+        # the residual species-sum isolates the diffusion closure);
+        # the mixture-averaged mode leaks without a correction flux
+        scale = np.abs(rm[:, 1:]).max()
+        assert np.abs(rm[1:, 1:].sum(axis=1)).max() < 1e-10 * scale
+        assert np.abs(rx[1:, 1:].sum(axis=1)).max() > 1e-6 * scale
+
 
 class TestEquilibrium:
     def test_h2o2_equilibrium_limits(self, h2o2):
