@@ -602,10 +602,12 @@ def bench_spmv(dtype_str: str = "f32"):
     g3 = build_graph(CSR.from_scipy(g3m))
     stencil_bytes = g3m.nnz * 8 + n3 * 8
     if g3.variant == "wsell":
-        from g4s_tpu.ops.pallas_spmv import spmv_wsell
+        from g4s_tpu.ops.pallas_spmv import _chain_pad, spmv_wsell_chain
 
-        per = chain_time(lambda u: spmv_wsell(g3.wsell, u * 0.999),
-                         jnp.ones((n3,), jnp.float32), lens=(2, 100))
+        xp3 = jnp.zeros((_chain_pad(g3.wsell),), jnp.float32) \
+            .at[:n3].set(1.0)
+        per = chain_time(lambda u: spmv_wsell_chain(g3.wsell, u * 0.999),
+                         xp3, lens=(2, 100))
         headline = stencil_bytes / per / 1e9
         # per-call mode: mxv including both permutes, chained directly
         # (the Benes routing plans of ops/route.py make the permutes
@@ -615,6 +617,7 @@ def bench_spmv(dtype_str: str = "f32"):
         out["stencil_wsell"] = {
             "gbs_hoisted": round(headline, 1), "ms": round(per * 1e3, 3),
             "k_windows": g3.wsell.k,
+            "k_groups": list(g3.wsell.groups),
             "permute_ms": round(max(per_full - per, 0.0) * 1e3, 3),
             "permute_via": "benes_route" if g3.route_in is not None
             else "sort",

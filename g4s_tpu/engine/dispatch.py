@@ -141,8 +141,16 @@ def build_graph(a: CSR, *, variant: str | None = None,
                 # kernel (per-pack dynamic x windows; 243 GB/s measured
                 # on a shuffled 3D 7-point stencil at n=1M vs 1.3 GB/s
                 # for the XLA ELL gather fallback)
-                from g4s_tpu.ops.pallas_spmv import pack_wsell
+                from g4s_tpu.ops.pallas_spmv import (pack_wsell,
+                                                     wsell_block_sort_perm)
                 try:
+                    # sort packs by window count (128-block-granular, so
+                    # counts are invariant) -> K-homogeneous tiles, each
+                    # group's kernel unrolls only the windows it needs
+                    sigma = wsell_block_sort_perm(CSR.from_scipy(ap))
+                    if sigma is not None:
+                        perm = perm[sigma]
+                        ap = ap[sigma][:, sigma].tocsr()
                     packed = pack_wsell(CSR.from_scipy(ap))
                     inv = np.empty_like(perm)
                     inv[perm] = np.arange(perm.size)

@@ -279,12 +279,24 @@ def spmv_bwell(packed: BWELL, x, *, packs_per_batch: int | None = None):
 # window slots (128-aligned blocks of x chosen by the host packer), and
 # every entry's lane index encodes slot*128 + offset. The kernel loops
 # over the K slots: one dynamic 128-slice of x (VMEM-resident), one
-# sublane broadcast, one full-width take_along_axis, one select-add —
-# all register-resident, no scratch staging. This is the TPU replacement
-# for the reference's AVX2/512 gather loops (mm/inc/hash_mult.h:111-492)
-# on patterns with no single-window structure.
+# sublane broadcast, one full-width take_along_axis, one masked
+# multiply-accumulate — all register-resident, no scratch staging. This
+# is the TPU replacement for the reference's AVX2/512 gather loops
+# (mm/inc/hash_mult.h:111-492) on patterns with no single-window
+# structure.
 #
-# Memory traffic stays 8 bytes per stored lane (4B loc + 4B value) + x/y.
+# v2 (measured on the chip, RCM-shuffled 3D 7-point stencil at n=1M):
+#   - lane indices are int16 (slot*128+offset <= k_max*128-1 < 2^15),
+#     cutting index traffic in half: 6 bytes per stored lane + x/y;
+#   - tiles are GROUPED by their max per-pack window count and each
+#     group runs its own kernel unrolled to exactly that K — the
+#     kernel is window-loop compute-bound (~20 us per window sweep at
+#     n=1M; the DMA floor is ~70 us), so skipping dead window steps is
+#     a direct win. build_graph sorts packs by window count with a
+#     128-block-granular symmetric permutation (window counts are
+#     invariant under it) to make tiles K-homogeneous;
+#   - spmv_wsell_chain evaluates padded-in/padded-out so iterative
+#     solvers chain matvecs with no per-call pad/slice copies.
 # ---------------------------------------------------------------------------
 
 
@@ -296,18 +308,66 @@ class WSELL:
     starts: jax.Array    # (n_packs_pad*K,) int32 aligned block ids, flat
                          # (2-D SMEM operands are lane-padded to 128 —
                          # flat 1-D keeps the prefetch under the 1 MiB SMEM)
-    lanes: jax.Array     # (n_tiles, PPT, 8, 128) int32: slot*128 + offset
+    lanes: jax.Array     # (n_tiles, PPT, 8, 128) int16: slot*128 + offset
     vals: jax.Array      # (n_tiles, PPT, 8, 128) dtype
     width: int = _static()        # W, padded entries/row, divides 128
     n_rows: int = _static()
     n_cols: int = _static()
     ppt: int = _static()          # packs per tile
-    k: int = _static()            # window slots per pack
+    k: int = _static()            # window slots per pack (max over packs)
     shape: Tuple[int, int] = _static()
+    # consecutive tile groups (tile_count, K_g): group g's tiles need at
+    # most K_g windows per pack, its kernel unrolls exactly K_g steps
+    groups: Tuple[Tuple[int, int], ...] = _static()
 
     @property
     def rows_per_pack(self) -> int:
         return 8 * (128 // self.width)
+
+    @property
+    def rows_padded(self) -> int:
+        """Length of the padded result spmv_wsell_chain returns."""
+        return self.lanes.shape[0] * self.ppt * self.rows_per_pack
+
+
+def wsell_block_sort_perm(a: CSR, *, width: Optional[int] = None,
+                          packs_per_tile: int = 64):
+    """Row permutation sorting WSELL packs by their window count, at
+    128-block granularity (returns None when packs aren't block-sized).
+
+    Window counts are invariant under a 128-block-granular symmetric
+    permutation — blocks map to blocks, within-block offsets are
+    unchanged — so applying this before pack_wsell makes tiles
+    K-homogeneous without altering any pack's cost. The tail partial
+    block stays fixed (moving it would break block alignment)."""
+    indptr = np.asarray(a.indptr)
+    deg = np.diff(indptr)
+    max_deg = int(deg.max()) if deg.size else 1
+    if width is None:
+        width = 1
+        while width < max_deg:
+            width *= 2
+        width = min(width, 128)
+    rpp = 8 * (128 // width)
+    n_rows = a.shape[0]
+    if rpp % 128 or n_rows < 2 * rpp:
+        return None
+    n_full = (n_rows // rpp) * rpp           # rows in full packs
+    # per-pack distinct 128-block count, vectorized
+    cols = np.asarray(a.indices, np.int64)
+    rows_of = np.repeat(np.arange(n_rows, dtype=np.int64), deg)
+    sel = rows_of < n_full
+    key = (rows_of[sel] // rpp) * (1 << 40) + (cols[sel] >> 7)
+    uniq = np.unique(key)
+    counts = np.bincount((uniq >> 40).astype(np.int64),
+                         minlength=n_full // rpp)
+    order = np.argsort(counts, kind="stable")
+    if (order == np.arange(order.size)).all():
+        return None
+    perm = np.concatenate(
+        [(order[:, None] * rpp + np.arange(rpp)).reshape(-1),
+         np.arange(n_full, n_rows, dtype=np.int64)])
+    return perm.astype(np.int64)
 
 
 def pack_wsell(a: CSR, *, width: Optional[int] = None,
@@ -319,6 +379,8 @@ def pack_wsell(a: CSR, *, width: Optional[int] = None,
     pack needs more than k_max windows (caller falls back)."""
     from g4s_tpu.sparse.convert import csr_to_ell
 
+    if k_max > 255:
+        raise ValueError("k_max > 255 overflows the int16 lane encoding")
     indptr = np.asarray(a.indptr)
     deg = np.diff(indptr)
     max_deg = int(deg.max()) if deg.size else 1
@@ -334,6 +396,12 @@ def pack_wsell(a: CSR, *, width: Optional[int] = None,
     n_rows, n_cols = a.shape
     n_packs = -(-n_rows // rpp)
     n_tiles = -(-n_packs // packs_per_tile)
+    if n_rows == n_cols:
+        # chain mode needs the padded result to double as the next padded
+        # input: rows_pad >= roundup(n_cols, 128) + 128 guard block
+        need = -(-n_cols // 128) * 128 + 128
+        while n_tiles * packs_per_tile * rpp < need:
+            n_tiles += 1
     n_packs_pad = n_tiles * packs_per_tile
     rows_pad = n_packs_pad * rpp
 
@@ -383,21 +451,49 @@ def pack_wsell(a: CSR, *, width: Optional[int] = None,
     loc = slot * 128 + (colsP & 127).astype(np.int32)
     loc = np.where(maskP, loc, 0)
 
-    lanes8 = loc.reshape(n_packs_pad, 8, 128).astype(np.int32)
+    lanes8 = loc.reshape(n_packs_pad, 8, 128).astype(np.int16)
     vals8 = vals.reshape(n_packs_pad, 8, 128)
+
+    # tile groups: consecutive tiles sharing the same max per-pack window
+    # count run one kernel unrolled to exactly that K (callers sort packs
+    # with wsell_block_sort_perm first to make these groups long)
+    kc_pack = np.zeros(n_packs_pad, np.int64)
+    np.maximum.at(kc_pack, np.nonzero(maskP)[0], slot[maskP] + 1)
+    kc_tile = np.maximum(
+        kc_pack.reshape(n_tiles, packs_per_tile).max(axis=1), 1)
+    groups = []
+    t = 0
+    while t < n_tiles:
+        t1 = t
+        while t1 < n_tiles and kc_tile[t1] == kc_tile[t]:
+            t1 += 1
+        groups.append([t1 - t, int(kc_tile[t])])
+        t = t1
+    # bound the kernel count: merge the shortest run into a neighbor
+    # (max K wins) until few groups remain — with block-sorted packs
+    # kc_tile is monotone and this loop never fires
+    while len(groups) > 4:
+        j = min(range(len(groups)), key=lambda q: groups[q][0])
+        nb = j + 1 if j + 1 < len(groups) else j - 1
+        lo_, hi_ = min(j, nb), max(j, nb)
+        groups[lo_] = [groups[lo_][0] + groups[hi_][0],
+                       max(groups[lo_][1], groups[hi_][1])]
+        del groups[hi_]
+    groups = [(c, k) for c, k in groups]
+
     return WSELL(
         jnp.asarray(starts.astype(np.int32).reshape(-1)),
         jnp.asarray(lanes8.reshape(n_tiles, packs_per_tile, 8, 128)),
         jnp.asarray(vals8.reshape(n_tiles, packs_per_tile, 8, 128), dtype),
-        width, n_rows, n_cols, packs_per_tile, K, a.shape)
+        width, n_rows, n_cols, packs_per_tile, K, a.shape, tuple(groups))
 
 
-def _wsell_kernel(pb: int, width: int, K: int):
+def _wsell_kernel(pb: int, width: int, K: int, k_stride: int, t0: int):
     rpr = 128 // width
 
     def kernel(starts_ref, lanes_ref, vals_ref, x_ref, seg_ref, y_ref):
-        i = pl.program_id(0)
-        lanes = lanes_ref[0].reshape(pb * 8, 128)
+        i = pl.program_id(0) + t0
+        lanes = lanes_ref[0].reshape(pb * 8, 128).astype(jnp.int32)
         vals = vals_ref[0].reshape(pb * 8, 128)
         hi = jax.lax.shift_right_logical(lanes, jnp.int32(7))   # slot id
         lo = jnp.bitwise_and(lanes, jnp.int32(127))         # window lane
@@ -406,7 +502,7 @@ def _wsell_kernel(pb: int, width: int, K: int):
         # same-shape 128-lane crossbar; _gather_lowering_rule asserts
         # this). A "single K*128-wide gather per row group" variant was
         # tried and cannot lower on real TPUs — the K separate
-        # 128-wide gathers + overwrite-selects below are the
+        # 128-wide gathers + masked multiply-adds below are the
         # hardware-supported formulation, and K itself is structural
         # (a 7-point stencil row touches ~5-7 distinct 128-aligned
         # x-blocks no matter how rows are packed).
@@ -414,16 +510,18 @@ def _wsell_kernel(pb: int, width: int, K: int):
         for qq in range(pb):
             hi_q = hi[qq * 8:(qq + 1) * 8]
             lo_q = lo[qq * 8:(qq + 1) * 8]
+            vq = vals[qq * 8:(qq + 1) * 8]
             acc = jnp.zeros((8, 128), vals.dtype)
             for k in range(K):
                 w0 = pl.multiple_of(
-                    starts_ref[(i * pb + qq) * K + k] * 128, 128)
+                    starts_ref[(i * pb + qq) * k_stride + k] * 128, 128)
                 win = x_ref[0, pl.ds(w0, 128)]
                 op = jnp.broadcast_to(win[None, :], (8, 128))
                 g = jnp.take_along_axis(op, lo_q, axis=1)
-                # overwrite-select: every lane belongs to exactly one slot
-                acc = jnp.where(hi_q == k, g, acc)
-            rows.append(vals[qq * 8:(qq + 1) * 8] * acc)
+                # masked multiply-add: every lane belongs to exactly one
+                # slot, so foreign lanes contribute 0
+                acc = acc + jnp.where(hi_q == k, vq, 0.0) * g
+            rows.append(acc)
         prod = jnp.concatenate(rows, axis=0)
         # one batched in-lane segmented reduce (HIGHEST: bf16 input
         # rounding would corrupt f32 values)
@@ -436,32 +534,60 @@ def _wsell_kernel(pb: int, width: int, K: int):
     return kernel
 
 
-def spmv_wsell(packed: WSELL, x):
-    """y = A @ x with the general WSELL-K Pallas kernel. x: (n_cols,).
+def _chain_pad(packed: WSELL) -> int:
+    """Padded vector length of spmv_wsell_chain (input and output)."""
+    return max(packed.rows_padded, -(-packed.n_cols // 128) * 128 + 128)
 
-    One grid step = one tile of `ppt` packs, fully unrolled in the kernel
-    so Mosaic double-buffers the entry DMA against the gather compute."""
-    n_tiles = packed.lanes.shape[0]
+
+def spmv_wsell_chain(packed: WSELL, x_pad):
+    """y_pad = A @ x_pad with no per-call pad/slice copies.
+
+    x_pad: (_chain_pad(packed),) with x in [0, n_cols) and ZEROS beyond;
+    returns the padded y of the same length (rows beyond n_rows are 0 by
+    construction: their vals are 0), so iterative solvers can chain
+    matvecs directly. One grid step = one tile of `ppt` packs, one
+    pallas_call per K-group, each fully unrolled so Mosaic
+    double-buffers the entry DMA against the gather compute."""
     pb = packed.ppt
     rpr = 128 // packed.width
-    # pad x to a multiple of 128 plus one guard block
-    n_pad = -(-packed.n_cols // 128) * 128 + 128
+    n_pad = _chain_pad(packed)
+    seg = jnp.asarray(_segment_matrix(packed.width), x_pad.dtype)
+    pieces = []
+    t0 = 0
+    for (cnt, K_g) in packed.groups:
+        base = t0
+
+        def mk(base):
+            return lambda i, *_: (i + base, 0, 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cnt,),
+            in_specs=[
+                pl.BlockSpec((1, pb, 8, 128), mk(base)),
+                pl.BlockSpec((1, pb, 8, 128), mk(base)),
+                pl.BlockSpec((1, n_pad), lambda i, *_: (0, 0)),
+                pl.BlockSpec((128, rpr), lambda i, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, pb, 8, rpr),
+                                   lambda i, *_: (i, 0, 0, 0)),
+        )
+        pieces.append(pl.pallas_call(
+            _wsell_kernel(pb, packed.width, K_g, packed.k, base),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((cnt, pb, 8, rpr), x_pad.dtype),
+        )(packed.starts, packed.lanes, packed.vals, x_pad[None, :],
+          seg).reshape(-1))
+        t0 += cnt
+    y = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+    if n_pad > packed.rows_padded:        # rectangular: keep lengths equal
+        y = jnp.concatenate(
+            [y, jnp.zeros((n_pad - packed.rows_padded,), y.dtype)])
+    return y
+
+
+def spmv_wsell(packed: WSELL, x):
+    """y = A @ x with the general WSELL-K Pallas kernel. x: (n_cols,)."""
+    n_pad = _chain_pad(packed)
     x_pad = jnp.zeros((n_pad,), x.dtype).at[: packed.n_cols].set(x)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, pb, 8, 128), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, pb, 8, 128), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, n_pad), lambda i, *_: (0, 0)),
-            pl.BlockSpec((128, rpr), lambda i, *_: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, pb, 8, rpr), lambda i, *_: (i, 0, 0, 0)),
-    )
-    y = pl.pallas_call(
-        _wsell_kernel(pb, packed.width, packed.k),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, pb, 8, rpr), x.dtype),
-    )(packed.starts, packed.lanes, packed.vals, x_pad[None, :],
-      jnp.asarray(_segment_matrix(packed.width), x.dtype))
-    return y.reshape(-1)[: packed.n_rows]
+    return spmv_wsell_chain(packed, x_pad)[: packed.n_rows]

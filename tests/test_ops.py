@@ -242,6 +242,60 @@ class TestPallasSpMV:
         finally:
             pl.pallas_call = orig
 
+    def test_wsell_chain_and_block_sort(self):
+        """v2 surface: spmv_wsell_chain is pad-in/pad-out and matches the
+        sliced wrapper; wsell_block_sort_perm leaves window counts
+        invariant and yields monotone K-groups (interpret mode)."""
+        import scipy.sparse as sp
+        from jax.experimental import pallas as pl
+        import g4s_tpu.ops.pallas_spmv as ps
+        rng = np.random.default_rng(5)
+        n = 1024
+        rows, cols, vals = [], [], []
+        for i in range(n):
+            # first half: narrow band (few windows); second half: extra
+            # far clusters (more windows) -> heterogeneous packs
+            offs = [0, 1, -1] if i < n // 2 else [0, 1, -1, 300, -300]
+            for o in offs:
+                j = i + o
+                if 0 <= j < n:
+                    rows.append(i)
+                    cols.append(j)
+                    vals.append(float(rng.normal()))
+        m = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        m.sum_duplicates()
+        a = CSR.from_scipy(m.astype(np.float32))
+        sigma = ps.wsell_block_sort_perm(a)
+        if sigma is not None:
+            assert np.array_equal(np.sort(sigma), np.arange(n))
+            m = m[sigma][:, sigma].tocsr()
+            a = CSR.from_scipy(m.astype(np.float32))
+        packed = ps.pack_wsell(a, packs_per_tile=2)
+        ks = [kg for _, kg in packed.groups]
+        assert sum(c for c, _ in packed.groups) == packed.lanes.shape[0]
+        if sigma is not None:
+            # block-sorted -> monotone groups over the real tiles (a
+            # trailing K=1 group may cover chain-mode zero-pad tiles)
+            real = ks[:-1] if len(ks) > 1 and ks[-1] == 1 else ks
+            assert real == sorted(real)
+        assert packed.lanes.dtype == jnp.int16
+        orig = pl.pallas_call
+        pl.pallas_call = lambda *a_, **k_: orig(*a_, interpret=True, **k_)
+        try:
+            x = rng.normal(size=n).astype(np.float32)
+            n_pad = ps._chain_pad(packed)
+            xp = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+                jnp.asarray(x))
+            yp = ps.spmv_wsell_chain(packed, xp)
+            assert yp.shape == (n_pad,)          # chainable: same length
+            np.testing.assert_allclose(np.asarray(yp[:n]), m @ x,
+                                       atol=1e-4)
+            np.testing.assert_allclose(np.asarray(yp[n:]), 0.0)
+            y2 = ps.spmv_wsell(packed, jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(y2), m @ x, atol=1e-4)
+        finally:
+            pl.pallas_call = orig
+
     def test_wsell_rejects_scattered(self):
         """Random scatter beyond k_max windows per pack must be rejected
         (dispatcher then falls back to ELL/CSR)."""
