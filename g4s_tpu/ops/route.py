@@ -292,8 +292,10 @@ def build_permute_plan(sigma: np.ndarray) -> PermutePlan:
     p5 = np.empty((R, C), np.int64)
     p5[b, d % C] = col1
 
-    bits1 = jnp.asarray(benes_route(p1))
-    bits5 = jnp.asarray(benes_route(p5))
+    # 128-lane Benes = 13 stages -> the bit planes fit int16, halving
+    # the plan's HBM traffic per butterfly pass
+    bits1 = jnp.asarray(benes_route(p1).astype(np.int16))
+    bits5 = jnp.asarray(benes_route(p5).astype(np.int16))
 
     q = R // C
     q2 = max(_next_pow2(q), 1)
@@ -305,7 +307,8 @@ def build_permute_plan(sigma: np.ndarray) -> PermutePlan:
 
     if q2 == 1:
         return PermutePlan(bits1, bits5, None, None, None,
-                           jnp.asarray(benes_route(mid)), m, 1)
+                           jnp.asarray(benes_route(mid)
+                                       .astype(np.int16)), m, 1)
 
     # inner Clos for the 128 length-R2 row permutations, batched.
     # Row c's stream viewed as (q2, 128): inner dest bi at (bi//128,
@@ -336,8 +339,11 @@ def build_permute_plan(sigma: np.ndarray) -> PermutePlan:
     # out as (c, sublane, column)
     mid_b = benes_route(pB.reshape(C * C, q2)).reshape(C, C, q2) \
         .transpose(0, 2, 1).copy()
-    return PermutePlan(bits1, bits5, jnp.asarray(mid_a),
-                       jnp.asarray(mid_b), jnp.asarray(mid_c), None, m, q2)
+    # mid_b carries 2*log2(q2)-1 stage bits: int16 up to q2 = 256
+    bt = np.int16 if 2 * int(np.log2(q2)) - 1 <= 15 else np.int32
+    return PermutePlan(bits1, bits5, jnp.asarray(mid_a.astype(np.int16)),
+                       jnp.asarray(mid_b.astype(bt)),
+                       jnp.asarray(mid_c.astype(np.int16)), None, m, q2)
 
 
 # ---------------------------------------------------------------------------
@@ -386,14 +392,21 @@ def apply_permute_np(plan: PermutePlan, z: np.ndarray) -> np.ndarray:
 def _stages(x, bits, dists, axis):
     """Fused butterfly stages inside a Pallas kernel: per stage,
     x = select(bit, x[i ^ d along axis], x). The XOR partner is built
-    from two static rolls selected by the (compile-time) index bit."""
+    from two static rolls selected by the (compile-time) index bit.
+    `bits` may be int16 (stage planes packed small to halve the plan's
+    HBM traffic) or int32 (needed only for >15 stages, q2 > 256)."""
     from jax.experimental.pallas import tpu as pltpu
     n = x.shape[axis]
     pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    if bits.dtype != jnp.int32:
+        # int16 planes halve the DMA; Mosaic has no i16 vector shift, so
+        # widen once here (one op per block, 13+ stages amortize it)
+        bits = bits.astype(jnp.int32)
+    one = jnp.asarray(1, bits.dtype)
     for st, dd in enumerate(dists):
         m = jnp.bitwise_and(
-            jax.lax.shift_right_logical(bits, jnp.int32(st)),
-            jnp.int32(1)) != 0
+            jax.lax.shift_right_logical(bits, jnp.asarray(st, bits.dtype)),
+            one) != 0
         fwd = pltpu.roll(x, n - dd, axis=axis)    # x[i + d]
         bwd = pltpu.roll(x, dd, axis=axis)        # x[i - d]
         partner = jnp.where(jnp.bitwise_and(pos, dd) != 0, bwd, fwd)
