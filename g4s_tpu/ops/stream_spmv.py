@@ -11,15 +11,18 @@ The TPU answer is to do the SpMV with *no gathers at all*:
              geometric ladder) at plan-build time. x is routed once by a
              SMALL static permutation (ops/route.py, length n_cols) into
              class-compact order; each class's values then broadcast to
-             their entry slots as a free (c, 1) * (c, L) elementwise
-             multiply with the values pre-laid-out in class order —
-             no big permute, no log-doubling fill stages.
+             their entry slots as a lane-aligned (1, c) * (L, c)
+             elementwise multiply with the values pre-laid-out
+             COLUMN-MAJOR per class — no big permute, no log-doubling
+             fill stages, no ragged-width lane relayouts.
   2. route   the one irreducible data movement: the product stream moves
              from column-grouped to row-grouped order through a single
              static Clos/Benes routing plan over the padded stream.
-  3. reduce  per-slice (rows, width) lane sums (rows sorted by degree,
-             ladder widths — the BIN.h:100-122 balancing idea applied to
-             slots), then a small static permutation un-sorts the rows.
+  3. reduce  per-slice (width, rows) COLUMN-MAJOR sums — w-1 contiguous
+             vector adds per slice, no lane shuffles (rows sorted by
+             degree, ladder widths — the BIN.h:100-122 balancing idea
+             applied to slots), then a small static permutation un-sorts
+             the rows.
 
 Everything data-dependent was compiled offline into the routing plans
 and the class layout; the device executes only butterfly stages,
@@ -186,8 +189,15 @@ def build_stream_plan(a, *, hub_split: bool = True) -> StreamPlan:
     L_sorted = Lc[order_c]
 
     col_classes = []
-    # per original column: its expand-block start and compact-x slot
+    # per original column: its expand-block start and compact-x slot.
+    # Class blocks are laid out COLUMN-MAJOR, (L, c): entry rank j of the
+    # class's i-th column sits at eoff + j*c + i. The expand broadcast is
+    # then a lane-aligned (1, c) * (L, c) multiply and the row-side
+    # reduce a sum over contiguous rows — no ragged-width lane relayouts
+    # (the row-major (c, L) layout cost ~1.25 ms of the 1.83 ms RMAT
+    # SpMV in XLA relayout copies).
     col_eoff = np.zeros(n_cols, np.int64)
+    col_cls_c = np.ones(n_cols, np.int64)    # class width c per column
     pos_e = 0
     pos_x = 0
     i = 0
@@ -198,7 +208,8 @@ def build_stream_plan(a, *, hub_split: bool = True) -> StreamPlan:
             j += 1
         c = j - i
         col_classes.append((c, L, pos_e, pos_x))
-        col_eoff[cols_sorted[i:j]] = pos_e + np.arange(c) * L
+        col_eoff[cols_sorted[i:j]] = pos_e + np.arange(c)
+        col_cls_c[cols_sorted[i:j]] = c
         pos_e += c * L
         pos_x += c
         i = j
@@ -210,7 +221,10 @@ def build_stream_plan(a, *, hub_split: bool = True) -> StreamPlan:
     row_sort = np.argsort(-row_deg, kind="stable")
     widths = _ladder_up(row_deg[row_sort])
     slices = []
+    # column-major slice layout (w, nr): rank j of slice-row i sits at
+    # pos + j*nr + i, so the reduce is a sum over contiguous rows
     slot_of_row = np.empty(n_rows, np.int64)   # first slot of each row
+    row_slice_nr = np.ones(n_rows, np.int64)   # slice height nr per row
     pos = 0
     i = 0
     while i < n_rows:
@@ -219,7 +233,8 @@ def build_stream_plan(a, *, hub_split: bool = True) -> StreamPlan:
         while j < n_rows and widths[j] == w:
             j += 1
         slices.append((j - i, w, pos))
-        slot_of_row[row_sort[i:j]] = pos + np.arange(j - i) * w
+        slot_of_row[row_sort[i:j]] = pos + np.arange(j - i)
+        row_slice_nr[row_sort[i:j]] = j - i
         pos += (j - i) * w
         i = j
     m_r = pos
@@ -235,7 +250,7 @@ def build_stream_plan(a, *, hub_split: bool = True) -> StreamPlan:
     rank_c = (np.arange(nnz, dtype=np.int64)
               - np.repeat(csc.indptr[:-1].astype(np.int64), col_deg))
     cols_of = np.repeat(np.arange(n_cols, dtype=np.int64), col_deg)
-    epos = col_eoff[cols_of] + rank_c
+    epos = col_eoff[cols_of] + rank_c * col_cls_c[cols_of]
     vals_e = np.zeros(m, sp_a.dtype)
     vals_e[epos] = csc.data
 
@@ -254,7 +269,7 @@ def build_stream_plan(a, *, hub_split: bool = True) -> StreamPlan:
     rank_r[order_r] = (np.arange(nnz, dtype=np.int64)
                        - np.repeat(sp_a.indptr[:-1].astype(np.int64),
                                    row_deg))
-    dest = slot_of_row[rows_cs] + rank_r
+    dest = slot_of_row[rows_cs] + rank_r * row_slice_nr[rows_cs]
     sigma2 = np.full(m, -1, np.int64)
     sigma2[dest] = epos
     used2 = np.zeros(m, bool)
@@ -286,8 +301,8 @@ def _expand(plan: StreamPlan, xc, xp):
     parts = []
     for c, L, eoff, xoff in plan.col_classes:
         seg = xc[xoff: xoff + c]
-        blk = plan.vals_e[eoff: eoff + c * L].reshape(c, L)
-        parts.append((seg[:, None] * blk).reshape(-1))
+        blk = plan.vals_e[eoff: eoff + c * L].reshape(L, c)
+        parts.append((seg[None, :] * blk).reshape(-1))
     m_e = (plan.col_classes[-1][2]
            + plan.col_classes[-1][0] * plan.col_classes[-1][1]) \
         if plan.col_classes else 0
@@ -305,7 +320,7 @@ def spmv_stream(plan: StreamPlan, x):
     t = apply_permute(plan.route2, _expand(plan, xc, jnp))
     parts = []
     for nr, w, o in plan.slices:
-        parts.append(t[o: o + nr * w].reshape(nr, w).sum(axis=1))
+        parts.append(t[o: o + nr * w].reshape(w, nr).sum(axis=0))
     y_sorted = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     ypad = jnp.zeros((plan.nr_pad,), y_sorted.dtype) \
         .at[: plan.n_rows].set(y_sorted)
@@ -332,7 +347,7 @@ def spmv_stream_np(plan: StreamPlan, x: np.ndarray) -> np.ndarray:
     xc = apply_permute_np(plan.xplan, xpad)
     plan_np = dataclasses.replace(plan, vals_e=np.asarray(plan.vals_e))
     t = apply_permute_np(plan.route2, _expand(plan_np, xc, _NP))
-    parts = [t[o: o + nr * w].reshape(nr, w).sum(axis=1)
+    parts = [t[o: o + nr * w].reshape(w, nr).sum(axis=0)
              for nr, w, o in plan.slices]
     y_sorted = np.concatenate(parts)
     ypad = np.zeros(plan.nr_pad, y_sorted.dtype)
