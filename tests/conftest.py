@@ -41,8 +41,14 @@ jax.config.update("jax_enable_x64", True)
 # g4s_tpu.utils.platform.machine_cache_dir).
 from g4s_tpu.utils.platform import machine_cache_dir  # noqa: E402
 
+# "-tests" namespace: two full-suite runs aborted inside the cache
+# write/read paths (compilation_cache.put/get_executable_and_time on the
+# largest df64 executables) while a bench/driver process was using the
+# SAME cache directory concurrently; isolating the suite's cache removes
+# that interference surface (suite-alone runs stay green).
 _cache_dir = machine_cache_dir(os.path.abspath(
-    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")))
+    os.path.join(os.path.dirname(__file__), os.pardir,
+                 ".jax_cache-tests")))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
