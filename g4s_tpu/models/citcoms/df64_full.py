@@ -236,8 +236,10 @@ class DF64FullModel:
                    - (xyz * nmass64[:, None]).T @ xyz)
         self.Iinv_p = split64(np.linalg.inv(inertia))
 
-        self._step_fn = jax.jit(self._timestep_impl)
-        self._stokes_jit = jax.jit(self._stokes_impl)
+        # nocache_jit: see df64_step.py — serializer aborts on these
+        from g4s_tpu.utils.platform import nocache_jit
+        self._step_fn = nocache_jit(self._timestep_impl)
+        self._stokes_jit = nocache_jit(self._stokes_impl)
 
     # -- operator closures --
 
@@ -400,7 +402,8 @@ class DF64FullModel:
             from g4s_tpu.models.citcoms.df64_full_tracers import \
                 FullTracerDF
             self._tfdf = FullTracerDF.build(self._mesh)
-            self._step_tr_fn = jax.jit(self._timestep_tracers_impl)
+            from g4s_tpu.utils.platform import nocache_jit
+            self._step_tr_fn = nocache_jit(self._timestep_tracers_impl)
         T, Td, V, P, dt, mon, pos_o, C = self._step_tr_fn(
             split64(np.asarray(s.T)), split64(np.asarray(s.Tdot)),
             split64(np.asarray(s.V)), split64(np.asarray(s.P)),

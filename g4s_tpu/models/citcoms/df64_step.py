@@ -841,9 +841,12 @@ class DF64Model:
             T, Td, V, P = (df.two_sum(p[0], p[1]) for p in (T, Td, V, P))
             return T, Td, V, P, dt, mon
 
-        self._step_fn = jax.jit(_renormed_step)
-        self._step_tr_fn = jax.jit(self._timestep_tracers_impl)
-        self._stokes_jit = jax.jit(self._stokes_impl)
+        # nocache_jit: XLA's serializer aborts on these executables —
+        # keep them out of the persistent compilation cache
+        from g4s_tpu.utils.platform import nocache_jit
+        self._step_fn = nocache_jit(_renormed_step)
+        self._step_tr_fn = nocache_jit(self._timestep_tracers_impl)
+        self._stokes_jit = nocache_jit(self._stokes_impl)
 
     # -- physics pieces --
 

@@ -46,6 +46,34 @@ def enable_persistent_cache() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
+def nocache_jit(fn):
+    """jax.jit whose compiles bypass the persistent compilation cache.
+
+    XLA's executable serializer ABORTS (SIGABRT inside
+    executable.serialize(), jax compilation_cache.put_executable_and_time)
+    on the largest df64 solver executables (~1e5-instruction unrolled
+    modules), and deserializing previously-written entries of the same
+    programs has segfaulted the read path — both reproduced full-suite,
+    same test, fresh cache. Every call of the returned wrapper toggles
+    jax_enable_compilation_cache off for its duration, so neither the
+    write nor the read path ever touches these executables; the config
+    flag is not part of jax's trace context, so toggling it does not
+    invalidate jit caches."""
+    import jax
+    jitted = jax.jit(fn)
+
+    def call(*args, **kwargs):
+        old = jax.config.jax_enable_compilation_cache
+        jax.config.update("jax_enable_compilation_cache", False)
+        try:
+            return jitted(*args, **kwargs)
+        finally:
+            jax.config.update("jax_enable_compilation_cache", old)
+
+    call._jitted = jitted
+    return call
+
+
 def honor_env_platforms() -> None:
     enable_persistent_cache()
     env = os.environ.get("JAX_PLATFORMS")
