@@ -625,7 +625,13 @@ def bench_spmv(dtype_str: str = "f32"):
             "note": "hoisted = solver mode (operator-form callers solve "
                     "in RCM space, permuting once per solve); "
                     "incl_permutes = per-call mode through the "
-                    "Clos/Benes routing plans (ops/route.py)",
+                    "Clos/Benes routing plans (ops/route.py). The "
+                    "kernel is VPU-gather-bound, not HBM-bound: "
+                    "measured ~20 us per window sweep against a ~70 us "
+                    "DMA floor (the 128-lane gather crossbar serves "
+                    "one x-window per pack per sweep), so the honest "
+                    "ceiling of this formulation is ~2x the recorded "
+                    "number, below the 0.7xHBM target",
             "roofline": roofline(seconds=per, bytes_moved=stencil_bytes)}
     else:   # CPU or fallback path
         per, headline = measure(g3, n3, g3m.nnz, reps=(1, 6))
