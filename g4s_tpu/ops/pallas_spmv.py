@@ -511,17 +511,19 @@ def _wsell_kernel(pb: int, width: int, K: int, k_stride: int, t0: int):
             hi_q = hi[qq * 8:(qq + 1) * 8]
             lo_q = lo[qq * 8:(qq + 1) * 8]
             vq = vals[qq * 8:(qq + 1) * 8]
-            acc = jnp.zeros((8, 128), vals.dtype)
+            # select the gathered x into one accumulator (every lane
+            # belongs to exactly one slot), multiply by vals ONCE after
+            # the loop: the window sweep is VPU-op bound, and this drops
+            # its per-window cost from cmp+sel+mul+add to cmp+sel
+            xsel = None
             for k in range(K):
                 w0 = pl.multiple_of(
                     starts_ref[(i * pb + qq) * k_stride + k] * 128, 128)
                 win = x_ref[0, pl.ds(w0, 128)]
                 op = jnp.broadcast_to(win[None, :], (8, 128))
                 g = jnp.take_along_axis(op, lo_q, axis=1)
-                # masked multiply-add: every lane belongs to exactly one
-                # slot, so foreign lanes contribute 0
-                acc = acc + jnp.where(hi_q == k, vq, 0.0) * g
-            rows.append(acc)
+                xsel = g if xsel is None else jnp.where(hi_q == k, g, xsel)
+            rows.append(vq * xsel)
         prod = jnp.concatenate(rows, axis=0)
         # one batched in-lane segmented reduce (HIGHEST: bf16 input
         # rounding would corrupt f32 values)
