@@ -52,12 +52,36 @@ DODECANE = "/root/reference/cantera/data/nDodecane_Reitz.yaml"
 WATER = "/root/reference/deepmd/examples/water"
 
 
+BASELINES_PATH = os.path.join(REPO, "benchmarks", "BASELINES.json")
+REBASELINE = False      # set by --rebaseline
+
+
+def load_baselines() -> dict:
+    try:
+        with open(BASELINES_PATH) as f:
+            return json.load(f)
+    except OSError:
+        return {}
+
+
+def save_baselines(b: dict) -> None:
+    with open(BASELINES_PATH, "w") as f:
+        json.dump(b, f, indent=1)
+
+
 def _measure_ref_matvec_ms(n_runs: int = 21):
-    """Compile + run the single-core C re-timing of the reference's
-    element-by-element matvec. Runs the binary n_runs times and PINS the
-    baseline as the median of per-run bests (round-2 verdict: a single
-    run varied 3-11 ms/sweep with host load, making vs_baseline span
-    8-29x). Returns (median_ms, stats_dict) or (None, None)."""
+    """Pinned single-core C re-timing of the reference's element-by-
+    element matvec (benchmarks/BASELINES.json). Re-measured only under
+    --rebaseline: round-3 showed same-day re-measurements wobbling 1.7x
+    with host load (VERDICT r3 weak #5), so the default run never
+    re-times it. Returns (ms, stats_dict) or (None, None)."""
+    b = load_baselines()
+    if not REBASELINE and "ref_eltk_matvec" in b:
+        e = b["ref_eltk_matvec"]
+        return e["pinned_ms"], {k: e[k] for k in
+                                ("median_ms", "min_ms", "max_ms", "n_runs",
+                                 "median_gflops") if k in e} | {
+                                     "pinned": True}
     src = os.path.join(REPO, "benchmarks", "ref_eltk_matvec.c")
     exe = "/tmp/g4s_ref_eltk_matvec"
     try:
@@ -76,7 +100,11 @@ def _measure_ref_matvec_ms(n_runs: int = 21):
         stats = {"median_ms": round(med, 3), "min_ms": round(ms[0], 3),
                  "max_ms": round(ms[-1], 3), "n_runs": n_runs,
                  "median_gflops": round(sorted(gf)[len(gf) // 2], 3)}
-        return med, stats
+        b["ref_eltk_matvec"] = dict(stats, pinned_ms=round(ms[0], 3),
+                                    note=b.get("ref_eltk_matvec", {})
+                                    .get("note", ""))
+        save_baselines(b)
+        return ms[0], stats
     except Exception:
         return None, None
 
@@ -189,9 +217,13 @@ def bench_cookbook2(steps: int, dtype_str: str):
         dtype = jnp.float64 if dtype_str == "f64" else jnp.float32
         model = CitcomModel(cfg, dtype=dtype)
         s = model.init_state()
-        s, _ = model.initial_solve(s)
+        # no separate initial_solve: compiling _stokes would roughly
+        # double the cold-cache compile bill (the round-3 driver bench
+        # timed out on exactly that, BENCH_r03 rc=124); the warmup step's
+        # Uzawa while_loop converges the t=0 Stokes state from V=0, so
+        # the timed steps see the identical per-step workload.
         from g4s_tpu.obs.devtime import chain_time, fetch_sync
-        s, d = model.step(s)          # warmup/compile
+        s, d = model.step(s)          # warmup/compile + initial Stokes
         fetch_sync(s.T)
         # timed loop: steps chain through the state dependency; the
         # closing fetch bounds all of them. (A per-step scalar fetch here
@@ -257,22 +289,34 @@ def bench_shocktube():
             ntc["tau_IG_ms"].append(round(tau_ig * 1e3, 4))
             ntc["wall_s"].append(round(time.time() - t0, 2))
 
-        # measured baseline: scipy BDF (CVODES-family) on the same RHS
-        import scipy.integrate
-        import jax.numpy as jnp
-        r = b.r_ig
-        y0 = np.asarray(r.initial_state(1000.0, P0, X_ig))
-        from g4s_tpu.obs.devtime import chain_time, fetch_sync
-        rhs_j = jax.jit(r.rhs)
-        fetch_sync(rhs_j(0.0, jnp.asarray(y0)))
-        jac_j = jax.jit(jax.jacfwd(r.rhs, argnums=1))
-        fetch_sync(jac_j(0.0, jnp.asarray(y0)))
-        t0 = time.time()
-        sol = scipy.integrate.solve_ivp(
-            lambda t, y: np.asarray(rhs_j(t, y)), (0.0, 0.005), y0,
-            method="BDF", rtol=1e-9, atol=1e-15,
-            jac=lambda t, y: np.asarray(jac_j(t, y)))
-        scipy_wall_ig = time.time() - t0
+        # baseline: scipy BDF (CVODES-family) on the same RHS — pinned
+        # in BASELINES.json, re-measured only under --rebaseline
+        bl = load_baselines()
+        nfev = None
+        if not REBASELINE and "scipy_bdf_shocktube" in bl:
+            scipy_wall_ig = bl["scipy_bdf_shocktube"]["ideal_phase_s"]
+            nfev = bl["scipy_bdf_shocktube"].get("nfev")
+        else:
+            import scipy.integrate
+            import jax.numpy as jnp
+            r = b.r_ig
+            y0 = np.asarray(r.initial_state(1000.0, P0, X_ig))
+            from g4s_tpu.obs.devtime import chain_time, fetch_sync
+            rhs_j = jax.jit(r.rhs)
+            fetch_sync(rhs_j(0.0, jnp.asarray(y0)))
+            jac_j = jax.jit(jax.jacfwd(r.rhs, argnums=1))
+            fetch_sync(jac_j(0.0, jnp.asarray(y0)))
+            t0 = time.time()
+            sol = scipy.integrate.solve_ivp(
+                lambda t, y: np.asarray(rhs_j(t, y)), (0.0, 0.005), y0,
+                method="BDF", rtol=1e-9, atol=1e-15,
+                jac=lambda t, y: np.asarray(jac_j(t, y)))
+            scipy_wall_ig = time.time() - t0
+            nfev = int(sol.nfev)
+            bl["scipy_bdf_shocktube"] = {
+                "ideal_phase_s": round(scipy_wall_ig, 2), "nfev": nfev,
+                "note": bl.get("scipy_bdf_shocktube", {}).get("note", "")}
+            save_baselines(bl)
         # scipy integrates ONE phase; our wall covers RG+IG -> compare
         # against 2x the scipy ideal-phase time (RG RHS is strictly more
         # work, so this also favors the baseline).
@@ -283,7 +327,7 @@ def bench_shocktube():
             "vs_baseline": round(ref_wall / wall, 3),
             "baseline_seconds": round(ref_wall, 2),
             "baseline_basis": "2x scipy solve_ivp BDF same-RHS ideal phase "
-                              f"({scipy_wall_ig:.1f}s, {sol.nfev} fev)",
+                              f"({scipy_wall_ig:.1f}s, {nfev} fev, pinned)",
             "tau_RG_ms": round(out["tau_RG"] * 1e3, 4),
             "tau_IG_ms": round(out["tau_IG"] * 1e3, 4),
             "ntc_sweep": ntc, "dtype": "f64"}
@@ -339,11 +383,19 @@ def bench_dp(steps: int = 60):
 
     dev = jax.devices()[0]
     per_step, tail = timed_train(jnp.float32, dev)
-    jax.config.update("jax_enable_x64", True)
-    try:
-        cpu_step, _ = timed_train(jnp.float64, jax.devices("cpu")[0])
-    finally:
-        jax.config.update("jax_enable_x64", False)
+    bl = load_baselines()
+    if not REBASELINE and "dp_cpu_f64_step" in bl:
+        cpu_step = bl["dp_cpu_f64_step"]["value"]
+    else:
+        jax.config.update("jax_enable_x64", True)
+        try:
+            cpu_step, _ = timed_train(jnp.float64, jax.devices("cpu")[0])
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        bl["dp_cpu_f64_step"] = {
+            "value": round(cpu_step, 4),
+            "note": bl.get("dp_cpu_f64_step", {}).get("note", "")}
+        save_baselines(bl)
     return {"metric": "dp_train_per_step", "value": round(per_step, 4),
             "unit": "s/step", "vs_baseline": round(cpu_step / per_step, 3),
             "baseline_seconds": round(cpu_step, 4),
@@ -382,10 +434,11 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
     from g4s_tpu.ops.spgemm_esc import esc_numeric, esc_plan
     from g4s_tpu.sparse import CSR
 
-    def measure(A_s):
+    def measure(A_s, key=None):
         """ESC engine on one matrix: plan (symbolic) + timed numeric +
-        measured scipy baseline (the reference driver's CPU-library
-        role, mkl_spgemm.cpp:67-81 protocol: warmup + averaged reps)."""
+        scipy baseline (the reference driver's CPU-library role,
+        mkl_spgemm.cpp:67-81 protocol) — the scipy TIME is pinned in
+        BASELINES.json (one validation multiply still runs)."""
         from g4s_tpu.obs.devtime import time_fn
         A = CSR.from_scipy(A_s)
         flops = spgemm_flops(A, A)
@@ -399,11 +452,21 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
         gflops = flops / numeric_s / 1e9
 
         A64 = A_s.astype(np.float64)
-        _ = A64 @ A64                                      # warmup
-        t0 = time.perf_counter()
-        for _ in range(3):
-            C = A64 @ A64
-        scipy_s = (time.perf_counter() - t0) / 3
+        bl = load_baselines()
+        pinned = bl.get("scipy_spgemm_ms", {})
+        if not REBASELINE and key is not None and key in pinned:
+            C = A64 @ A64                      # validation oracle only
+            scipy_s = pinned[key] / 1e3
+        else:
+            _ = A64 @ A64                                  # warmup
+            t0 = time.perf_counter()
+            for _ in range(3):
+                C = A64 @ A64
+            scipy_s = (time.perf_counter() - t0) / 3
+            if key is not None:
+                pinned[key] = round(scipy_s * 1e3, 1)
+                bl["scipy_spgemm_ms"] = pinned
+                save_baselines(bl)
         assert abs(float(np.asarray(c).sum()) - float(C.sum())) \
             < 1e-3 * max(abs(float(C.sum())), 1.0)
 
@@ -442,8 +505,10 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
 
     rng = np.random.RandomState(42)
     er = measure(sp.random(n, n, density=avg_deg / n, random_state=rng,
-                           format="csr", dtype=np.float32))
-    rmat = measure(_rmat_like(n, n * avg_deg))
+                           format="csr", dtype=np.float32),
+                 key=f"er_{n}_{avg_deg}")
+    rmat = measure(_rmat_like(n, n * avg_deg),
+                   key=f"rmat_{n}_{avg_deg}")
 
     import jax
     er_large = None
@@ -458,7 +523,7 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
         er_large = measure(sp.coo_matrix(
             (rl.rand(nnz_l).astype(np.float32),
              (rl.randint(0, nl, nnz_l), rl.randint(0, nl, nnz_l))),
-            shape=(nl, nl)).tocsr())
+            shape=(nl, nl)).tocsr(), key=f"er_{nl}_{avg_deg}")
 
     # legacy take+segment_sum path for comparison (the round-2 engine)
     from g4s_tpu.ops.spgemm import spgemm_numeric, spgemm_plan
@@ -530,14 +595,23 @@ def bench_mv(dim: int = 4096, reps: int = 20):
     from g4s_tpu.drivers.mv_bench import run as mv_run
     res = mv_run(dim, reps, verbose=False)
 
-    rng = np.random.default_rng(0)
-    a = rng.random((dim, dim)).astype(np.float32)
-    x = rng.random(dim).astype(np.float32)
-    _ = a @ x
-    t0 = time.perf_counter()
-    for _ in range(50):
-        y = a @ x
-    numpy_ms = (time.perf_counter() - t0) / 50 * 1e3
+    bl = load_baselines()
+    if not REBASELINE and "numpy_sgemv_ms" in bl \
+            and bl["numpy_sgemv_ms"].get("dim") == dim:
+        numpy_ms = bl["numpy_sgemv_ms"]["value"]
+    else:
+        rng = np.random.default_rng(0)
+        a = rng.random((dim, dim)).astype(np.float32)
+        x = rng.random(dim).astype(np.float32)
+        _ = a @ x
+        t0 = time.perf_counter()
+        for _ in range(50):
+            y = a @ x
+        numpy_ms = (time.perf_counter() - t0) / 50 * 1e3
+        bl["numpy_sgemv_ms"] = {
+            "value": round(numpy_ms, 4), "dim": dim,
+            "note": bl.get("numpy_sgemv_ms", {}).get("note", "")}
+        save_baselines(bl)
     ours_ms = res["dgemv"]
     return {"metric": "mv_dgemv_ms", "value": round(ours_ms, 4), "unit": "ms",
             "vs_baseline": round(numpy_ms / ours_ms, 3),
@@ -822,7 +896,7 @@ def bench_ntc_full():
     return rec
 
 
-def _ensure_live_backend(probe_timeout: float = 150.0):
+def _ensure_live_backend(probe_timeout: float = 75.0):
     """The accelerator plugin's device init can hang indefinitely when
     its tunnel is down; probe it in a subprocess first and fall back to
     the CPU backend (recording the fact) rather than hanging the whole
@@ -856,9 +930,18 @@ def main():
     ap.add_argument("--what", default="cookbook2",
                     choices=["cookbook2", "spmv", "shocktube", "dp",
                              "spgemm", "mv", "ntc", "all"])
+    ap.add_argument("--rebaseline", action="store_true",
+                    help="re-measure the pinned CPU baselines and "
+                         "overwrite benchmarks/BASELINES.json")
+    ap.add_argument("--budget", type=float, default=None,
+                    help="wall-clock budget (s) for --what all: remaining "
+                         "benches are skipped (recorded as skipped) once "
+                         "exceeded")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace of the benchmark")
     args = ap.parse_args()
+    global REBASELINE
+    REBASELINE = args.rebaseline
     if args.profile:
         from g4s_tpu.obs import trace
         import contextlib
@@ -869,21 +952,37 @@ def main():
 
     if args.what == "all":
         results = {}
+        t_all = time.time()
         for name, fn in [("cookbook2",
                           lambda: bench_cookbook2(args.steps, args.dtype)),
                          ("spmv", bench_spmv), ("spgemm", bench_spgemm),
                          ("mv", bench_mv), ("shocktube", bench_shocktube),
                          ("dp", bench_dp)]:
+            if args.budget and time.time() - t_all > args.budget \
+                    and name != "cookbook2":
+                results[name] = {"skipped": "wall-clock budget "
+                                 f"{args.budget}s exceeded"}
+                continue
             t0 = time.time()
             try:
                 results[name] = fn()
                 results[name]["bench_wall_s"] = round(time.time() - t0, 1)
             except Exception as e:   # record, keep going
                 results[name] = {"error": f"{type(e).__name__}: {e}"}
+            if name == "cookbook2":
+                # the driver's ONE JSON line, emitted before any extras
+                print(json.dumps(results[name]), flush=True)
             print(f"# {name}: {json.dumps(results[name])}", file=sys.stderr)
         # the df64 (1e-10-tier) cookbook2 run needs jax_enable_x64, which
         # is process-global -> fresh subprocess
         t0 = time.time()
+        if args.budget and time.time() - t_all > args.budget:
+            results["cookbook2_df64"] = {"skipped": "wall-clock budget "
+                                         f"{args.budget}s exceeded"}
+            with open(os.path.join(REPO, "benchmarks", "RESULTS.json"),
+                      "w") as f:
+                json.dump(results, f, indent=1)
+            return
         try:
             sub = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--what",
@@ -901,7 +1000,6 @@ def main():
         out = os.path.join(REPO, "benchmarks", "RESULTS.json")
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
-        print(json.dumps(results["cookbook2"]))
         return
 
     fn = {"cookbook2": lambda: bench_cookbook2(args.steps, args.dtype),

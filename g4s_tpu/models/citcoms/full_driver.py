@@ -240,6 +240,11 @@ class FullSphereModel:
         V, P, mon = self._stokes_fn(s.T, s.V, s.P)
         return dataclasses.replace(s, V=V, P=P), mon
 
+    def stokes(self, T, V, P):
+        """One jitted full-sphere Stokes pass (same entry name as the
+        regional CitcomModel.stokes)."""
+        return self._stokes_fn(T, V, P)
+
     def step(self, s: State):
         return self._step_fn(s)
 

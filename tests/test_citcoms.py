@@ -703,7 +703,7 @@ class TestFullSphereSharded:
         blob = np.exp(-np.sum((xyz - np.array([0.6, 0.3, 0.2])) ** 2,
                               axis=1) / 0.05)
         T = jnp.asarray(np.clip(np.asarray(s.T) + 0.3 * blob, 0, 1))
-        V1, P1, m1 = model._stokes_fn(T, s.V, s.P)
+        V1, P1, m1 = model.stokes(T, s.V, s.P)
         mesh = Mesh(np.asarray(jax.devices()[:8]), ("e",))
         stokes8 = shard_full_sphere(model, mesh)
         V2, P2, m2 = stokes8(T, s.V, s.P)
@@ -1147,7 +1147,7 @@ class TestSDEPV:
                                  strain_rate_II=srII)
         ratio = np.asarray(e_pl / e_lin)
         assert ratio.max() < 1.0          # shear thinning everywhere lid moves
-        V2, P2, mon = m._stokes_fn(s.T, s_l.V, s_l.P)
+        V2, P2, mon = m.stokes(s.T, s_l.V, s_l.P)
         assert float(mon.incompressibility) < 1e-2
 
 
@@ -1232,7 +1232,7 @@ class TestPDEPV:
         assert float(jnp.max(ep / e0)) <= 1.0
         assert float(jnp.min(ep / e0)) < 0.1        # yielding where fast
         assert float(jnp.max(jnp.abs(eo / e0 - 1.0))) < 1e-10  # no-op
-        V2, P2, mon = m._stokes_fn(s.T, s_l.V, s_l.P)
+        V2, P2, mon = m.stokes(s.T, s_l.V, s_l.P)
         assert float(mon.incompressibility) < 1e-2
 
 
