@@ -81,6 +81,12 @@ class Mechanism:
     pr_b: Optional[np.ndarray] = None       # (nspec,) m^3/mol
     pr_kappa: Optional[np.ndarray] = None   # (nspec,) from acentric factor
     pr_Tc: Optional[np.ndarray] = None      # (nspec,) K
+    # NASA9 species (Nasa9Poly1.cpp:14-80, Nasa9PolyMultiTempRegion.cpp):
+    # per-species multi-region 9-coefficient polynomials; NASA7 species
+    # have is_nasa9 False and zeros here
+    is_nasa9: Optional[np.ndarray] = None   # (nspec,) bool
+    nasa9_T: Optional[np.ndarray] = None    # (nspec, R+1) region bounds
+    nasa9_c: Optional[np.ndarray] = None    # (nspec, R, 9)
 
     @property
     def nspec(self) -> int:
@@ -196,6 +202,7 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
     is_rk_phase = thermo_model.startswith("redlich")
     is_pr_phase = thermo_model.startswith("peng")
 
+    nasa9_entries = {}
     for name, i in species_idx.items():
         sp = by_name[name]
         comp = sp["composition"]
@@ -203,6 +210,14 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
         mol_weights[i] = sum(ELEMENT_WEIGHTS[el.upper()] * n
                              for el, n in comp.items())
         th = sp["thermo"]
+        if th.get("model") == "NASA9":
+            # multi-region 9-coefficient polynomials
+            # (Nasa9Poly1.cpp:14-80, Nasa9PolyMultiTempRegion.cpp)
+            tr = [float(t) for t in th["temperature-ranges"]]
+            nasa9_entries[i] = (tr, [list(map(float, row))
+                                     for row in th["data"]])
+            t_mid[i] = tr[1] if len(tr) > 2 else tr[-1]
+            continue
         if th.get("model") != "NASA7":
             raise NotImplementedError(f"thermo model {th.get('model')}")
         tr = th["temperature-ranges"]
@@ -350,6 +365,21 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
             cheb_Tlim[k] = tr_
             cheb_Plim[k] = pr_
 
+    is_nasa9 = nasa9_T = nasa9_c = None
+    if nasa9_entries:
+        R_max = max(len(d) for _, d in nasa9_entries.values())
+        is_nasa9 = np.zeros(nspec, bool)
+        nasa9_T = np.full((nspec, R_max + 1), np.inf)
+        nasa9_T[:, 0] = 0.0
+        nasa9_c = np.zeros((nspec, R_max, 9))
+        for i, (tr, data) in nasa9_entries.items():
+            is_nasa9[i] = True
+            nasa9_T[i, : len(tr)] = tr
+            # pad missing regions by repeating the last one so any
+            # region pick stays finite
+            for r in range(R_max):
+                nasa9_c[i, r] = data[min(r, len(data) - 1)]
+
     return Mechanism(
         name=phase.get("name", "gas"), species_names=list(species_order),
         compositions=compositions, mol_weights=mol_weights, nasa_low=nasa_low, nasa_high=nasa_high,
@@ -365,4 +395,5 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
         cheb_Tlim=cheb_Tlim, cheb_Plim=cheb_Plim,
         eos_model=("redlich-kwong" if is_rk_phase
                    else "peng-robinson" if is_pr_phase else "ideal"),
-        pr_a=pr_a, pr_b=pr_b, pr_kappa=pr_kappa, pr_Tc=pr_Tc)
+        pr_a=pr_a, pr_b=pr_b, pr_kappa=pr_kappa, pr_Tc=pr_Tc,
+        is_nasa9=is_nasa9, nasa9_T=nasa9_T, nasa9_c=nasa9_c)

@@ -27,21 +27,64 @@ def _nasa_select(mech: Mechanism, T):
                      jnp.asarray(mech.nasa_high))
 
 
+def _nasa9_select(mech: Mechanism, T):
+    """Per-species 9-coefficient region for temperature T
+    (Nasa9PolyMultiTempRegion.cpp: pick the region whose [Tlo, Thi)
+    brackets T; clamped at the ends)."""
+    bounds = jnp.asarray(mech.nasa9_T)          # (nspec, R+1)
+    R = mech.nasa9_c.shape[1]
+    idx = jnp.clip(jnp.sum(T >= bounds[:, 1:-1], axis=1), 0, R - 1)
+    return jnp.take_along_axis(jnp.asarray(mech.nasa9_c),
+                               idx[:, None, None], axis=1)[:, 0, :]
+
+
+def _nasa9_cp(a, T):
+    # cp0/R = a0 T^-2 + a1/T + a2 + a3 T + a4 T^2 + a5 T^3 + a6 T^4
+    # (Nasa9Poly1.cpp:14-40)
+    return (a[:, 0] / (T * T) + a[:, 1] / T + a[:, 2]
+            + T * (a[:, 3] + T * (a[:, 4] + T * (a[:, 5] + T * a[:, 6]))))
+
+
+def _nasa9_h(a, T):
+    return (-a[:, 0] / (T * T) + a[:, 1] * jnp.log(T) / T + a[:, 2]
+            + T * (a[:, 3] / 2 + T * (a[:, 4] / 3
+                   + T * (a[:, 5] / 4 + T * a[:, 6] / 5)))
+            + a[:, 7] / T)
+
+
+def _nasa9_s(a, T):
+    return (-a[:, 0] / (2 * T * T) - a[:, 1] / T
+            + a[:, 2] * jnp.log(T)
+            + T * (a[:, 3] + T * (a[:, 4] / 2
+                   + T * (a[:, 5] / 3 + T * a[:, 6] / 4)))
+            + a[:, 8])
+
+
+def _blend9(mech, v7, f9, T):
+    if mech.is_nasa9 is None:
+        return v7
+    a9 = _nasa9_select(mech, T)
+    return jnp.where(jnp.asarray(mech.is_nasa9), f9(a9, T), v7)
+
+
 def cp0_R(mech: Mechanism, T):
     a = _nasa_select(mech, T)
-    return a[:, 0] + T * (a[:, 1] + T * (a[:, 2] + T * (a[:, 3] + T * a[:, 4])))
+    v = a[:, 0] + T * (a[:, 1] + T * (a[:, 2] + T * (a[:, 3] + T * a[:, 4])))
+    return _blend9(mech, v, _nasa9_cp, T)
 
 
 def h0_RT(mech: Mechanism, T):
     a = _nasa_select(mech, T)
-    return (a[:, 0] + T * (a[:, 1] / 2 + T * (a[:, 2] / 3
-            + T * (a[:, 3] / 4 + T * a[:, 4] / 5))) + a[:, 5] / T)
+    v = (a[:, 0] + T * (a[:, 1] / 2 + T * (a[:, 2] / 3
+         + T * (a[:, 3] / 4 + T * a[:, 4] / 5))) + a[:, 5] / T)
+    return _blend9(mech, v, _nasa9_h, T)
 
 
 def s0_R(mech: Mechanism, T):
     a = _nasa_select(mech, T)
-    return (a[:, 0] * jnp.log(T) + T * (a[:, 1] + T * (a[:, 2] / 2
-            + T * (a[:, 3] / 3 + T * a[:, 4] / 4))) + a[:, 6])
+    v = (a[:, 0] * jnp.log(T) + T * (a[:, 1] + T * (a[:, 2] / 2
+         + T * (a[:, 3] / 3 + T * a[:, 4] / 4))) + a[:, 6])
+    return _blend9(mech, v, _nasa9_s, T)
 
 
 def u0_RT(mech: Mechanism, T):

@@ -118,6 +118,20 @@ class CitcomConfig:
     lith_age_uniform_myr: float = 60.0
     therm_diff: float = 1.0e-6          # m^2/s, for Myr nondim (scalet)
 
+    # time-dependent boundary-condition FILE SEQUENCES re-read per step
+    # (Citcom.c:254-272; Regional_read_input_from_files.c:40-310):
+    # epoch files named <prefix><age_My> are bracketed around the current
+    # age and linearly interpolated
+    start_age: float = 40.0             # My (Problem_related.c:155)
+    reset_startage: bool = False
+    lith_age_time: bool = False         # Lith_age.c:59
+    vbcs_file: bool = False             # Problem_related.c:479 role
+    vel_bound_file: str = ""
+    tbcs_file: bool = False
+    temp_bound_file: str = ""
+    mat_control: bool = False
+    mat_file: str = ""
+
     # dimensional constants for observables (Instructions.c:700-790 defaults)
     density: float = 3340.0
     density_above: float = 1030.0

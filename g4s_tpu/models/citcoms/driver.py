@@ -467,6 +467,16 @@ class CitcomModel:
     def step(self, s: State):
         return self._step_fn(self._consts, s)
 
+    def step_with_bcs(self, s: State, bcs):
+        """Timestep with per-step boundary-condition overrides (the
+        time-dependent BC file sequences of bin/Citcom.c:254-272; bcs =
+        (tbc_mask, tbc_val, vbc_mask, vbc_val) as traced arguments, so
+        epoch interpolation never retraces the step)."""
+        if not hasattr(self, "_step_bc_fn"):
+            self._step_bc_fn = jax.jit(self._bind_consts(
+                lambda st, b: self._timestep(st, bcs=b)))
+        return self._step_bc_fn(self._consts, s, bcs)
+
     def step_tracers(self, s: State, pos, flavors):
         """Thermochemical timestep (tracer advection + ratio-method
         composition -> chemical buoyancy). Returns (state, diag, pos)."""
@@ -493,8 +503,18 @@ class CitcomModel:
             from g4s_tpu.models.citcoms import output as out_mod
             out_mod.output(self, s, int(s.step))
         history = []
+        use_bc_files = ((cfg.vbcs_file and cfg.vel_bound_file)
+                        or (cfg.tbcs_file and cfg.temp_bound_file)
+                        or (cfg.lith_age and cfg.lith_age_time
+                            and cfg.lith_age_file))
         for i in range(n):
-            s, diag = self.step(s)
+            if use_bc_files:
+                from g4s_tpu.models.citcoms import bc_files
+                bcs = bc_files.step_bcs(self, float(s.time))
+                s, diag = self.step_with_bcs(s, bcs) \
+                    if bcs is not None else self.step(s)
+            else:
+                s, diag = self.step(s)
             history.append(diag)
             step_no = int(s.step)
             if write_output and step_no % cfg.storage_spacing == 0:

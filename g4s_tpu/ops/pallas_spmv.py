@@ -371,7 +371,7 @@ def wsell_block_sort_perm(a: CSR, *, width: Optional[int] = None,
 
 
 def pack_wsell(a: CSR, *, width: Optional[int] = None,
-               packs_per_tile: int = 64, k_max: int = 32,
+               packs_per_tile: int = 128, k_max: int = 32,
                dtype=jnp.float32) -> WSELL:
     """Host-side packer: choose W from the max degree, group rows into
     packs of 8*(128/W), and assign each pack the sorted set of distinct

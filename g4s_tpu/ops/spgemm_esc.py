@@ -67,8 +67,8 @@ class ESCPlan:
     keys_minor: Optional[jax.Array]  # (F,) int32 minor key for m*n >= 2^31
     off_c: jax.Array        # (F,) position within equal-key run after sort
     d_head: jax.Array       # (F,) head-compaction dists
-    c_indptr: np.ndarray
-    c_indices: np.ndarray
+    c_indptr: Optional[np.ndarray]
+    c_indices: Optional[np.ndarray]
     # classes: (nb, Mh, W, a_off, b_off) per class, product regions in order
     classes: Tuple[Tuple[int, int, int, int, int], ...] = _static()
     na: int = _static()     # Σ nb*Mh
@@ -82,6 +82,11 @@ class ESCPlan:
     t_sum: int = _static()
     t_head: int = _static()
     shape: Tuple[int, int] = _static()
+    # device plans only: sorted key stream kept for lazy C-structure
+    # materialization (tunnel downloads run ~0.1-13 MB/s, so the
+    # (F,)-sized structure arrays stay on device until asked for)
+    keys_sorted: Optional[jax.Array] = None
+    keys_sorted_minor: Optional[jax.Array] = None
 
     def to_device(self) -> "ESCPlan":
         return dataclasses.replace(
@@ -337,6 +342,184 @@ def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
         classes=classes, na=na, nb_len=nb_len, m2=m2, flops=F, nnz=nnz,
         t_a=t_a, t_b=t_b, t_pad=t_pad, t_sum=t_sum, t_head=t_head,
         shape=(m, n))
+
+
+@partial(jax.jit, static_argnames=("classes", "na", "nb_len", "m2", "flops",
+                                   "t_a", "t_b", "t_pad", "order_row",
+                                   "two_key", "n_min"))
+def _esc_symbolic_impl(rows_cm, cols_cm, d_a, d_b, M_d, L_d, *, classes,
+                       na, nb_len, m2, flops, t_a, t_b, t_pad, order_row,
+                       two_key, n_min):
+    """Device O(flop) passes of the symbolic phase: build the product-
+    stream keys by the same spread/expand the numeric uses on values,
+    derive the pad-compaction distances from the block mask, run the ONE
+    stable device sort on the keys, and emit the merge metadata
+    (off_c/d_head) plus the scalars the host needs for stage counts.
+
+    Returns (keys, keys_minor, d_pad, off_c, d_head, keys_sorted,
+    keys_sorted_minor, scalars[nnz, max_off, max_dh])."""
+    ra = spread(_fit(rows_cm, na), d_a, t_a)
+    rb = spread(_fit(cols_cm, nb_len), d_b, t_b)
+    parts_maj, parts_min, parts_mask = [], [], []
+    poff = 0
+    boff_blk = 0
+    for nb, mh, w, aoff, boff in classes:
+        ta = jax.lax.dynamic_slice_in_dim(ra, aoff, nb * mh) \
+            .reshape(nb, mh, 1)
+        tb = jax.lax.dynamic_slice_in_dim(rb, boff, nb * w) \
+            .reshape(nb, 1, w)
+        am = jnp.broadcast_to(ta, (nb, mh, w)).reshape(-1)
+        bm = jnp.broadcast_to(tb, (nb, mh, w)).reshape(-1)
+        if order_row:
+            parts_maj.append(am)
+            parts_min.append(bm)
+        else:
+            parts_maj.append(bm)
+            parts_min.append(am)
+        M_c = jax.lax.dynamic_slice_in_dim(M_d, boff_blk, nb) \
+            .reshape(nb, 1, 1)
+        L_c = jax.lax.dynamic_slice_in_dim(L_d, boff_blk, nb) \
+            .reshape(nb, 1, 1)
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (nb, mh, w), 1)
+        l_i = jax.lax.broadcasted_iota(jnp.int32, (nb, mh, w), 2)
+        parts_mask.append(((r_i < M_c) & (l_i < L_c)).reshape(-1))
+        poff += nb * mh * w
+        boff_blk += nb
+    cat = (lambda p: p[0] if len(p) == 1 else jnp.concatenate(p))
+    kmaj2, kmin2, mask2 = cat(parts_maj), cat(parts_min), cat(parts_mask)
+    iota2 = jax.lax.iota(jnp.int32, m2)
+    f_excl = jnp.cumsum(mask2.astype(jnp.int32)) - mask2.astype(jnp.int32)
+    d_pad = jnp.where(mask2, iota2 - f_excl, 0)
+    kmaj = compact(kmaj2, d_pad, t_pad)[:flops]
+    if two_key:
+        kmin = compact(kmin2, d_pad, t_pad)[:flops]
+        keys, keys_minor = kmaj, kmin
+        ks, ks_min = jax.lax.sort((kmaj, kmin), num_keys=2)
+        head = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (ks[1:] != ks[:-1]) | (ks_min[1:] != ks_min[:-1])])
+    else:
+        # single flat int32 key, built from the compacted pair
+        kmin = compact(kmin2, d_pad, t_pad)[:flops]
+        keys = kmaj * jnp.int32(n_min) + kmin
+        keys_minor = None
+        ks = jax.lax.sort(keys)
+        ks_min = None
+        head = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    iota_f = jax.lax.iota(jnp.int32, flops)
+    seg_start = jax.lax.cummax(jnp.where(head, iota_f, 0))
+    off_c = iota_f - seg_start
+    rank = jnp.cumsum(head.astype(jnp.int32)) - head.astype(jnp.int32)
+    d_head = jnp.where(head, iota_f - rank, 0)
+    scal = jnp.stack([jnp.sum(head.astype(jnp.int32)),
+                      jnp.max(off_c), jnp.max(d_head)])
+    return keys, keys_minor, d_pad, off_c, d_head, ks, ks_min, scal
+
+
+def esc_plan_device(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
+    """Symbolic phase with the O(flop) passes ON THE DEVICE.
+
+    The host keeps only the O(nnz)/O(n) work (class partition, CSC
+    streams, spread distances); the product-stream expansion, pad
+    distances, the stable key sort and the merge metadata all run as one
+    jitted program, and the resulting plan arrays are BORN device-
+    resident — `esc_numeric` consumes them with no further upload. Host
+    round trips: one ~O(nnz) upload plus one 3-scalar fetch. C's
+    structure (indptr/indices) stays on device; call
+    `materialize_structure(plan)` to pull it when a CSR container is
+    actually needed (the tunnel downloads at ~0.1-13 MB/s, so this is
+    deliberately lazy).
+
+    This is the role hash_mult.h:495-508 gives its thread-parallel
+    symbolic phase — on a single-core host the reference's approach is
+    memory-latency-bound (measured 28-42 s at nnz=2.1M, vs ~1 s here).
+    """
+    if order_by not in ("row", "col"):
+        raise ValueError(f"order_by must be 'row' or 'col': {order_by}")
+    P = _partition(a, b)
+    m, n = P.m, P.n
+    kk, M, L, Mh, W = P.kk, P.M, P.L, P.Mh, P.W
+    a_off, b_off, p_off = P.a_off, P.b_off, P.p_off
+    na, nb_len, m2 = P.sizes
+    if max(a.nnz, b.nnz) >= (1 << 31) - 1:
+        raise NotImplementedError("nnz >= 2^31 needs int64 rank streams")
+
+    # host O(nnz): class-major streams + spread distances (passA/passB)
+    a_src = _expand(P.ac_indptr[kk], M)
+    n_arows = a_src.size
+    a_rank_pos = np.full(a.nnz, np.iinfo(np.int32).max, np.int32)
+    a_rank_pos[P.csc_of_csr[a_src]] = np.arange(n_arows, dtype=np.int32)
+    a_dest = _expand(a_off[:-1], M)
+    d_a = np.full(na, -1, np.int32)
+    d_a[:n_arows] = (a_dest - np.arange(n_arows)).astype(np.int32)
+    t_a = stages_for(int(d_a[:n_arows].max(initial=0)))
+
+    b_src = _expand(P.b_indptr[kk], L)
+    n_brows = b_src.size
+    b_rank_pos = np.full(b.nnz, np.iinfo(np.int32).max, np.int32)
+    b_rank_pos[b_src] = np.arange(n_brows, dtype=np.int32)
+    b_dest = _expand(b_off[:-1], L)
+    d_b = np.full(nb_len, -1, np.int32)
+    d_b[:n_brows] = (b_dest - np.arange(n_brows)).astype(np.int32)
+    t_b = stages_for(int(d_b[:n_brows].max(initial=0)))
+
+    rows_cm = P.ac_rows[a_src].astype(np.int32)     # class-major C-rows
+    cols_cm = P.b_indices[b_src].astype(np.int32)   # class-major C-cols
+
+    # t_pad without materializing the stream: within block b the pad
+    # distance is p_off[b]-f_start[b]+r*(W-L), maximal at r=M-1
+    F = int((M * L).sum())
+    f_start = np.cumsum(M * L) - M * L
+    d_max = p_off[:-1] - f_start + (M - 1) * (W - L)
+    t_pad = stages_for(int(d_max.max(initial=0)))
+
+    order_row = order_by == "row"
+    n_min = n if order_row else m
+    n_major = m if order_row else n
+    two_key = m * n >= (1 << 31)
+
+    (keys, keys_minor, d_pad, off_c, d_head, ks, ks_min,
+     scal) = _esc_symbolic_impl(
+        jnp.asarray(rows_cm), jnp.asarray(cols_cm),
+        jnp.asarray(d_a), jnp.asarray(d_b),
+        jnp.asarray(M.astype(np.int32)), jnp.asarray(L.astype(np.int32)),
+        classes=P.classes, na=na, nb_len=nb_len, m2=m2, flops=F,
+        t_a=t_a, t_b=t_b, t_pad=t_pad, order_row=order_row,
+        two_key=two_key, n_min=n_min)
+    nnz, max_off, max_dh = (int(v) for v in np.asarray(scal))
+
+    return ESCPlan(
+        a_rank=jnp.asarray(a_rank_pos), b_rank=jnp.asarray(b_rank_pos),
+        d_a=jnp.asarray(d_a), d_b=jnp.asarray(d_b), d_pad=d_pad,
+        keys=keys, keys_minor=keys_minor, off_c=off_c, d_head=d_head,
+        c_indptr=None, c_indices=None, classes=P.classes, na=na,
+        nb_len=nb_len, m2=m2, flops=F, nnz=nnz, t_a=t_a, t_b=t_b,
+        t_pad=t_pad, t_sum=stages_for(max_off), t_head=stages_for(max_dh),
+        shape=(m, n), keys_sorted=ks, keys_sorted_minor=ks_min)
+
+
+def materialize_structure(plan: ESCPlan, *, order_by: str = "row"):
+    """Pull C's (indptr, indices) from a device plan (one download of
+    nnz int32/int64 values). Host plans already carry them."""
+    if plan.c_indptr is not None:
+        return plan.c_indptr, plan.c_indices
+    m, n = plan.shape
+    n_min = n if order_by == "row" else m
+    n_major = m if order_by == "row" else n
+    heads = jnp.asarray(compact(plan.keys_sorted, plan.d_head,
+                                plan.t_head)[: plan.nnz])
+    if plan.keys_sorted_minor is None:
+        uniq = np.asarray(heads).astype(np.int64)
+        major, minor = uniq // n_min, uniq % n_min
+    else:
+        major = np.asarray(heads).astype(np.int64)
+        minor = np.asarray(compact(plan.keys_sorted_minor, plan.d_head,
+                                   plan.t_head)[: plan.nnz]).astype(np.int64)
+    c_indices = minor.astype(np.int32)
+    c_indptr = np.zeros(n_major + 1, np.int64)
+    np.add.at(c_indptr, major + 1, 1)
+    np.cumsum(c_indptr, out=c_indptr)
+    return c_indptr, c_indices
 
 
 @partial(jax.jit, static_argnames=("classes", "na", "nb_len", "m2", "flops",

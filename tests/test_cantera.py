@@ -1653,3 +1653,51 @@ class TestVCSMultiphase:
                                    rtol=1e-2, atol=1e-7)
         # pure CO stays essentially CO at 2000 K
         assert x[mech.species_index("CO")] > 0.95
+
+
+class TestNasa9:
+    """NASA9 species thermo (Nasa9Poly1.cpp:14-80,
+    Nasa9PolyMultiTempRegion.cpp) via the reference airNASA9.yaml."""
+
+    @pytest.fixture(scope="class")
+    def air9(self):
+        from g4s_tpu.models.cantera.mech import load_mechanism
+        return load_mechanism("/root/reference/cantera/data/airNASA9.yaml",
+                              "airNASA9")
+
+    def test_reference_values_298K(self, air9):
+        from g4s_tpu.models.cantera import thermo as th
+        R = 8.314462618
+        T = 298.15
+        i_O2 = air9.species_names.index("O2")
+        i_N2 = air9.species_names.index("N2")
+        cp = np.asarray(th.cp0_R(air9, T)) * R
+        s = np.asarray(th.s0_R(air9, T)) * R
+        h = np.asarray(th.h0_RT(air9, T)) * R * T
+        assert abs(cp[i_O2] - 29.378) < 2e-3      # NIST-JANAF
+        assert abs(cp[i_N2] - 29.124) < 2e-3
+        assert abs(s[i_O2] - 205.15) < 0.02
+        assert abs(s[i_N2] - 191.61) < 0.02
+        assert abs(h[i_O2]) < 50.0                # reference elements
+        assert abs(h[i_N2]) < 50.0
+
+    def test_cp_is_dh_dT_all_regions(self, air9):
+        from g4s_tpu.models.cantera import thermo as th
+        for T0 in (400.0, 999.0, 1001.0, 3000.0, 8000.0):
+            dh = (np.asarray(th.h0_RT(air9, T0 + 0.5)) * (T0 + 0.5)
+                  - np.asarray(th.h0_RT(air9, T0 - 0.5)) * (T0 - 0.5))
+            cp = np.asarray(th.cp0_R(air9, T0))
+            np.testing.assert_allclose(dh, cp, rtol=2e-4)
+
+    def test_region_boundary_continuity(self, air9):
+        from g4s_tpu.models.cantera import thermo as th
+        for T0 in (1000.0, 6000.0):
+            lo = np.asarray(th.cp0_R(air9, T0 - 1e-4))
+            hi = np.asarray(th.cp0_R(air9, T0 + 1e-4))
+            np.testing.assert_allclose(lo, hi, rtol=1e-4)
+
+    def test_nasa7_mechs_unaffected(self):
+        from g4s_tpu.models.cantera.mech import load_mechanism
+        g = load_mechanism("/root/reference/cantera/data/gri30.yaml",
+                           "gri30")
+        assert g.is_nasa9 is None

@@ -2028,3 +2028,64 @@ class TestDF64FullSphere:
         np.testing.assert_allclose(np.asarray(sdf.T), np.asarray(s64.T),
                                    rtol=0, atol=1e-3)
         assert abs(float(sdf.dt) - float(s64.dt)) < 5e-3 * float(s64.dt)
+
+
+class TestBCFileSequences:
+    """Time-dependent BC file sequences (bin/Citcom.c:254-272,
+    Regional_read_input_from_files.c:40-310): epoch files bracketed
+    around the current age, linearly interpolated."""
+
+    def _cfg(self, tmp_path, **kw):
+        from g4s_tpu.models.citcoms.config import CitcomConfig
+        return CitcomConfig(nodex=5, nodey=5, nodez=5, maxstep=2,
+                            theta_min=0.7854, theta_max=1.5708,
+                            fi_min=0.0, fi_max=0.7854,
+                            radius_inner=0.55, radius_outer=1.0,
+                            rayleigh=1e4, num_mat=1, **kw)
+
+    def test_age_and_bracketing(self, tmp_path):
+        from g4s_tpu.models.citcoms import bc_files as bcf
+        cfg = self._cfg(tmp_path, start_age=3.0)
+        assert abs(bcf.find_age_in_my(cfg, 0.0) - 3.0) < 1e-12
+        # elapsed time knocks the age down by scalet
+        t1my = 1.0 / bcf.scalet(cfg)
+        assert abs(bcf.find_age_in_my(cfg, t1my) - 2.0) < 1e-9
+        a1, a2, w, pos = bcf._bracket(2.4)
+        assert (a1, a2, pos) == (2.0, 3.0, True)
+        assert abs(w - 0.4) < 1e-12
+        # negative age -> file 0, no interpolation
+        assert bcf._bracket(-1.0) == (0.0, 0.0, 0.0, False)
+
+    def test_velocity_interpolation(self, tmp_path):
+        import numpy as np
+        from g4s_tpu.models.citcoms import bc_files as bcf
+        cfg = self._cfg(tmp_path, start_age=2.4, vbcs_file=True,
+                        vel_bound_file=str(tmp_path / "vel"))
+        nsf = cfg.nodex * cfg.nodey
+        for age, mag in ((2, 10.0), (3, 20.0)):
+            np.savetxt(tmp_path / f"vel{age}",
+                       np.full((nsf, 2), mag))
+        vb = bcf.read_velocity_boundary(cfg, None, 2.4)
+        # 10 + 0.4*(20-10) = 14 cm/yr, nondim by scalev
+        assert np.allclose(vb, 14.0 * bcf.scalev(cfg))
+
+    def test_run_applies_file_vbcs(self, tmp_path):
+        import numpy as np
+        import jax.numpy as jnp
+        from g4s_tpu.models.citcoms import CitcomModel
+        from g4s_tpu.models.citcoms import bc_files as bcf
+        cfg = self._cfg(tmp_path, start_age=1.5, vbcs_file=True,
+                        vel_bound_file=str(tmp_path / "vel"))
+        nsf = cfg.nodex * cfg.nodey
+        for age, mag in ((1, 0.02), (2, 0.04)):   # cm/yr: ~40-80 nondim
+            vb = np.zeros((nsf, 2))
+            vb[:, 0] = mag
+            np.savetxt(tmp_path / f"vel{age}", vb)
+        model = CitcomModel(cfg, dtype=jnp.float32)
+        s, hist = model.run(1)
+        # top-surface theta velocity pinned at the interpolated value
+        noz = cfg.nodez
+        top = (np.arange(nsf) * noz) + (noz - 1)
+        expect = 0.03 * bcf.scalev(cfg)
+        got = np.asarray(s.V)[top, 0]
+        np.testing.assert_allclose(got, expect, rtol=1e-5)

@@ -285,3 +285,48 @@ def test_two_key_sort_large_keyspace(rng):
     assert plan.nnz == C.nnz
     np.testing.assert_allclose(np.asarray(c), C.data, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(plan.c_indices, C.indices)
+
+
+class TestDevicePlan:
+    """esc_plan_device: the O(flop) symbolic passes on the device must
+    agree with the host plan exactly (same nnz, same numeric output,
+    same materialized C structure)."""
+
+    def _check(self, A_s, B_s, order_by="row"):
+        from g4s_tpu.ops.spgemm_esc import (esc_plan_device,
+                                            materialize_structure)
+        A, B = CSR.from_scipy(A_s), CSR.from_scipy(B_s)
+        ph = esc_plan(A, B, order_by=order_by)
+        pd = esc_plan_device(A, B, order_by=order_by)
+        assert (ph.nnz, ph.flops) == (pd.nnz, pd.flops)
+        ch = esc_numeric(np.asarray(A.data), np.asarray(B.data),
+                         ph.to_device())
+        cd = esc_numeric(np.asarray(A.data), np.asarray(B.data), pd)
+        np.testing.assert_allclose(np.asarray(ch), np.asarray(cd),
+                                   rtol=1e-6)
+        ip, ix = materialize_structure(pd, order_by=order_by)
+        np.testing.assert_array_equal(ip, ph.c_indptr)
+        np.testing.assert_array_equal(ix, ph.c_indices)
+
+    def test_rectangular(self, rng):
+        A_s = sp.random(300, 280, density=0.02, random_state=rng,
+                        format="csr", dtype=np.float32)
+        B_s = sp.random(280, 250, density=0.02, random_state=rng,
+                        format="csr", dtype=np.float32)
+        self._check(A_s, B_s)
+
+    def test_square_er(self, rng):
+        A_s = sp.random(500, 500, density=0.01, random_state=rng,
+                        format="csr", dtype=np.float32)
+        self._check(A_s, A_s)
+
+    def test_column_merge(self, rng):
+        A_s = sp.random(300, 300, density=0.02, random_state=rng,
+                        format="csr", dtype=np.float32)
+        self._check(A_s, A_s, order_by="col")
+
+    def test_two_key_large_keyspace(self, rng):
+        n = 50000   # n*n >= 2^31 -> (major, minor) int32 pair sort
+        A_s = sp.random(n, n, density=2e-5, random_state=rng,
+                        format="csr", dtype=np.float32)
+        self._check(A_s, A_s)
