@@ -540,6 +540,17 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
                  key=f"er_{n}_{avg_deg}")
     rmat = measure(_rmat_like(n, n * avg_deg),
                    key=f"rmat_{n}_{avg_deg}")
+    # REAL-matrix anchor for the corpus protocol: the reference driver
+    # resolves ../matrix/{ER,G500,suite_sparse} families
+    # (mkl_spgemm.cpp:19-37); suite_sparse downloads are impossible here
+    # (zero egress), so the real-structure member is a genuine FE
+    # stiffness matrix assembled by the CitcomS physics (vector nodal
+    # operator, 81 nnz/row pattern) — real application sparsity, not a
+    # synthetic generator
+    try:
+        fem = measure(_fem_stiffness_matrix(), key="fem_k_citcoms_33")
+    except Exception as e:
+        fem = {"error": f"{type(e).__name__}: {e}"}
 
     import jax
     er_large = None
@@ -616,6 +627,7 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
                          "reference's MKL baseline also holds library "
                          "code warm)",
             "er": er, "rmat_skew": rmat, "er_large": er_large,
+            "fem_k": fem,
             "routed": routed,
             "take_path_ms": round(take_ms, 1),
             "n": n, "nnz": er["nnz"], "flops": er["flops"], "reps": reps}
@@ -845,6 +857,38 @@ def bench_spmv(dtype_str: str = "f32"):
                               "= shuffled 3D stencil via RCM + WSELL-K "
                               "(solver-mode, hoisted permutation)",
             "cases": out}
+
+
+def _fem_stiffness_matrix():
+    """Assembled CitcomS velocity stiffness K (Cookbook2 mesh, f32 CSR):
+    the 'real matrix' member of the mm corpus. 3 dofs/node, 24x24
+    element blocks scattered through the incidence — the exact sparsity
+    the reference's spmm_dense hot loop walks
+    (Element_calculations.c:475-509)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+    from g4s_tpu.models.citcoms import CitcomModel, config_from_table, \
+        parse_flat_config
+    with open(COOKBOOK2) as f:
+        cfg = config_from_table(parse_flat_config(f.read()))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model = CitcomModel(cfg, dtype=jnp.float32)
+        s = model.init_state()
+        ops = model._build_ops(s.T)
+        elt_k = np.asarray(ops.elt_k)            # (nel, 24, 24)
+    ien = np.asarray(model.mesh.ien)             # (nel, 8)
+    dofs = (ien[:, :, None] * 3 + np.arange(3)).reshape(-1, 24)
+    rows = np.repeat(dofs, 24, axis=1).reshape(-1)
+    cols = np.tile(dofs, (1, 24)).reshape(-1)
+    nno3 = model.mesh.nno * 3
+    K = sp.coo_matrix((elt_k.reshape(-1), (rows, cols)),
+                      shape=(nno3, nno3)).tocsr()
+    K.sum_duplicates()
+    K.eliminate_zeros()
+    return K.astype(np.float32)
 
 
 def _rmat_matrix(scale: int, edge_factor: int, rng):

@@ -171,9 +171,23 @@ def load_hmw(path, phase_name: str) -> HMWPhase:
                           eos.get("reference-pressure", "1 bar"))
             pref = 1e5 if str(pref).strip() in ("1 bar", "1bar") \
                 else float(str(pref).split()[0])
+            h0_raw = str(th.get("h0", 0.0))
+            h0 = float(h0_raw.split()[0])
+            if "cal" in h0_raw:
+                h0 *= 4184.0            # cal/mol -> J/kmol
+            elif "/mol" in h0_raw and "kmol" not in h0_raw:
+                h0 *= 1e3
             mu0_models.append(("mu0poly", Mu0Poly.build(
-                th["data"], float(th.get("h0", 0.0)),
+                th["data"], h0,
                 bool(th.get("dimensionless", False))), vol, pref))
+        elif th.get("model") == "Shomate":
+            # NIST Shomate standard state over a constant-volume PDSS
+            # (ShomatePoly2.h semantics: t = T/1000, h in kJ/mol,
+            # s in J/mol/K)
+            vol = float(eos.get("molar-volume", 0.0))
+            coeffs = np.asarray(th["data"], np.float64)
+            tr = [float(t) for t in th["temperature-ranges"]]
+            mu0_models.append(("shomate", coeffs, tr, vol, 1e5))
         else:
             mu0_models.append(("none",))
     act = ph["activity-data"]
@@ -434,6 +448,20 @@ def _pitzer_terms(ph: HMWPhase, m, coeffs, Aphi, with_etheta=False):
     return ln_g, phi_sum
 
 
+def _shomate_hs(coeffs: np.ndarray, tr, T: float):
+    """(h [J/kmol], s [J/kmol/K]) from NIST Shomate rows."""
+    r = 0
+    while r + 1 < len(coeffs) and r + 2 < len(tr) and T > tr[r + 1]:
+        r += 1
+    A, B, C, D, E, F, G = coeffs[r]
+    t = T / 1000.0
+    h = (A * t + B * t * t / 2 + C * t ** 3 / 3 + D * t ** 4 / 4
+         - E / t + F) * 1e6              # kJ/mol -> J/kmol
+    s = (A * np.log(t) + B * t + C * t * t / 2 + D * t ** 3 / 3
+         - E / (2 * t * t) + G) * 1e3    # J/mol/K -> J/kmol/K
+    return h, s
+
+
 def standard_chem_potentials(ph: HMWPhase, T: float, P: float = 101325.0):
     """mu0 per species [J/kmol] (getStandardChemPotentials)."""
     out = np.zeros(ph.nspec)
@@ -443,6 +471,9 @@ def standard_chem_potentials(ph: HMWPhase, T: float, P: float = 101325.0):
             out[i] = float(WaterStandardState().mu0(T, P))
         elif mdl[0] == "mu0poly":
             out[i] = mdl[1].mu0(T) + mdl[2] * (P - mdl[3])
+        elif mdl[0] == "shomate":
+            h, s = _shomate_hs(mdl[1], mdl[2], T)
+            out[i] = h - T * s + mdl[3] * (P - mdl[4])
         elif mdl[0] == "hkft":
             from g4s_tpu.models.cantera import hkft
             out[i] = float(hkft.mu0(mdl[1], T, P))
@@ -485,6 +516,12 @@ def _standard_states(ph: HMWPhase, T: float, P: float):
             h = 1e-3
             S0[i] = -(mdl[1].mu0(T + h) - mdl[1].mu0(T - h)) / (2 * h)
             H0[i] = mu0[i] + T * S0[i]
+        elif mdl[0] == "shomate":
+            h, s = _shomate_hs(mdl[1], mdl[2], T)
+            mu0[i] = h - T * s + mdl[3] * (P - mdl[4])
+            V0[i] = mdl[3]
+            S0[i] = s
+            H0[i] = h
         elif mdl[0] == "hkft":
             from g4s_tpu.models.cantera import hkft
             g, V, S, H = hkft.standard_state(mdl[1], T, P)

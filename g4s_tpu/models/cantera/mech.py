@@ -87,6 +87,10 @@ class Mechanism:
     is_nasa9: Optional[np.ndarray] = None   # (nspec,) bool
     nasa9_T: Optional[np.ndarray] = None    # (nspec, R+1) region bounds
     nasa9_c: Optional[np.ndarray] = None    # (nspec, R, 9)
+    # NIST Shomate species (ShomatePoly2.h): t=T/1000, h in kJ/mol
+    is_shomate: Optional[np.ndarray] = None  # (nspec,) bool
+    shomate_T: Optional[np.ndarray] = None   # (nspec, R+1)
+    shomate_c: Optional[np.ndarray] = None   # (nspec, R, 7)
 
     @property
     def nspec(self) -> int:
@@ -203,6 +207,7 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
     is_pr_phase = thermo_model.startswith("peng")
 
     nasa9_entries = {}
+    shomate_entries = {}
     for name, i in species_idx.items():
         sp = by_name[name]
         comp = sp["composition"]
@@ -210,6 +215,12 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
         mol_weights[i] = sum(ELEMENT_WEIGHTS[el.upper()] * n
                              for el, n in comp.items())
         th = sp["thermo"]
+        if th.get("model") == "Shomate":
+            tr = [float(t) for t in th["temperature-ranges"]]
+            shomate_entries[i] = (tr, [list(map(float, row))
+                                       for row in th["data"]])
+            t_mid[i] = tr[1] if len(tr) > 2 else tr[-1]
+            continue
         if th.get("model") == "NASA9":
             # multi-region 9-coefficient polynomials
             # (Nasa9Poly1.cpp:14-80, Nasa9PolyMultiTempRegion.cpp)
@@ -365,6 +376,19 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
             cheb_Tlim[k] = tr_
             cheb_Plim[k] = pr_
 
+    is_shomate = shomate_T = shomate_c = None
+    if shomate_entries:
+        R_max = max(len(d) for _, d in shomate_entries.values())
+        is_shomate = np.zeros(nspec, bool)
+        shomate_T = np.full((nspec, R_max + 1), np.inf)
+        shomate_T[:, 0] = 0.0
+        shomate_c = np.zeros((nspec, R_max, 7))
+        for i, (tr, data) in shomate_entries.items():
+            is_shomate[i] = True
+            shomate_T[i, : len(tr)] = tr
+            for r in range(R_max):
+                shomate_c[i, r] = data[min(r, len(data) - 1)]
+
     is_nasa9 = nasa9_T = nasa9_c = None
     if nasa9_entries:
         R_max = max(len(d) for _, d in nasa9_entries.values())
@@ -396,4 +420,5 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
         eos_model=("redlich-kwong" if is_rk_phase
                    else "peng-robinson" if is_pr_phase else "ideal"),
         pr_a=pr_a, pr_b=pr_b, pr_kappa=pr_kappa, pr_Tc=pr_Tc,
-        is_nasa9=is_nasa9, nasa9_T=nasa9_T, nasa9_c=nasa9_c)
+        is_nasa9=is_nasa9, nasa9_T=nasa9_T, nasa9_c=nasa9_c,
+        is_shomate=is_shomate, shomate_T=shomate_T, shomate_c=shomate_c)

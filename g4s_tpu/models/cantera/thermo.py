@@ -60,31 +60,64 @@ def _nasa9_s(a, T):
             + a[:, 8])
 
 
-def _blend9(mech, v7, f9, T):
-    if mech.is_nasa9 is None:
-        return v7
-    a9 = _nasa9_select(mech, T)
-    return jnp.where(jnp.asarray(mech.is_nasa9), f9(a9, T), v7)
+def _shomate_select(mech: Mechanism, T):
+    bounds = jnp.asarray(mech.shomate_T)
+    R = mech.shomate_c.shape[1]
+    idx = jnp.clip(jnp.sum(T >= bounds[:, 1:-1], axis=1), 0, R - 1)
+    return jnp.take_along_axis(jnp.asarray(mech.shomate_c),
+                               idx[:, None, None], axis=1)[:, 0, :]
+
+
+def _shomate_cp(a, T):
+    # NIST Shomate, t=T/1000, cp in J/mol/K (ShomatePoly2.h)
+    t = T / 1000.0
+    cp = (a[:, 0] + t * (a[:, 1] + t * (a[:, 2] + t * a[:, 3]))
+          + a[:, 4] / (t * t))
+    return cp / R_GAS
+
+
+def _shomate_h(a, T):
+    t = T / 1000.0
+    h = (a[:, 0] * t + a[:, 1] * t * t / 2 + a[:, 2] * t ** 3 / 3
+         + a[:, 3] * t ** 4 / 4 - a[:, 4] / t + a[:, 5]) * 1000.0
+    return h / (R_GAS * T)
+
+
+def _shomate_s(a, T):
+    t = T / 1000.0
+    s = (a[:, 0] * jnp.log(t) + a[:, 1] * t + a[:, 2] * t * t / 2
+         + a[:, 3] * t ** 3 / 3 - a[:, 4] / (2 * t * t) + a[:, 6])
+    return s / R_GAS
+
+
+def _blend9(mech, v7, f9, fsh, T):
+    if mech.is_nasa9 is not None:
+        a9 = _nasa9_select(mech, T)
+        v7 = jnp.where(jnp.asarray(mech.is_nasa9), f9(a9, T), v7)
+    if mech.is_shomate is not None:
+        ash = _shomate_select(mech, T)
+        v7 = jnp.where(jnp.asarray(mech.is_shomate), fsh(ash, T), v7)
+    return v7
 
 
 def cp0_R(mech: Mechanism, T):
     a = _nasa_select(mech, T)
     v = a[:, 0] + T * (a[:, 1] + T * (a[:, 2] + T * (a[:, 3] + T * a[:, 4])))
-    return _blend9(mech, v, _nasa9_cp, T)
+    return _blend9(mech, v, _nasa9_cp, _shomate_cp, T)
 
 
 def h0_RT(mech: Mechanism, T):
     a = _nasa_select(mech, T)
     v = (a[:, 0] + T * (a[:, 1] / 2 + T * (a[:, 2] / 3
          + T * (a[:, 3] / 4 + T * a[:, 4] / 5))) + a[:, 5] / T)
-    return _blend9(mech, v, _nasa9_h, T)
+    return _blend9(mech, v, _nasa9_h, _shomate_h, T)
 
 
 def s0_R(mech: Mechanism, T):
     a = _nasa_select(mech, T)
     v = (a[:, 0] * jnp.log(T) + T * (a[:, 1] + T * (a[:, 2] / 2
          + T * (a[:, 3] / 3 + T * a[:, 4] / 4))) + a[:, 6])
-    return _blend9(mech, v, _nasa9_s, T)
+    return _blend9(mech, v, _nasa9_s, _shomate_s, T)
 
 
 def u0_RT(mech: Mechanism, T):

@@ -1701,3 +1701,76 @@ class TestNasa9:
         g = load_mechanism("/root/reference/cantera/data/gri30.yaml",
                            "gri30")
         assert g.is_nasa9 is None
+
+
+class TestVCSMultiphase:
+    """Full VCS multiphase equilibrium with solution phases
+    (vcs_solve.cpp / vcs_solve_TP.cpp role). Oracle: the reference's
+    test_problems/VCSnonideal/NaCl_equil blessed report
+    (vcs_equilibrate_blessed.csv): 2 mol H2O(L) brine + 4 mol N2 air +
+    5 mol NaCl(S) at 298.15 K / 1 atm."""
+
+    def test_nacl_brine_matches_blessed(self):
+        from g4s_tpu.models.cantera.mech import load_mechanism
+        from g4s_tpu.models.cantera.vcs_multiphase import (
+            gas_solution_phase, hmw_solution_phase, stoich_phase_from_yaml,
+            vcs_multiphase_tp)
+        T, P = 298.15, 101325.0
+        base = "/root/reference/cantera"
+        gas = gas_solution_phase(load_mechanism(
+            f"{base}/test_problems/VCSnonideal/NaCl_equil/NaCl_gas.yaml",
+            "air"), T, P)
+        hmw = hmw_solution_phase(f"{base}/test/data/HMW_NaCl.yaml",
+                                 "NaCl_electrolyte_complex_shomate", T, P)
+        salt = stoich_phase_from_yaml(
+            f"{base}/test/data/NaCl_Solid.yaml", "NaCl(S)", T, P)
+        n_hmw = np.zeros(len(hmw.species_names))
+        n_hmw[hmw.species_names.index("H2O(L)")] = 2.0
+        n_gas = np.zeros(len(gas.species_names))
+        n_gas[gas.species_names.index("N2")] = 4.0
+        res = vcs_multiphase_tp([hmw, gas, salt], [n_hmw, n_gas, 5.0],
+                                T, P)
+        el = res["phases"]["NaCl_electrolyte_complex_shomate"]
+        air = res["phases"]["air"]
+        ss = res["phases"]["NaCl(S)"]
+        # blessed PhaseMoles / Mole_Fract columns
+        assert abs(el["N"] - 2.327) < 2e-3
+        assert abs(el["x"]["H2O(L)"] - 0.8176) < 5e-4
+        assert abs(el["x"]["Cl-"] - 0.09122) < 3e-4
+        assert abs(el["x"]["Na+"] - 0.09122) < 3e-4
+        assert abs(air["N"] - 4.097) < 2e-3
+        assert abs(air["x"]["N2"] - 0.9763) < 5e-4
+        assert abs(air["x"]["H2O"] - 0.02372) < 3e-4
+        assert abs(ss["N"] - 4.788) < 2e-3
+
+    def test_ideal_two_phase_consistency(self):
+        """Gas + stoich graphite Boudouard-style: the multiphase solver
+        must agree with the existing vcs_equilibrate_tp on a gas+stoich
+        problem (no solution-phase activities involved)."""
+        from g4s_tpu.models.cantera.mech import load_mechanism
+        from g4s_tpu.models.cantera.equilibrium import (CondensedSpecies,
+                                                        vcs_equilibrate_tp)
+        from g4s_tpu.models.cantera.vcs_multiphase import (
+            StoichPhase, gas_solution_phase, vcs_multiphase_tp)
+        T, P = 800.0, 101325.0
+        mech = load_mechanism("/root/reference/cantera/data/gri30.yaml",
+                              "gri30")
+        gr = CondensedSpecies.from_yaml(
+            "/root/reference/cantera/data/graphite.yaml", "C(gr)")
+        x0 = np.zeros(mech.nspec)
+        x0[mech.species_names.index("CO2")] = 0.5
+        x0[mech.species_names.index("CO")] = 0.5
+        x_ref, n_cond, _ = vcs_equilibrate_tp(mech, [gr], T, P, x0)
+        gas = gas_solution_phase(mech, T, P)
+        st = StoichPhase("C(gr)", {k.upper(): v
+                                   for k, v in gr.composition.items()},
+                         gr.g_RT(T))
+        res = vcs_multiphase_tp([gas, st], [x0, 0.0], T, P)
+        xg = np.array([res["phases"][mech.name]["x"][s]
+                       for s in mech.species_names])
+        i_co2 = mech.species_names.index("CO2")
+        i_co = mech.species_names.index("CO")
+        assert abs(xg[i_co2] - x_ref[i_co2]) < 1e-6
+        assert abs(xg[i_co] - x_ref[i_co]) < 1e-6
+        assert abs(res["phases"]["C(gr)"]["N"]
+                   - n_cond.get("C(gr)", 0.0)) < 1e-6
