@@ -92,11 +92,13 @@ class NVTIntegrator:
     M_CHAIN = 3
 
     def __init__(self, force_fn, masses, box, *, T0=330.0, tdamp=0.5,
-                 dt=0.0005):
+                 dt=0.0005, nve=False):
         self.force_fn = force_fn
         self.masses = jnp.asarray(masses)
         self.box = jnp.asarray(box)
         self.T0, self.tdamp, self.dt = T0, tdamp, dt
+        self.nve = nve          # thermostat off: plain velocity Verlet
+                                # (the energy-drift validation ensemble)
         self.n = masses.shape[0]
         self.ndof = 3 * self.n
         kT = KB_EV * T0
@@ -146,7 +148,10 @@ class NVTIntegrator:
         dt = self.dt
 
         def one_step(state, f):
-            v, vxi = self._nhc_half(state.v, state.xi)
+            if self.nve:
+                v, vxi = state.v, state.xi
+            else:
+                v, vxi = self._nhc_half(state.v, state.xi)
             v = v + dt / 2 * f / m * F_OVER_M
             x = state.x + dt * v
             inv = jnp.linalg.inv(self.box)
@@ -154,7 +159,8 @@ class NVTIntegrator:
             x = (frac - jnp.floor(frac)) @ self.box
             f_new = self.force_fn(x)
             v = v + dt / 2 * f_new / m * F_OVER_M
-            v, vxi = self._nhc_half(v, vxi)
+            if not self.nve:
+                v, vxi = self._nhc_half(v, vxi)
             return MDState(x, v, vxi, state.step + 1), f_new
 
         return one_step
@@ -180,8 +186,13 @@ class NVTIntegrator:
 
 
 def water_md(params, spec, *, n_steps=1000, data_file=None, seed=23456789,
-             verbose=True, dtype=jnp.float64):
-    """The full water-MD benchmark from a trained model."""
+             verbose=True, dtype=jnp.float64, ensemble="nvt"):
+    """The full water-MD benchmark from a trained model.
+
+    ensemble="nvt": the reference protocol (examples/water/lmp/
+    in.lammps:15,27 — 1000-step fix nvt at 330 K).
+    ensemble="nve": thermostat off, for the energy-drift validation
+    (log pe column + kinetic energy give the conserved E)."""
     from g4s_tpu.models.deepmd.model import energy_force_virial, total_energy
     if data_file is None:
         data_file = ("/root/reference/deepmd/examples/water/lmp/water.lmp")
@@ -199,6 +210,7 @@ def water_md(params, spec, *, n_steps=1000, data_file=None, seed=23456789,
 
     rng = np.random.default_rng(seed)
     v0 = init_velocities(rng, masses, 330.0)
-    integ = NVTIntegrator(jax.jit(force_fn), masses, box_np)
+    integ = NVTIntegrator(jax.jit(force_fn), masses, box_np,
+                          nve=(ensemble == "nve"))
     return integ.run(jnp.asarray(coord, dtype), jnp.asarray(v0, dtype),
                      n_steps, energy_fn=jax.jit(energy_fn), verbose=verbose)
