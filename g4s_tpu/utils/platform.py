@@ -13,22 +13,32 @@ import os
 
 
 def machine_cache_dir(base: str) -> str:
-    """Per-machine compilation cache directory: XLA's CPU AOT results
-    embed the COMPILE machine's CPU features, and loading an entry
-    written by a different host warns 'could lead to execution errors
-    such as SIGILL' (cpu_aot_loader.cc) — observed as silent test-run
-    crashes when rounds move between hosts. Suffix the cache dir with a
-    hash of the host's cpuinfo flags so each machine keeps its own."""
+    """Per-machine, per-platform-context compilation cache directory.
+
+    XLA's CPU AOT results embed the COMPILE process's target features,
+    and loading a mismatched entry warns 'could lead to execution errors
+    such as SIGILL' (cpu_aot_loader.cc) — observed as hard aborts inside
+    compilation_cache.get_executable_and_time. Two mismatch sources:
+    (a) different hosts (different cpuinfo flags), and (b) the SAME host
+    under different platform contexts — a TPU-attached process compiles
+    its host-side CPU executables with +prefer-no-scatter/+prefer-no-
+    gather tuning features that a pure-CPU (JAX_PLATFORMS=cpu) process
+    then refuses/aborts on (reproduced round 4: full CPU suite aborted
+    loading an entry written by a bench run). Suffix with a hash of
+    cpuinfo flags AND the JAX_PLATFORMS context so each combination
+    keeps its own cache."""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
-                    tag = hashlib.sha1(line.encode()).hexdigest()[:8]
+                    flags = line
                     break
             else:
-                tag = "generic"
+                flags = "generic"
     except OSError:
-        tag = "generic"
+        flags = "generic"
+    ctx = os.environ.get("JAX_PLATFORMS", "auto") or "auto"
+    tag = hashlib.sha1(f"{flags}|{ctx}".encode()).hexdigest()[:8]
     return f"{base}-{tag}"
 
 
