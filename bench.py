@@ -603,8 +603,16 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
                       "route_build_s": round(route_build_s, 1),
                       "note": "Benes-routed value phase (sort and "
                               "compactions replaced by static butterfly "
-                              "routes); amortizes when one sparsity is "
-                              "re-multiplied with fresh values"}
+                              "routes). Build cost is HOST random-access "
+                              "bound: the native Euler-split/edge-color/"
+                              "route recursion makes ~0.9G dependent "
+                              "accesses over the 26M-slot stream, and "
+                              "this host sustains ~13M random reads/s "
+                              "(measured), so ~70 s is its floor here. "
+                              "Break-even vs re-sorting values each call "
+                              "is ~build/(sorted-routed) ~ 4200 reuses; "
+                              "below that, esc_numeric with the device "
+                              "plan is the right tier"}
         except Exception as e:                     # record, keep headline
             routed = {"error": f"{type(e).__name__}: {e}"}
 
