@@ -156,8 +156,9 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     blessed = json.load(open(os.path.join(
         here, "cookbook2_blessed_f64.json")))["trajectory"]
-    # the blessed file's step k+1 lines up with our step index k
-    bl = {k: v[1:] for k, v in blessed.items() if k != "step"}
+    # blessed entry index k is the state after step k+1; this script's
+    # run (initial_solve, then step loop) records the same alignment
+    bl = {k: v for k, v in blessed.items() if k != "step"}
 
     out = {"config": COOKBOOK2, "steps": args.steps}
 

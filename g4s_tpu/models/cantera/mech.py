@@ -171,6 +171,123 @@ def _yaml_load(path):
         return yaml.load(f, Loader=MechLoader)
 
 
+def _species_in_equation(eq: str):
+    """Species names mentioned on either side of a reaction equation."""
+    names = set()
+    for arrow in ("<=>", "=>", "="):
+        if arrow in eq:
+            sides = eq.split(arrow)
+            break
+    else:
+        sides = [eq]
+    for side in sides:
+        side = side.replace("(+M)", "").replace("(+ M)", "")
+        for term in side.split("+"):
+            term = term.strip()
+            if not term or term in ("M", "m"):
+                continue
+            mobj = _COEF_SPECIES.match(term)
+            names.add(mobj.group(2).strip() if mobj else term)
+    return names
+
+
+def _resolve_phase_lists(doc, phase, path):
+    """Cantera's cross-file phase syntax (newSolution/setupPhase): a
+    phase's `species`/`reactions` entries may be plain names, local
+    section references, or `<file>/<section>` imports, e.g.
+
+        species:
+        - gri30.yaml/species: [H, O, OH]
+        - species: [H2, HCO+]
+        reactions:
+        - gri30.yaml/reactions: declared-species
+        - reactions: declared-species
+
+    Returns (species_order, by_name, reactions_list); with
+    `declared-species` filtering, imported reactions whose equations
+    mention undeclared species are dropped (skip-undeclared-third-
+    bodies drops only unknown efficiency entries — the parser already
+    ignores those)."""
+    import os
+
+    def load_ref(fname):
+        p = fname if os.path.isabs(fname) else os.path.join(
+            os.path.dirname(os.path.abspath(path)), fname)
+        if not os.path.exists(p):
+            # fall back to the bundled data directory
+            alt = os.path.join("/root/reference/cantera/data", fname)
+            p = alt if os.path.exists(alt) else p
+        return _yaml_load(p)
+
+    def section_species(d, section):
+        return {s["name"]: s for s in d.get(section, [])}
+
+    raw = phase["species"]
+    species_order: list = []
+    by_name: dict = {}
+    if isinstance(raw, list) and all(isinstance(s, str) for s in raw):
+        species_order = list(raw)
+        local = section_species(doc, "species")
+        by_name = {n: local[n] for n in species_order if n in local}
+        # species may also live in named sections (species_NaCl(S) etc.)
+        for sec, val in doc.items():
+            if sec.startswith("species") and sec != "species" \
+                    and isinstance(val, list):
+                for s in val:
+                    by_name.setdefault(s["name"], s)
+    else:
+        for ent in raw:
+            if isinstance(ent, str):
+                species_order.append(ent)
+                by_name[ent] = section_species(doc, "species")[ent]
+                continue
+            (ref, names), = ent.items()
+            if "/" in ref:
+                fname, section = ref.rsplit("/", 1)
+                table = section_species(load_ref(fname), section)
+            else:
+                table = section_species(doc, ref)
+            if names == "all":
+                names = list(table)
+            for n in names:
+                species_order.append(n)
+                by_name[n] = table[n]
+
+    declared = set(species_order)
+    raw_rxn = phase.get("reactions", doc.get("reactions", []))
+    rxns: list = []
+    if isinstance(raw_rxn, list) and raw_rxn \
+            and all(isinstance(r, dict) and "equation" in r
+                    for r in raw_rxn):
+        rxns = list(raw_rxn)
+    elif isinstance(raw_rxn, str):
+        # 'all' / section name
+        sec = "reactions" if raw_rxn in ("all", "declared-species") \
+            else raw_rxn
+        rxns = list(doc.get(sec, []))
+        if raw_rxn == "declared-species":
+            rxns = [r for r in rxns
+                    if _species_in_equation(r["equation"]) <= declared]
+    elif isinstance(raw_rxn, list):
+        for ent in raw_rxn:
+            if isinstance(ent, dict) and "equation" in ent:
+                rxns.append(ent)
+                continue
+            (ref, mode), = ent.items()
+            if "/" in ref:
+                fname, section = ref.rsplit("/", 1)
+                src = load_ref(fname).get(section, [])
+            else:
+                src = doc.get(ref, [])
+            if mode == "declared-species":
+                src = [r for r in src
+                       if _species_in_equation(r["equation"]) <= declared]
+            elif isinstance(mode, str) and mode not in ("all",):
+                raise NotImplementedError(f"reactions mode {mode!r}")
+            rxns.extend(src)
+    return species_order, by_name, rxns
+
+
 def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
     doc = _yaml_load(path)
 
@@ -186,11 +303,12 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
     if phase is None:
         raise KeyError(f"phase {phase_name!r} not found in {path}")
 
-    species_order = phase["species"]
+    species_order, by_name_resolved, rxns_resolved = _resolve_phase_lists(
+        doc, phase, path)
     species_idx = {s: i for i, s in enumerate(species_order)}
     nspec = len(species_order)
 
-    by_name = {s["name"]: s for s in doc["species"]}
+    by_name = by_name_resolved
     compositions = [dict() for _ in range(nspec)]
     mol_weights = np.zeros(nspec)
     nasa_low = np.zeros((nspec, 7))
@@ -269,7 +387,7 @@ def load_mechanism(path, phase_name: Optional[str] = None) -> Mechanism:
     ea_factor = {"cal/mol": CAL2J, "kcal/mol": CAL2J * 1e3, "J/mol": 1.0,
                  "J/kmol": 1e-3, "kJ/mol": 1e3, "K": R_GAS}[ea_u]
 
-    rxns = doc.get("reactions", [])
+    rxns = rxns_resolved
     n = len(rxns)
     nu_reac = np.zeros((n, nspec))
     nu_prod = np.zeros((n, nspec))

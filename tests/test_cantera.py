@@ -1774,3 +1774,124 @@ class TestVCSMultiphase:
         assert abs(xg[i_co] - x_ref[i_co]) < 1e-6
         assert abs(res["phases"]["C(gr)"]["N"]
                    - n_cond.get("C(gr)", 0.0)) < 1e-6
+
+
+class TestSpecialtyTransport:
+    """UnityLewis / DustyGas / IonGas transport models
+    (UnityLewisTransport.h, DustyGasTransport.cpp, IonGasTransport.cpp),
+    validated against the reference python suite's oracles
+    (test_transport.py:20-31, 212-238, 326-366)."""
+
+    def test_unity_lewis(self):
+        import jax.numpy as jnp
+        from g4s_tpu.models.cantera.mech import load_mechanism
+        from g4s_tpu.models.cantera.thermo import cp0_R
+        from g4s_tpu.models.cantera.transport import (load_transport,
+                                                      thermal_conductivity)
+        from g4s_tpu.models.cantera.transport_models import \
+            unity_lewis_diffusion
+        Y = "/root/reference/cantera/data/h2o2.yaml"
+        mech = load_mechanism(Y, "ohmech")
+        tr = load_transport(Y, mech)
+        T, P = 500.0, 101325.0
+        x = np.zeros(mech.nspec)
+        x[mech.species_names.index("O2")] = 0.5
+        x[mech.species_names.index("H2")] = 0.25
+        x[mech.species_names.index("H2O")] = 0.25
+        cp = np.asarray(cp0_R(mech, T))
+        D = np.asarray(unity_lewis_diffusion(mech, tr, T, P,
+                                             jnp.asarray(x), cp))
+        # all equal, and equal to alpha = lambda/(rho cp)
+        assert np.ptp(D) < 1e-18
+        lam = float(thermal_conductivity(mech, tr, T, jnp.asarray(x), cp))
+        W = mech.mol_weights
+        rho = P * float(x @ W) / (8.314462618 * T)
+        cpm = float(x @ cp) * 8.314462618 / float(x @ W)
+        assert abs(D[0] - lam / (rho * cpm)) < 1e-12 * D[0]
+
+    def test_dusty_gas_scalings_and_fluxes(self):
+        import jax.numpy as jnp
+        from g4s_tpu.models.cantera.mech import load_mechanism
+        from g4s_tpu.models.cantera.transport import load_transport
+        from g4s_tpu.models.cantera.transport_models import DustyGas
+        Y = "/root/reference/cantera/data/h2o2.yaml"
+        mech = load_mechanism(Y, "ohmech")
+        tr = load_transport(Y, mech)
+        T, P = 500.0, 101325.0
+        x = np.zeros(mech.nspec)
+        kO2 = mech.species_names.index("O2")
+        kH2 = mech.species_names.index("H2")
+        kH2O = mech.species_names.index("H2O")
+        x[kO2], x[kH2], x[kH2O] = 2.0, 1.0, 1.0
+        x = x / x.sum()
+        dg = DustyGas(mech, tr, porosity=0.2, tortuosity=0.3,
+                      pore_radius=1e-4, particle_diameter=5e-4)
+        Dref = np.asarray(dg.multi_diff_coeffs(T, P, jnp.asarray(x)))
+        # reference test: doubling porosity doubles D; doubling
+        # tortuosity halves it (test_transport.py:337-346)
+        dg.porosity = 0.4
+        np.testing.assert_allclose(
+            np.asarray(dg.multi_diff_coeffs(T, P, jnp.asarray(x))),
+            2 * Dref, rtol=1e-10)
+        dg.porosity, dg.tortuosity = 0.2, 0.6
+        np.testing.assert_allclose(
+            np.asarray(dg.multi_diff_coeffs(T, P, jnp.asarray(x))),
+            0.5 * Dref, rtol=1e-10)
+        dg.tortuosity = 0.3
+        # flux test (test_transport.py:349-362): H2 slightly richer on
+        # side 2 -> H2 flux negative (toward side 1), H2O positive
+        W = mech.mol_weights
+        Wmix = float(x @ W)
+        rho = P * Wmix / (8.314462618 * T)
+        Y1 = x * W / Wmix
+        x2 = x.copy()
+        x2[kH2] += 1e-3 * x[kH2]
+        x2[kH2O] -= 1e-3 * x[kH2O]
+        x2 = x2 / x2.sum()
+        W2 = float(x2 @ W)
+        rho2 = P * W2 / (8.314462618 * T)
+        Y2 = x2 * W / W2
+        f0 = np.asarray(dg.molar_fluxes(T, T, rho, rho, Y1, Y1, 1e-4))
+        np.testing.assert_allclose(f0, 0.0, atol=1e-12)
+        f1 = np.asarray(dg.molar_fluxes(T, T, rho, rho2, Y1, Y2, 1e-4))
+        assert f1[kH2] < 0 and f1[kH2O] > 0
+
+    def test_ion_gas_blessed_regression(self):
+        from g4s_tpu.models.cantera.mech import load_mechanism
+        from g4s_tpu.models.cantera.transport import load_transport
+        from g4s_tpu.models.cantera.transport_models import IonGasTransport
+        Y = "/root/reference/cantera/test/data/ch4_ion.yaml"
+        mech = load_mechanism(Y, "gas")
+        tr = load_transport(Y, mech)
+        ig = IonGasTransport(mech, tr)
+        T, P = 2237.0, 101325.0
+        x = np.zeros(mech.nspec)
+        x[mech.species_names.index("O2")] = 0.7010
+        x[mech.species_names.index("H2O")] = 0.1885
+        x[mech.species_names.index("CO2")] = 9.558e-2
+        x = x / x.sum()
+        kN2 = mech.species_names.index("N2")
+        kH3 = mech.species_names.index("H3O+")
+        D = ig.binary_diff(T, P)
+        # the reference evaluates its degree-4 logT fit of the same
+        # (n,6,4) integrals; direct evaluation agrees to the fit error
+        assert abs(D[kN2, kH3] - 4.258e-4) / 4.258e-4 < 5e-3
+        md = ig.mix_diff_coeffs(T, P, x)
+        assert abs(md[kH3] - 5.057e-4) / 5.057e-4 < 2e-3
+        assert abs(md[mech.species_names.index("O2-")]
+                   - 2.784e-4) / 2.784e-4 < 2.5e-2
+        mo = ig.mobilities(T, P, x)
+        assert abs(mo[kH3] - 2.623e-3) / 2.623e-3 < 2e-3
+        # electrical conductivity positive and dominated by the ions
+        assert ig.electrical_conductivity(T, P, x) >= 0.0
+
+    def test_cross_file_phase_imports(self):
+        """ch4_ion.yaml pulls species/reactions from gri30.yaml with
+        declared-species filtering (newSolution's cross-file syntax)."""
+        from g4s_tpu.models.cantera.mech import load_mechanism
+        mech = load_mechanism(
+            "/root/reference/cantera/test/data/ch4_ion.yaml", "gas")
+        assert "CH2(S)" in mech.species_names   # imported from gri30
+        assert "H3O+" in mech.species_names     # local
+        assert mech.nspec == 24
+        assert mech.nrxn > 50                   # filtered gri30 subset
