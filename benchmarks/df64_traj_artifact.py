@@ -144,6 +144,9 @@ def main():
     honor_env_platforms()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--parts", default="ABC",
+                    help="subset of parts to run; others keep the "
+                         "values already in DF64_TRAJ.json")
     args = ap.parse_args()
     import jax
     jax.config.update("jax_enable_x64", True)
@@ -160,54 +163,64 @@ def main():
     # run (initial_solve, then step loop) records the same alignment
     bl = {k: v for k, v in blessed.items() if k != "step"}
 
+    here2 = os.path.join(here, "DF64_TRAJ.json")
     out = {"config": COOKBOOK2, "steps": args.steps}
+    if os.path.exists(here2):
+        out.update(json.load(open(here2)))
+        out["steps"] = args.steps
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         model = CitcomModel(cfg, dtype=jnp.float64)
 
-    t0 = time.time()
-    traj_a, errs_a = run_df64(model, args.steps, bl)
-    out["partA_path_faithful_default_tol"] = {
-        "accuracy": cfg.accuracy,
-        "per_step_rel_err": {k: [float(f"{x:.3e}") for x in v]
-                             for k, v in errs_a.items()},
-        "max_rel_err": {k: float(np.max(v)) for k, v in errs_a.items()
-                        if v},
-        "wall_s": round(time.time() - t0, 1)}
-    print("partA", out["partA_path_faithful_default_tol"]["max_rel_err"],
-          flush=True)
+    if "A" in args.parts:
+        t0 = time.time()
+        traj_a, errs_a = run_df64(model, args.steps, bl)
+        out["partA_path_faithful_default_tol"] = {
+            "accuracy": cfg.accuracy,
+            "per_step_rel_err": {k: [float(f"{x:.3e}") for x in v]
+                                 for k, v in errs_a.items()},
+            "max_rel_err": {k: float(np.max(v)) for k, v in errs_a.items()
+                            if v},
+            "wall_s": round(time.time() - t0, 1)}
+        print("partA",
+              out["partA_path_faithful_default_tol"]["max_rel_err"],
+              flush=True)
 
-    # part B: tightened tolerance on BOTH sides
-    cfg_t = dataclasses.replace(cfg, accuracy=1e-6)
-    t0 = time.time()
-    with jax.default_device(cpu):
-        model_t, ref_t = run_f64_cpu(cfg_t, args.steps)
-    traj_b, _ = run_df64(model_t, args.steps, None)
-    errs_b = {k: [abs(a - b) / abs(b) for a, b in zip(traj_b[k], ref_t[k])]
-              for k in ("vrms", "nu_top", "dt")}
-    out["partB_tightened_1e-6_both_sides"] = {
-        "accuracy": 1e-6,
-        "per_step_rel_err": {k: [float(f"{x:.3e}") for x in v]
-                             for k, v in errs_b.items()},
-        "max_rel_err": {k: float(np.max(v)) for k, v in errs_b.items()},
-        "wall_s": round(time.time() - t0, 1)}
-    print("partB", out["partB_tightened_1e-6_both_sides"]["max_rel_err"],
-          flush=True)
+    if "B" in args.parts:
+        # tightened tolerance on BOTH sides
+        cfg_t = dataclasses.replace(cfg, accuracy=1e-6)
+        t0 = time.time()
+        with jax.default_device(cpu):
+            model_t, ref_t = run_f64_cpu(cfg_t, args.steps)
+        traj_b, _ = run_df64(model_t, args.steps, None)
+        errs_b = {k: [abs(a - b) / abs(b)
+                      for a, b in zip(traj_b[k], ref_t[k])]
+                  for k in ("vrms", "nu_top", "dt")}
+        out["partB_tightened_1e-6_both_sides"] = {
+            "accuracy": 1e-6,
+            "per_step_rel_err": {k: [float(f"{x:.3e}") for x in v]
+                                 for k, v in errs_b.items()},
+            "max_rel_err": {k: float(np.max(v))
+                            for k, v in errs_b.items()},
+            "wall_s": round(time.time() - t0, 1)}
+        print("partB",
+              out["partB_tightened_1e-6_both_sides"]["max_rel_err"],
+              flush=True)
 
-    # part C: conditioning
-    lam_max, lam_min = estimate_kappa(model)
-    kappa = lam_max / max(lam_min, 1e-300)
-    out["partC_conditioning"] = {
-        "lambda_max": lam_max, "lambda_min": lam_min,
-        "kappa_diag_precond": kappa,
-        "df64_floor_kappa_2pow-49": kappa * 2.0 ** -49,
-        "note": "attainable relative forward error of an iterative "
-                "solve in double-word f32 scales as kappa * u_dw with "
-                "u_dw ~ 2^-49; compare against the measured floors "
-                "above"}
-    print("partC kappa", f"{kappa:.3e}",
-          "floor", f"{kappa * 2.0 ** -49:.3e}", flush=True)
+    if "C" in args.parts:
+        lam_max, lam_min = estimate_kappa(model)
+        kappa = lam_max / max(lam_min, 1e-300)
+        out["partC_conditioning"] = {
+            "lambda_max": lam_max, "lambda_min": lam_min,
+            "kappa_diag_precond": kappa,
+            "df64_floor_kappa_2pow-49": kappa * 2.0 ** -49,
+            "note": "attainable relative forward error of an iterative "
+                    "solve in double-word f32 scales as kappa * u_dw "
+                    "with u_dw ~ 2^-49; compare against the measured "
+                    "floors above"}
+        print("partC kappa", f"{kappa:.3e}",
+              "floor", f"{kappa * 2.0 ** -49:.3e}", flush=True)
 
     with open(os.path.join(here, "DF64_TRAJ.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -1895,3 +1895,39 @@ class TestSpecialtyTransport:
         assert "H3O+" in mech.species_names     # local
         assert mech.nspec == 24
         assert mech.nrxn > 50                   # filtered gri30 subset
+
+    def test_high_pressure_transport(self):
+        """HighPressureGasTransport (Lucas viscosity, Takahashi binary
+        correction, Ely-Hanley conductivity): critical constants
+        recovered from the RK EoS coefficients; pure-O2 values against
+        NIST magnitudes; P->0 reduces to Chapman-Enskog."""
+        from g4s_tpu.models.cantera.mech import load_mechanism
+        from g4s_tpu.models.cantera.thermo import cp0_R
+        from g4s_tpu.models.cantera.transport import (binary_diffusion,
+                                                      load_transport)
+        from g4s_tpu.models.cantera.transport_models import (
+            HighPressureGasTransport, takahashi_correction)
+        Y = "/root/reference/cantera/data/nDodecane_Reitz.yaml"
+        mech = load_mechanism(Y, "nDodecane_RK")
+        tr = load_transport(Y, mech)
+        hp = HighPressureGasTransport(mech, tr)
+        iO2 = mech.species_names.index("o2")
+        # RK coefficients invert to the known critical point
+        assert abs(hp.Tc[iO2] - 154.6) < 1.0
+        assert abs(hp.Pc[iO2] / 1e5 - 50.4) < 1.0
+        x = np.zeros(mech.nspec)
+        x[iO2] = 1.0
+        mu1 = hp.viscosity(300.0, 1e5, x)
+        mu100 = hp.viscosity(300.0, 1e7, x)
+        assert abs(mu1 - 20.7e-6) / 20.7e-6 < 0.05      # NIST
+        assert abs(mu100 - 23.0e-6) / 23.0e-6 < 0.08
+        assert mu100 > mu1
+        lam = hp.thermal_conductivity(300.0, 1e5, x,
+                                      np.asarray(cp0_R(mech, 300.0)))
+        assert abs(lam - 26.5e-3) / 26.5e-3 < 0.10      # NIST
+        # low pressure: Takahashi correction -> identity
+        D_lo = np.asarray(binary_diffusion(mech, tr, 300.0, 1e4))
+        D_hp = hp.binary_diff_coeffs(300.0, 1e4, x + 1e-3)
+        np.testing.assert_allclose(D_hp, D_lo, rtol=1e-12)
+        # table interior sanity (Takahashi 1974: correction < 1 near Tc)
+        assert 0.5 < takahashi_correction(1.0, 1.2) < 1.0
