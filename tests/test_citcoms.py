@@ -1,6 +1,8 @@
 """CitcomS workload: config, mesh/geometry, Stokes solver vs direct oracle,
 energy advection, end-to-end Cookbook2-style stepping (tiny meshes)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -1352,6 +1354,7 @@ class TestExchanger:
     fine-regional runs, citcoms/tests/exchange.py): boundary sampling of
     the coarse solution -> fine BCs, fine interior -> coarse restriction."""
 
+    @pytest.mark.isolated
     def test_coupled_step(self):
         import dataclasses as dc
         from g4s_tpu.models.citcoms.exchanger import CoupledRun
@@ -1754,6 +1757,7 @@ class TestExchangerHardening:
             np.testing.assert_allclose(
                 bt, np.asarray(tbc_val)[run1.b_nodes], atol=1e-8)
 
+    @pytest.mark.isolated
     def test_coupled_with_sharded_coarse_stokes(self):
         """The coupled step with the coarse Stokes solve executed
         element-sharded over the 8-device mesh must match the
@@ -2089,3 +2093,45 @@ class TestBCFileSequences:
         expect = 0.03 * bcf.scalev(cfg)
         got = np.asarray(s.V)[top, 0]
         np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def _run_isolated(nodeid, tries=3):
+    """Run an @isolated test in a fresh interpreter, retrying when the
+    child dies on a SIGNAL: two full-suite runs (r3 + r4) crashed
+    NATIVELY inside XLA:CPU backend_compile / cache load while building
+    the big exchanger coupled-step executables — only in long-running
+    processes with hundreds of prior compilations; the same tests pass
+    in fresh processes. A real assertion failure in the child still
+    fails here."""
+    import subprocess
+    import sys as _sys
+    last = None
+    for _ in range(tries):
+        r = subprocess.run(
+            [_sys.executable, "-m", "pytest", "-q", "-x",
+             "-m", "isolated", "-p", "no:cacheprovider", nodeid],
+            capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        if r.returncode == 0:
+            return
+        last = r
+        if r.returncode < 0 or r.returncode == 139:
+            continue                      # native crash: retry fresh
+        break
+    raise AssertionError(
+        f"isolated {nodeid} rc={last.returncode}:\n"
+        f"{last.stdout[-1500:]}\n{last.stderr[-1000:]}")
+
+
+class TestExchangerIsolated:
+    """Subprocess wrappers for the crash-prone exchanger compiles (see
+    _run_isolated)."""
+
+    def test_coupled_step(self):
+        _run_isolated(
+            "tests/test_citcoms.py::TestExchanger::test_coupled_step")
+
+    def test_coupled_with_sharded_coarse_stokes(self):
+        _run_isolated(
+            "tests/test_citcoms.py::TestExchangerHardening::"
+            "test_coupled_with_sharded_coarse_stokes")
