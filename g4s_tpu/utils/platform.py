@@ -73,12 +73,27 @@ def nocache_jit(fn):
     jitted = jax.jit(fn)
 
     def call(*args, **kwargs):
+        # jax 0.9's compilation_cache.is_cache_used MEMOIZES the
+        # enabled check (module globals _cache_checked/_cache_used), so
+        # toggling jax_enable_compilation_cache alone no longer stops
+        # the write path once any earlier compile used the cache —
+        # reproduced round 4 as a native serializer abort inside
+        # put_executable_and_time on the df64 initial_solve executable,
+        # 30% into the full suite. The min-compile-time gate IS read
+        # live at write time (compiler._cache_write), so raising it
+        # around the call keeps these executables out of the cache on
+        # every path; the enable toggle stays as defense in depth.
         old = jax.config.jax_enable_compilation_cache
+        old_min = jax.config.jax_persistent_cache_min_compile_time_secs
         jax.config.update("jax_enable_compilation_cache", False)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1e30)
         try:
             return jitted(*args, **kwargs)
         finally:
             jax.config.update("jax_enable_compilation_cache", old)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", old_min)
 
     call._jitted = jitted
     return call
