@@ -1411,6 +1411,7 @@ class TestExchanger:
 
 
 class TestDF64Tier:
+    pytestmark = pytest.mark.isolated
     """The df64 (double-word f32) 1e-10 tier: full timestep in paired-f32
     arithmetic must track the true-f64 step (df64_step.py; runs on any
     backend since it is plain XLA)."""
@@ -1862,6 +1863,7 @@ class TestGgrdNetCDF:
 
 
 class TestDF64FullSphere:
+    pytestmark = pytest.mark.isolated
     """df64 tier for the full-sphere solver (df64_full.py): the element-
     form df64 timestep must track the f64 FullSphereModel (the same
     defect-correction envelope validated for the regional model in
@@ -2110,7 +2112,7 @@ def _run_isolated(nodeid, tries=3):
         r = subprocess.run(
             [_sys.executable, "-m", "pytest", "-q", "-x",
              "-m", "isolated", "-p", "no:cacheprovider", nodeid],
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         if r.returncode == 0:
             return
@@ -2123,15 +2125,31 @@ def _run_isolated(nodeid, tries=3):
         f"{last.stdout[-1500:]}\n{last.stderr[-1000:]}")
 
 
-class TestExchangerIsolated:
-    """Subprocess wrappers for the crash-prone exchanger compiles (see
-    _run_isolated)."""
+_ISOLATED_NODES = [
+    "tests/test_citcoms.py::TestExchanger::test_coupled_step",
+    "tests/test_citcoms.py::TestExchangerHardening::"
+    "test_coupled_with_sharded_coarse_stokes",
+    "tests/test_citcoms.py::TestDF64Tier::test_df64_step_tracks_f64",
+    "tests/test_citcoms.py::TestDF64Tier::test_df64_step_pairs_matches_step",
+    "tests/test_citcoms.py::TestDF64Tier::test_df64_tdep_viscosity_tracks_f64",
+    "tests/test_citcoms.py::TestDF64Tier::test_df64_sdepv_tracks_f64",
+    "tests/test_citcoms.py::TestDF64Tier::test_df64_anisotropic_tracks_f64",
+    "tests/test_citcoms.py::TestDF64Tier::test_df64_rejects_out_of_envelope",
+    "tests/test_citcoms.py::TestDF64Tier::test_df64_tracer_ops_track_f64_exactly",
+    "tests/test_citcoms.py::TestDF64Tier::test_df64_thermochemical_tracks_f64",
+    "tests/test_citcoms.py::TestDF64FullSphere::test_df64_full_sphere_tracks_f64",
+    "tests/test_citcoms.py::TestDF64FullSphere::test_df64_full_tracer_primitives_track_f64",
+    "tests/test_citcoms.py::TestDF64FullSphere::test_df64_full_thermochemical_step_tracks_f64",
+    "tests/test_citcoms.py::TestDF64FullSphere::test_df64_full_sphere_tdepv",
+]
 
-    def test_coupled_step(self):
-        _run_isolated(
-            "tests/test_citcoms.py::TestExchanger::test_coupled_step")
 
-    def test_coupled_with_sharded_coarse_stokes(self):
-        _run_isolated(
-            "tests/test_citcoms.py::TestExchangerHardening::"
-            "test_coupled_with_sharded_coarse_stokes")
+@pytest.mark.parametrize("nodeid", _ISOLATED_NODES)
+def test_isolated_heavy_compiles(nodeid):
+    """Subprocess wrappers for the crash-prone XLA:CPU compiles (see
+    _run_isolated): five full-suite runs across rounds 3-4 died
+    natively inside backend_compile / cache serialize while building
+    the exchanger coupled-step or df64 executables, always >200
+    compilations into the process; every one of these tests passes in a
+    fresh interpreter."""
+    _run_isolated(nodeid)
