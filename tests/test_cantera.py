@@ -211,6 +211,7 @@ class TestTransport:
 
 
 class TestMultiTransportLMatrix:
+    pytestmark = pytest.mark.slow
     """Dixon-Lewis L-matrix multicomponent transport
     (MultiTransport.cpp roles: thermalConductivity, getThermalDiffCoeffs,
     getMultiDiffCoeffs, getSpeciesFluxes)."""
@@ -486,6 +487,7 @@ class TestEquilibrium:
 
 
 class TestFlame:
+    pytestmark = pytest.mark.slow
     def test_burner_flame_ignites(self, h2o2):
         """H2/air burner-stabilized flame: pseudo-transient march ignites
         the mixture, consumes H2, produces H2O, and drives the steady
@@ -745,6 +747,7 @@ class TestReactorNet:
 
 
 class TestMultiTransport:
+    pytestmark = pytest.mark.slow
     def test_stefan_maxwell_exact_binary_and_closure(self):
         """Multicomponent diffusion (MultiTransport role): the
         Stefan-Maxwell solve must reduce to the exact mass-frame binary
@@ -807,6 +810,7 @@ class TestMultiTransport:
 
 @pytest.mark.slow
 class TestCounterflowDiffusionFlame:
+    pytestmark = pytest.mark.slow
     def test_h2_vs_air_structure_and_peak_T(self):
         """CounterflowDiffusionFlame (AxiStagnFlow similarity form):
         opposed H2/N2 vs air jets must produce a diffusion flame between

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end tier; smoke = -m 'not slow and not isolated'
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 
 C_MAIN = r"""

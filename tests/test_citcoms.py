@@ -236,6 +236,7 @@ class TestEndToEnd:
 
 
 class TestDistributed:
+    pytestmark = pytest.mark.slow
     def test_distributed_matches_single_device(self):
         """Full distributed timestep on a 4x2 device mesh reproduces the
         single-device step: halo exchange + ownership-weighted psums are
@@ -399,6 +400,7 @@ class TestAltSolvers:
 
 
 class TestTracers:
+    pytestmark = pytest.mark.slow
     def _setup(self):
         cfg = small_cfg(nodex=9, nodey=9, nodez=5)
         from g4s_tpu.models.citcoms.tracers import (TracerField, seed_tracers)
@@ -459,6 +461,7 @@ class TestTracers:
 
 
 class TestFullSphereTracers:
+    pytestmark = pytest.mark.slow
     """Full-sphere tracer subsystem (Full_tracer_advection.c capability):
     closed-form cap/element location on the gnomonic grids, Cartesian
     predictor-corrector advection, ratio-method composition."""
@@ -633,6 +636,7 @@ class TestSphereHarmonics:
 
 
 class TestFullSphere:
+    pytestmark = pytest.mark.slow
     def _model(self):
         from g4s_tpu.models.citcoms.full_driver import FullSphereModel
         cfg = CitcomConfig(nodex=9, nodey=9, nodez=5, radius_inner=0.55,
@@ -689,6 +693,7 @@ class TestFullSphere:
 
 
 class TestFullSphereSharded:
+    pytestmark = pytest.mark.slow
     def test_element_sharded_stokes_matches_single(self):
         """Full-sphere Stokes with elements sharded over 8 devices via pjit
         propagation (XLA-inserted all-reduces at the cap seams) reproduces
@@ -716,6 +721,7 @@ class TestFullSphereSharded:
 
 
 class TestOutputFormats:
+    pytestmark = pytest.mark.slow
     def test_vtk_roundtrip_and_gz(self, tmp_path):
         """output_format=vtk writes .vts + .pvd through run(); the inline
         base64 arrays round-trip exactly; ascii-gz writes gzipped field
@@ -902,6 +908,7 @@ class TestAnisotropicViscosity:
 
 
 class TestLithAge:
+    pytestmark = pytest.mark.slow
     def test_halfspace_profile_and_tbc(self, tmp_path):
         """Lith_age.c: T = mantle_temp*erf(depth/(2 sqrt(age))) within
         lith_age_depth; young plates are warmer at depth; lid nodes are
@@ -998,6 +1005,7 @@ class TestGgrd:
 
 
 class TestFullSphereShardedStep:
+    pytestmark = pytest.mark.slow
     def test_full_timestep_sharded_matches(self):
         """shard_full_step: the COMPLETE full-sphere timestep (SUPG
         advection + Stokes) runs element-sharded over 8 devices and
@@ -1071,6 +1079,7 @@ class TestAnelasticContinuity:
 
 
 class TestOutputH5AndCDEPV:
+    pytestmark = pytest.mark.slow
     def test_h5_output(self, tmp_path):
         """output_format=hdf5 (Output_h5.c role): one .h5 per step with
         coord/velocity/temperature/pressure/viscosity, exact roundtrip."""
@@ -1177,6 +1186,7 @@ class TestLatentHeating:
 
 
 class TestCombine:
+    pytestmark = pytest.mark.slow
     def test_rank_write_and_combine(self, tmp_path):
         """visual/combine.py role: per-rank velo files written from the
         distributed state reassemble into the exact global field."""
@@ -1239,6 +1249,7 @@ class TestPDEPV:
 
 
 class TestFullSphereVTU:
+    pytestmark = pytest.mark.slow
     def test_vtu_roundtrip(self, tmp_path):
         """output_vtu: global hexahedral UnstructuredGrid for the 12-cap
         mesh; fields round-trip exactly, connectivity covers every
@@ -1325,6 +1336,7 @@ class TestMoreOutputWriters:
 
 
 class TestFullSphereThermochemical:
+    pytestmark = pytest.mark.slow
     def test_composition_couples_into_buoyancy(self):
         """Full-sphere thermochemical step: the ratio-method composition
         feeds chemical buoyancy (get_buoyancy: buoy -= Ra*ratio*C), so the
@@ -1709,6 +1721,7 @@ class TestDF64Tier:
 
 
 class TestExchangerHardening:
+    pytestmark = pytest.mark.slow
     """Round-2 verdict #9: multi-step coupled stability/conservation and
     a sharded-coarse variant (the reference's exchanger tests run
     13-proc two-solver MPI jobs, citcoms/tests/test1.sh)."""
@@ -1794,6 +1807,7 @@ class TestExchangerHardening:
 
 
 class TestGgrdNetCDF:
+    pytestmark = pytest.mark.slow
     def test_reads_scipy_written_classic_grd(self, tmp_path):
         """Pure-python netCDF-3 reader vs a scipy-written classic file
         (the Ggrd_handling.c input path without the npz stand-in)."""

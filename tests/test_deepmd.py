@@ -118,6 +118,7 @@ class TestModel:
 
 
 class TestTraining:
+    pytestmark = pytest.mark.slow
     def _fake_data(self, rng):
         class FakeData:
             def __init__(self):
@@ -200,6 +201,7 @@ class TestDataParallel:
 
 
 class TestCompress:
+    pytestmark = pytest.mark.slow
     def test_compressed_equivalence(self, rng):
         """Compressed (tabulated) model matches the exact MLP — the
         model-compression equivalence test of the reference
@@ -219,6 +221,7 @@ class TestCompress:
 
 
 class TestMD:
+    pytestmark = pytest.mark.slow
     def test_lammps_data_reader(self):
         from g4s_tpu.models.deepmd.md import read_lammps_data
         c, t, b = read_lammps_data(
@@ -818,6 +821,7 @@ class TestSeAEbdAndMask:
 
 
 class TestDPLR:
+    pytestmark = pytest.mark.slow
     """Long-range electrostatics (dplr.py): ewald_recp + the dipole
     charge modifier (reference: source/lib/src/ewald.cc,
     deepmd/infer/data_modifier.py)."""
@@ -947,6 +951,7 @@ class TestSeAEf:
 
 
 class TestFinetuneAndMultiTask:
+    pytestmark = pytest.mark.slow
     def _two_datasets(self, rng):
         """Two tiny in-memory 'systems' with different energy offsets."""
         from g4s_tpu.models.deepmd.data import DataSystem
@@ -1039,6 +1044,7 @@ class TestFinetuneAndMultiTask:
 
 
 class TestIPIDriver:
+    pytestmark = pytest.mark.slow
     """i-PI wire protocol driver (source/ipi/driver.cc role): an
     in-process mock i-PI server exchanges the exact byte protocol and
     the returned energy/forces/virial must match a direct DeepPot eval

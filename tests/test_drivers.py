@@ -1,5 +1,9 @@
 """Benchmark drivers (mv/mm) + Timings, on CPU with tiny sizes."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end tier; smoke = -m 'not slow and not isolated'
+
 import numpy as np
 import scipy.sparse as sp
 

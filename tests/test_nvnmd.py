@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end tier; smoke = -m 'not slow and not isolated'
+
 from g4s_tpu.models.deepmd.descriptor import DescriptorSpec
 from g4s_tpu.models.deepmd.nvnmd import (NvnmdSpec, build_map,
                                          init_nvnmd_params, load_wrapped,

@@ -9,6 +9,8 @@ Maxwell construction) agrees to ~2e-8 relative, asserted at that level.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end tier; smoke = -m 'not slow and not isolated'
 import yaml
 
 from g4s_tpu.models.cantera import purefluid as pf

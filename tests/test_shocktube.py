@@ -58,6 +58,7 @@ class TestDodecaneIgnition:
 
 
 class TestShardedSweep:
+    pytestmark = pytest.mark.slow
     def test_sharded_equals_batched(self):
         """The mesh-sharded NTC sweep (mpi4py rank-striding analog) must
         equal the single-device batched sweep exactly — pure SPMD over
