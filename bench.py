@@ -74,7 +74,10 @@ def _measure_ref_matvec_ms(n_runs: int = 21):
     element matvec (benchmarks/BASELINES.json). Re-measured only under
     --rebaseline: round-3 showed same-day re-measurements wobbling 1.7x
     with host load (VERDICT r3 weak #5), so the default run never
-    re-times it. Returns (ms, stats_dict) or (None, None)."""
+    re-times it. The MINIMUM of the per-run times is deliberately what
+    gets pinned — it is the reference's quiet-host capability, i.e. the
+    baseline most favorable to the reference (the median/min/max
+    dispersion is saved alongside). Returns (ms, stats) or (None, None)."""
     b = load_baselines()
     if not REBASELINE and "ref_eltk_matvec" in b:
         e = b["ref_eltk_matvec"]

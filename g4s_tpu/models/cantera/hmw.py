@@ -172,11 +172,14 @@ def load_hmw(path, phase_name: str) -> HMWPhase:
             pref = 1e5 if str(pref).strip() in ("1 bar", "1bar") \
                 else float(str(pref).split()[0])
             h0_raw = str(th.get("h0", 0.0))
-            h0 = float(h0_raw.split()[0])
-            if "cal" in h0_raw:
-                h0 *= 4184.0            # cal/mol -> J/kmol
-            elif "/mol" in h0_raw and "kmol" not in h0_raw:
-                h0 *= 1e3
+            parts = h0_raw.split()
+            h0 = float(parts[0])
+            # exact unit dispatch -> J/kmol ('kcal/mol' must not fall
+            # into a substring-'cal' branch, nor 'kJ/mol' into '/mol')
+            h0 *= {"cal/mol": 4184.0, "kcal/mol": 4.184e6,
+                   "J/mol": 1e3, "kJ/mol": 1e6, "J/kmol": 1.0,
+                   "kJ/kmol": 1e3}.get(parts[1] if len(parts) > 1
+                                       else "J/kmol", 1.0)
             mu0_models.append(("mu0poly", Mu0Poly.build(
                 th["data"], h0,
                 bool(th.get("dimensionless", False))), vol, pref))
@@ -521,7 +524,10 @@ def _standard_states(ph: HMWPhase, T: float, P: float):
             mu0[i] = h - T * s + mdl[3] * (P - mdl[4])
             V0[i] = mdl[3]
             S0[i] = s
-            H0[i] = h
+            # include the constant-volume delta(pV) term so
+            # G = H - T*S holds across branches (PDSS_ConstVol adds
+            # V0*(P - Pref) to the standard enthalpy as well)
+            H0[i] = h + mdl[3] * (P - mdl[4])
         elif mdl[0] == "hkft":
             from g4s_tpu.models.cantera import hkft
             g, V, S, H = hkft.standard_state(mdl[1], T, P)

@@ -125,6 +125,17 @@ def _parse_pressure(v) -> float:
     return float(num) * _PRESSURE_UNITS[unit]
 
 
+def _split_terms(side: str):
+    """Split one side of a reaction equation into species terms.
+
+    A '+' is a separator only when it stands alone between whitespace —
+    Cantera tokenizes equations on whitespace (`Reaction.cpp`
+    parseReactionEquation) so charged species keep their trailing '+':
+    'H3O+ + E' -> ['H3O+', 'E'], never ['H3O', '', 'E'].
+    """
+    return re.split(r"\s+\+(?=\s|$)", side.strip())
+
+
 def _parse_side(side: str, species_idx: Dict[str, int], nspec: int):
     """'2 oh + c2h4 (+M)' -> (nu vector, has_tb, has_falloff_m)."""
     nu = np.zeros(nspec)
@@ -134,7 +145,7 @@ def _parse_side(side: str, species_idx: Dict[str, int], nspec: int):
     if "(+M)" in side or "(+ M)" in side:
         has_falloff_m = True
         side = side.replace("(+M)", "").replace("(+ M)", "")
-    for term in side.split("+"):
+    for term in _split_terms(side):
         term = term.strip()
         if not term:
             continue
@@ -182,7 +193,7 @@ def _species_in_equation(eq: str):
         sides = [eq]
     for side in sides:
         side = side.replace("(+M)", "").replace("(+ M)", "")
-        for term in side.split("+"):
+        for term in _split_terms(side):
             term = term.strip()
             if not term or term in ("M", "m"):
                 continue

@@ -82,6 +82,10 @@ class ESCPlan:
     t_sum: int = _static()
     t_head: int = _static()
     shape: Tuple[int, int] = _static()
+    # merge order the plan was built with ('row' -> CSR keys, 'col' ->
+    # CSC); recorded so materialize_structure cannot be asked to decode
+    # the sorted key stream under the wrong major axis
+    order_by: str = field(default="row", metadata=dict(static=True))
     # device plans only: sorted key stream kept for lazy C-structure
     # materialization (tunnel downloads run ~0.1-13 MB/s, so the
     # (F,)-sized structure arrays stay on device until asked for)
@@ -251,7 +255,8 @@ def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
             m2=m2, flops=F_, nnz=nnz_n,
             t_a=stages_for(int(meta[1])), t_b=stages_for(int(meta[2])),
             t_pad=stages_for(int(meta[3])), t_sum=stages_for(int(meta[4])),
-            t_head=stages_for(int(meta[5])), shape=(m, n))
+            t_head=stages_for(int(meta[5])), shape=(m, n),
+            order_by=order_by)
 
     # ---- A side: CSC entries -> class-major (block, r) order -----------
     a_src = _expand(ac_indptr[kk], M)        # csc positions, class-major
@@ -341,7 +346,7 @@ def esc_plan(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
         off_c=off_c, d_head=d_head, c_indptr=c_indptr, c_indices=c_indices,
         classes=classes, na=na, nb_len=nb_len, m2=m2, flops=F, nnz=nnz,
         t_a=t_a, t_b=t_b, t_pad=t_pad, t_sum=t_sum, t_head=t_head,
-        shape=(m, n))
+        shape=(m, n), order_by=order_by)
 
 
 @partial(jax.jit, static_argnames=("classes", "na", "nb_len", "m2", "flops",
@@ -495,17 +500,19 @@ def esc_plan_device(a: CSR, b: CSR, *, order_by: str = "row") -> ESCPlan:
         c_indptr=None, c_indices=None, classes=P.classes, na=na,
         nb_len=nb_len, m2=m2, flops=F, nnz=nnz, t_a=t_a, t_b=t_b,
         t_pad=t_pad, t_sum=stages_for(max_off), t_head=stages_for(max_dh),
-        shape=(m, n), keys_sorted=ks, keys_sorted_minor=ks_min)
+        shape=(m, n), order_by=order_by,
+        keys_sorted=ks, keys_sorted_minor=ks_min)
 
 
-def materialize_structure(plan: ESCPlan, *, order_by: str = "row"):
+def materialize_structure(plan: ESCPlan):
     """Pull C's (indptr, indices) from a device plan (one download of
-    nnz int32/int64 values). Host plans already carry them."""
+    nnz int32/int64 values). Host plans already carry them. The merge
+    order is the one recorded on the plan at build time."""
     if plan.c_indptr is not None:
         return plan.c_indptr, plan.c_indices
     m, n = plan.shape
-    n_min = n if order_by == "row" else m
-    n_major = m if order_by == "row" else n
+    n_min = n if plan.order_by == "row" else m
+    n_major = m if plan.order_by == "row" else n
     heads = jnp.asarray(compact(plan.keys_sorted, plan.d_head,
                                 plan.t_head)[: plan.nnz])
     if plan.keys_sorted_minor is None:

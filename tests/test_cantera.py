@@ -1900,6 +1900,37 @@ class TestSpecialtyTransport:
         assert mech.nspec == 24
         assert mech.nrxn > 50                   # filtered gri30 subset
 
+    def test_ion_reaction_stoichiometry(self):
+        """Charged species survive equation tokenization: '+' is a
+        separator only as a standalone token (Reaction.cpp
+        parseReactionEquation splits on whitespace), so 'H3O+ + E'
+        parses species H3O+, not a truncated neutral H3O. All six
+        ch4_ion.yaml ion reactions must load with exact stoichiometry."""
+        from g4s_tpu.models.cantera.mech import load_mechanism
+        mech = load_mechanism(
+            "/root/reference/cantera/test/data/ch4_ion.yaml", "gas")
+        idx = {s: k for k, s in enumerate(mech.species_names)}
+        for sp in ("HCO+", "H3O+", "E", "O2-"):
+            assert sp in idx, sp
+
+        def assert_rxn(reac, prod):
+            nr = np.zeros(mech.nspec)
+            npv = np.zeros(mech.nspec)
+            for s, c in reac.items():
+                nr[idx[s]] = c
+            for s, c in prod.items():
+                npv[idx[s]] = c
+            hit = np.where((mech.nu_reac == nr).all(axis=1)
+                           & (mech.nu_prod == npv).all(axis=1))[0]
+            assert hit.size == 1, (reac, prod, hit)
+
+        assert_rxn({"CH": 1, "O": 1}, {"HCO+": 1, "E": 1})
+        assert_rxn({"HCO+": 1, "H2O": 1}, {"H3O+": 1, "CO": 1})
+        assert_rxn({"H3O+": 1, "E": 1}, {"H2O": 1, "H": 1})
+        assert_rxn({"H3O+": 1, "E": 1}, {"OH": 1, "H": 2})
+        assert_rxn({"H3O+": 1, "E": 1}, {"H2": 1, "OH": 1})
+        assert_rxn({"H3O+": 1, "E": 1}, {"O": 1, "H2": 1, "H": 1})
+
     def test_high_pressure_transport(self):
         """HighPressureGasTransport (Lucas viscosity, Takahashi binary
         correction, Ely-Hanley conductivity): critical constants

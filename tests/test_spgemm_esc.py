@@ -304,7 +304,7 @@ class TestDevicePlan:
         cd = esc_numeric(np.asarray(A.data), np.asarray(B.data), pd)
         np.testing.assert_allclose(np.asarray(ch), np.asarray(cd),
                                    rtol=1e-6)
-        ip, ix = materialize_structure(pd, order_by=order_by)
+        ip, ix = materialize_structure(pd)
         np.testing.assert_array_equal(ip, ph.c_indptr)
         np.testing.assert_array_equal(ix, ph.c_indices)
 
