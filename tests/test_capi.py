@@ -197,6 +197,200 @@ def test_c_md_engine_embedding(tmp_path):
     assert e_c == pytest.approx(float(np.asarray(e)), rel=1e-6)
 
 
+C_GMX_MAIN = r"""
+/* External-host demo in the GROMACS plugin calling pattern
+ * (source/gmx/src/gmx_plugin.cpp + patches/2020.2/.../sim_util.cpp.patch):
+ * the ENGINE owns the atoms, integrator and force array in its own units;
+ * the plugin is init'ed from a json config naming graph/type/index files,
+ * and each step the engine
+ *   1. gathers its DP subset through dindex, converting nm -> A
+ *      (x / c_dp2gmx),
+ *   2. calls the potential (positions in, forces out),
+ *   3. scatter-ADDS the forces back through dindex with f_dp2gmx * lambda,
+ *   4. accumulates the energy term with e_dp2gmx * lambda.
+ */
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+extern int g4s_init(const char*);
+extern int g4s_deeppot_load(const char*);
+extern int g4s_deeppot_eval(int, int, const double*, const double*,
+                            const int*, double*, double*, double*);
+
+static const double c_dp2gmx = 0.1;           /* A -> nm   */
+static const double e_dp2gmx = 96.48533132;   /* eV -> kJ/mol */
+static const double f_dp2gmx = 964.8533132;   /* eV/A -> kJ/mol/nm */
+
+static char* json_str(const char* buf, const char* key, char* out) {
+  const char* p = strstr(buf, key);
+  if (!p) return NULL;
+  p = strchr(p + strlen(key), ':');
+  p = strchr(p, '"') + 1;
+  const char* q = strchr(p, '"');
+  memcpy(out, p, q - p);
+  out[q - p] = 0;
+  return out;
+}
+
+static double json_num(const char* buf, const char* key, double dflt) {
+  const char* p = strstr(buf, key);
+  if (!p) return dflt;
+  return atof(strchr(p + strlen(key), ':') + 1);
+}
+
+static int read_ints(const char* path, int* out, int max) {
+  FILE* f = fopen(path, "r");
+  if (!f) return -1;
+  int n = 0;
+  while (n < max && fscanf(f, "%d", &out[n]) == 1) n++;
+  fclose(f);
+  return n;
+}
+
+enum { ENG_N = 8, DP_N = 6 };
+
+int main(int argc, char** argv) {
+  /* argv: repo json_file */
+  char jbuf[4096], graph[1024], typef[1024], idxf[1024];
+  FILE* jf = fopen(argv[2], "r");
+  if (!jf) return 1;
+  size_t nb = fread(jbuf, 1, sizeof jbuf - 1, jf);
+  jbuf[nb] = 0;
+  fclose(jf);
+  if (!json_str(jbuf, "graph_file", graph) ||
+      !json_str(jbuf, "type_file", typef) ||
+      !json_str(jbuf, "index_file", idxf)) return 1;
+  double lmd = json_num(jbuf, "lambda", 1.0);
+
+  int dtype[DP_N], dindex[DP_N];
+  if (read_ints(typef, dtype, DP_N) != DP_N) return 2;
+  if (read_ints(idxf, dindex, DP_N) != DP_N) return 2;
+
+  if (g4s_init(argv[1])) return 3;
+  int h = g4s_deeppot_load(graph);
+  if (h < 0) return 4;
+
+  /* engine state: 8 atoms in nm (two waters the plugin sees through
+   * dindex + two engine-only atoms it must not touch) */
+  double x[ENG_N * 3] = {
+      0.00, 0.00, 0.00,  0.096, 0.00, 0.00,  -0.024, 0.093, 0.00,
+      0.40, 0.40, 0.40,  0.496, 0.40, 0.40,   0.376, 0.493, 0.40,
+      0.20, 0.20, 0.70,  0.70,  0.20, 0.20};
+  double vel[ENG_N * 3] = {0};
+  double box_gmx[9] = {0.8, 0, 0, 0, 0.8, 0, 0, 0, 0.8};
+  double dt = 0.0005;
+
+  double dcoord[DP_N * 3], dbox[9], dforce[DP_N * 3], dvirial[9], dener;
+  double f_eng[ENG_N * 3];
+  double epot = 0.0;
+  for (int step = 0; step < 4; step++) {
+    memset(f_eng, 0, sizeof f_eng);
+    for (int i = 0; i < DP_N; i++)
+      for (int j = 0; j < 3; j++)
+        dcoord[i * 3 + j] = x[dindex[i] * 3 + j] / c_dp2gmx;
+    for (int i = 0; i < 9; i++) dbox[i] = box_gmx[i] / c_dp2gmx;
+    if (g4s_deeppot_eval(h, DP_N, dcoord, dbox, dtype, &dener, dforce,
+                         dvirial)) return 5;
+    for (int i = 0; i < DP_N; i++)
+      for (int j = 0; j < 3; j++)
+        f_eng[dindex[i] * 3 + j] += dforce[i * 3 + j] * f_dp2gmx * lmd;
+    epot = dener * e_dp2gmx * lmd;
+    for (int i = 0; i < ENG_N * 3; i++) {  /* engine leapfrog, unit mass */
+      vel[i] += f_eng[i] * dt;
+      x[i] += vel[i] * dt;
+    }
+  }
+  printf("GMX_PATTERN_OK epot=%.10f x0=%.12f x20=%.12f xfree=%.12f\n",
+         epot, x[0], x[dindex[5] * 3 + 2], x[6 * 3]);
+  return 0;
+}
+"""
+
+
+@pytest.mark.slow
+def test_c_gmx_plugin_pattern(tmp_path):
+    """A C host owning the MD loop drives the potential per step in the
+    exact GROMACS-plugin protocol (init-from-json with type/index files,
+    dindex gather, c/e/f_dp2gmx unit conversions, lambda-scaled force
+    scatter-add — gmx_plugin.cpp:20-108, sim_util.cpp.patch:46-92); the
+    trajectory must match an identical Python-side engine."""
+    gcc = shutil.which("gcc") or shutil.which("cc")
+    pycfg = shutil.which("python3-config")
+    if gcc is None or pycfg is None:
+        pytest.skip("no C toolchain")
+
+    from g4s_tpu.models.deepmd import WATER_SPEC, init_params
+    from g4s_tpu.models.deepmd.freeze import freeze
+    import jax
+    params = init_params(jax.random.PRNGKey(0), WATER_SPEC,
+                         dtype=jnp.float32)
+    frozen = tmp_path / "tiny_frozen.npz"
+    freeze(params, WATER_SPEC, str(frozen))
+
+    # plugin config triple, as the reference's init_from_json reads it
+    (tmp_path / "type.raw").write_text("0 1 1 0 1 1\n")
+    (tmp_path / "index.raw").write_text("0 1 2 3 4 5\n")
+    lmd = 0.8
+    (tmp_path / "dp.json").write_text(
+        '{"graph_file": "%s", "type_file": "%s", "index_file": "%s", '
+        '"lambda": %s, "pbc": true}'
+        % (frozen, tmp_path / "type.raw", tmp_path / "index.raw", lmd))
+
+    inc = subprocess.run([pycfg, "--includes"], capture_output=True,
+                         text=True, check=True).stdout.split()
+    ld = subprocess.run([pycfg, "--ldflags", "--embed"], capture_output=True,
+                        text=True, check=True).stdout.split()
+    so = tmp_path / "libg4s_capi.so"
+    subprocess.run([gcc, "-shared", "-fPIC",
+                    os.path.join(REPO, "g4s_tpu", "runtime", "native",
+                                 "capi.c"),
+                    "-o", str(so)] + inc + ld, check=True,
+                   capture_output=True)
+    main_c = tmp_path / "gmx_main.c"
+    main_c.write_text(C_GMX_MAIN)
+    exe = tmp_path / "capi_gmx"
+    subprocess.run([gcc, str(main_c), "-o", str(exe),
+                    f"-L{tmp_path}", "-lg4s_capi"] + ld, check=True,
+                   capture_output=True)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               LD_LIBRARY_PATH=str(tmp_path))
+    out = subprocess.run([str(exe), REPO, str(tmp_path / "dp.json")],
+                         env=env, capture_output=True, text=True,
+                         timeout=420)
+    assert out.returncode == 0, out.stdout + out.stderr
+    line = [l for l in out.stdout.splitlines()
+            if l.startswith("GMX_PATTERN_OK")]
+    assert line, out.stdout
+    vals = {kv.split("=")[0]: float(kv.split("=")[1])
+            for kv in line[0].split()[1:]}
+
+    # oracle: identical engine-side arithmetic in Python
+    from g4s_tpu.models.deepmd.infer import DeepPot
+    pot = DeepPot(str(frozen))
+    c_dp2gmx, e_dp2gmx, f_dp2gmx = 0.1, 96.48533132, 964.8533132
+    x = np.array([[0, 0, 0], [0.096, 0, 0], [-0.024, 0.093, 0],
+                  [0.4, 0.4, 0.4], [0.496, 0.4, 0.4], [0.376, 0.493, 0.4],
+                  [0.2, 0.2, 0.7], [0.7, 0.2, 0.2]], np.float64)
+    vel = np.zeros_like(x)
+    dindex = np.arange(6)
+    types = np.array([0, 1, 1, 0, 1, 1], np.int32)
+    box = np.eye(3) * 0.8
+    dt = 0.0005
+    epot = 0.0
+    for _ in range(4):
+        f_eng = np.zeros_like(x)
+        e, f, _ = pot.eval(x[dindex] / c_dp2gmx, box / c_dp2gmx, types)
+        f_eng[dindex] += np.asarray(f, np.float64) * f_dp2gmx * lmd
+        epot = float(np.asarray(e)) * e_dp2gmx * lmd
+        vel += f_eng * dt
+        x += vel * dt
+    assert vals["epot"] == pytest.approx(epot, rel=1e-6)
+    assert vals["x0"] == pytest.approx(x[0, 0], rel=1e-6, abs=1e-12)
+    assert vals["x20"] == pytest.approx(x[5, 2], rel=1e-6, abs=1e-12)
+    # the engine-only atom never receives plugin forces
+    assert vals["xfree"] == pytest.approx(0.2, abs=1e-15)
+
+
 F_MAIN = r"""
 program fcapi_test
   use g4s_capi
