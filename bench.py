@@ -437,7 +437,57 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
     from g4s_tpu.ops.spgemm_esc import esc_numeric, esc_plan
     from g4s_tpu.sparse import CSR
 
-    def measure(A_s, key=None):
+    def measure_block(A_s, C64, scipy_s, bs=3):
+        """Block-ESC tier (ops/spgemm_block.py): the ESC machinery on
+        the bs x bs node-block cover — the structure FE stiffness
+        matrices have by construction. ~25x fewer sort keys than the
+        scalar stream; components ride the one sort as payloads.
+        Validated on device (sum + abs-sum checksums vs scipy; exact
+        values are pytest-verified, the tunnel download of the full C
+        runs at ~0.25 MB/s so it stays out of the bench)."""
+        import jax as _jax
+        from g4s_tpu.obs.devtime import time_fn
+        from g4s_tpu.ops.spgemm_block import (block_cover, block_numeric,
+                                              block_plan)
+        A = CSR.from_scipy(A_s)
+        cover = block_cover(A, bs)
+        if cover < 0.5:
+            return None
+        t0 = time.perf_counter()
+        bp = block_plan(A, A, bs)
+        plan_s = time.perf_counter() - t0
+        a_d = jnp.asarray(np.asarray(A.data))
+        c = block_numeric(a_d, a_d, bp)                # compile (warm)
+        import jax
+        jax.block_until_ready(c)
+        numeric_s = time_fn(block_numeric, a_d, a_d, bp, reps=reps)
+        csum = float(jnp.sum(c))
+        cabs = float(jnp.sum(jnp.abs(c)))
+        ref_sum, ref_abs = float(C64.sum()), float(abs(C64).sum())
+        assert abs(csum - ref_sum) < 1e-3 * max(abs(ref_sum), 1.0)
+        assert abs(cabs - ref_abs) < 1e-3 * max(ref_abs, 1.0)
+        # cold: fresh plan (host + metadata upload) + pre-compiled
+        # numeric, like plan_cold elsewhere (compile excluded)
+        t0 = time.perf_counter()
+        bp2 = block_plan(A, A, bs)
+        c2 = block_numeric(a_d, a_d, bp2)
+        jax.block_until_ready(c2)
+        cold_s = time.perf_counter() - t0
+        flops = spgemm_flops(A, A)
+        return {"gflops": round(flops / numeric_s / 1e9, 3),
+                "numeric_ms": round(numeric_s * 1e3, 2),
+                "plan_ms": round(plan_s * 1e3, 1),
+                "cold_ms": round(cold_s * 1e3, 1),
+                "vs_scipy": round(scipy_s / numeric_s, 2),
+                "cold_vs_scipy": round(scipy_s / cold_s, 3),
+                "block_cover": round(cover, 3), "bs": bs,
+                "nnz_blocks": bp.nnz_blocks,
+                "block_flops": bp.plan.flops,
+                "pad_ratio": round(bp.plan.m2 / max(bp.plan.flops, 1), 2),
+                "cold_note": "cold = host plan + ~140 MB plan-metadata "
+                "upload (tunnel ~215 MB/s) + numeric; upload-bound"}
+
+    def measure(A_s, key=None, block_bs=None):
         """ESC engine on one matrix: plan (symbolic) + timed numeric +
         scipy baseline (the reference driver's CPU-library role,
         mkl_spgemm.cpp:67-81 protocol) — the scipy TIME is pinned in
@@ -521,21 +571,32 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
             cold_full_s = symbolic_s + numeric_s
             cold_how = "esc_plan_device (two-key) + esc_numeric"
 
-        return {"gflops": round(gflops, 3),
-                "numeric_ms": round(numeric_s * 1e3, 2),
-                "symbolic_ms": round(symbolic_s * 1e3, 1),
-                "plan_cold_ms": round((symbolic_s + numeric_s) * 1e3, 1),
-                "cold_ms": (round(cold_full_s * 1e3, 1)
-                            if cold_full_s else None),
-                "scipy_ms": round(scipy_s * 1e3, 1),
-                "vs_scipy": round(scipy_s / numeric_s, 2),
-                "cold_vs_scipy": (round(scipy_s / cold_full_s, 3)
-                                  if cold_full_s else None),
-                "cold_how": cold_how,
-                "nnz": A.nnz, "flops": int(flops),
-                "classes": len(plan.classes),
-                "pad_ratio": round(plan.m2 / max(plan.flops, 1), 2),
-                **sym_extra}
+        out = {"gflops": round(gflops, 3),
+               "numeric_ms": round(numeric_s * 1e3, 2),
+               "symbolic_ms": round(symbolic_s * 1e3, 1),
+               "plan_cold_ms": round((symbolic_s + numeric_s) * 1e3, 1),
+               "cold_ms": (round(cold_full_s * 1e3, 1)
+                           if cold_full_s else None),
+               "scipy_ms": round(scipy_s * 1e3, 1),
+               "vs_scipy": round(scipy_s / numeric_s, 2),
+               "cold_vs_scipy": (round(scipy_s / cold_full_s, 3)
+                                 if cold_full_s else None),
+               "cold_how": cold_how,
+               "nnz": A.nnz, "flops": int(flops),
+               "classes": len(plan.classes),
+               "pad_ratio": round(plan.m2 / max(plan.flops, 1), 2),
+               **sym_extra}
+        if block_bs is not None and _jax.default_backend() != "cpu":
+            blk = measure_block(A_s, C, scipy_s, bs=block_bs)
+            if blk is not None:
+                # block tier is the engine of record for blocked
+                # matrices; the scalar-stream numbers stay for
+                # comparison
+                out = dict(blk, scipy_ms=out["scipy_ms"],
+                           nnz=A.nnz, flops=int(flops),
+                           engine="block-esc",
+                           scalar_engine=out)
+        return out
 
     rng = np.random.RandomState(42)
     er = measure(sp.random(n, n, density=avg_deg / n, random_state=rng,
@@ -551,7 +612,8 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
     # operator, 81 nnz/row pattern) — real application sparsity, not a
     # synthetic generator
     try:
-        fem = measure(_fem_stiffness_matrix(), key="fem_k_citcoms_33")
+        fem = measure(_fem_stiffness_matrix(), key="fem_k_citcoms_33",
+                      block_bs=3)
     except Exception as e:
         fem = {"error": f"{type(e).__name__}: {e}"}
 
@@ -601,7 +663,12 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
             assert _np.allclose(_np.asarray(c_r), _np.asarray(c_s),
                                 rtol=1e-5, atol=1e-6)
             per = _time_fn(esc_numeric_routed, a_d, a_d, rp, reps=reps)
-            routed = {"gflops": round(er["flops"] / per / 1e9, 3),
+            routed = {"tier": "EXPERIMENTAL (build economics exclude it "
+                              "from any realistic workflow on this host: "
+                              "~70 s host-latency-bound route build, "
+                              "~4200-reuse break-even; kept as the "
+                              "measured upper bound of the value phase)",
+                      "gflops": round(er["flops"] / per / 1e9, 3),
                       "numeric_ms": round(per * 1e3, 2),
                       "route_build_s": round(route_build_s, 1),
                       "note": "Benes-routed value phase (sort and "

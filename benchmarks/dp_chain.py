@@ -143,6 +143,24 @@ def main():
     rec["nve_steps"] = n_nve
     rec["nve_drift_eV_per_atom"] = round(
         (max(es) - min(es)) / natoms, 8)
+    # secular drift (linear fit slope) separated from bounded
+    # fluctuation: symplectic Verlet has zero secular drift in exact
+    # arithmetic, so the slope isolates the f32-force-rounding random
+    # walk from the dt^2 fluctuation band
+    steps_ax = np.arange(len(es), dtype=np.float64)
+    slope = float(np.polyfit(steps_ax, np.asarray(es), 1)[0])
+    rec["nve_secular_eV_per_atom_per_ps"] = round(
+        slope / natoms / 5e-4, 8)           # dt = 0.5 fs
+    # acceptance: well-trained f64 DeePMD water commonly sustains
+    # <1e-3 eV/atom/ps; this artifact runs f32 forces on a
+    # 2000-step-trained model, so the bound is set at the f32 scale:
+    # total range < 5e-2 eV/atom over the 0.5 ps run AND |secular| <
+    # 10x the range/ps (no runaway). Violations fail the chain.
+    rec["nve_criterion"] = ("range < 5e-2 eV/atom over 1000x0.5fs "
+                            "(f32 forces; f64 literature bound is "
+                            "~1e-3 eV/atom/ps)")
+    assert rec["nve_drift_eV_per_atom"] < 5e-2, rec
+    assert abs(rec["nve_secular_eV_per_atom_per_ps"]) < 0.5, rec
 
     # measured CPU baseline for the MD step (every other benchmark has
     # one; the reference's OptMatmul inference path is CPU-only).

@@ -330,3 +330,73 @@ class TestDevicePlan:
         A_s = sp.random(n, n, density=2e-5, random_state=rng,
                         format="csr", dtype=np.float32)
         self._check(A_s, A_s)
+
+
+class TestBlockESC:
+    """Block-ESC engine (ops/spgemm_block.py): the ESC machinery at
+    bs x bs node-block granularity — the FE-stiffness-shaped SpGEMM
+    tier (3 dofs/node, Element_calculations.c:475-509 sparsity; the
+    reference's suite_sparse corpus members, mkl_spgemm.cpp:19-37)."""
+
+    def _mk(self, rng, mb, nb, bs, dens, holes=0.0):
+        pat = sp.random(mb, nb, dens, random_state=rng, format="csr")
+        data = np.random.default_rng(7).normal(
+            size=(pat.nnz, bs, bs)).astype(np.float32)
+        M = sp.bsr_matrix((data, pat.indices, pat.indptr),
+                          shape=(mb * bs, nb * bs),
+                          blocksize=(bs, bs)).tocsr()
+        if holes:
+            keep = np.random.default_rng(8).random(M.nnz) > holes
+            M.data[~keep] = 0.0
+            M.eliminate_zeros()
+        M.sort_indices()
+        return M
+
+    def _check(self, A_s, B_s, bs):
+        from g4s_tpu.ops.spgemm_block import (block_c_to_scipy,
+                                              spgemm_block)
+        a, b = CSR.from_scipy(A_s), CSR.from_scipy(B_s)
+        bp, cd = spgemm_block(a, b, bs)
+        got = block_c_to_scipy(bp, cd).astype(np.float64)
+        ref = (A_s.astype(np.float64) @ B_s.astype(np.float64)).tocsr()
+        ref.eliminate_zeros()
+        np.testing.assert_allclose(got.toarray(), ref.toarray(),
+                                   rtol=2e-5,
+                                   atol=2e-5 * max(1.0,
+                                                   abs(ref).max()))
+
+    def test_rect_with_holes(self, rng):
+        """Imperfect block cover (eliminate_zeros holes) — the missing
+        scalar entries must read as explicit zeros, and the pruned
+        result must match scipy exactly."""
+        A = self._mk(rng, 24, 18, 3, 0.15, holes=0.2)
+        B = self._mk(rng, 18, 14, 3, 0.15, holes=0.2)
+        self._check(A, B, 3)
+
+    def test_square_reuse_bs2(self, rng):
+        """bs=2, A @ A shared-pattern path + plan reuse across value
+        updates (the stiffness-reassembly workload)."""
+        from g4s_tpu.ops.spgemm_block import (block_c_to_scipy,
+                                              block_numeric, block_plan)
+        A = self._mk(rng, 30, 30, 2, 0.12, holes=0.1)
+        a = CSR.from_scipy(A)
+        bp = block_plan(a, a, 2)
+        A2 = A.copy()
+        A2.data = A2.data * 1.7 - 0.3
+        got = block_c_to_scipy(
+            bp, block_numeric(np.asarray(A2.data), np.asarray(A2.data),
+                              bp)).astype(np.float64)
+        ref = (A2.astype(np.float64) @ A2.astype(np.float64)).tocsr()
+        ref.eliminate_zeros()
+        np.testing.assert_allclose(got.toarray(), ref.toarray(),
+                                   rtol=2e-5,
+                                   atol=2e-5 * abs(ref).max())
+
+    def test_block_cover_stat(self, rng):
+        from g4s_tpu.ops.spgemm_block import block_cover
+        A = self._mk(rng, 20, 20, 3, 0.2)
+        assert block_cover(CSR.from_scipy(A), 3) == pytest.approx(1.0)
+        assert block_cover(CSR.from_scipy(A), 7) == 0.0  # indivisible
+        Ah = self._mk(rng, 20, 20, 3, 0.2, holes=0.3)
+        c = block_cover(CSR.from_scipy(Ah), 3)
+        assert 0.5 < c < 0.95
