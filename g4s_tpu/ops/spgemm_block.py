@@ -225,7 +225,12 @@ def _block_numeric_impl(a_data, b_data, a_rank, a_d, b_rank, b_d, d_pad,
     def to_slabs(data, rank, d, slab_len, t):
         v = jax.lax.sort((rank, data), num_keys=1)[1]
         pad = k2 * slab_len - v.shape[0]
-        v = jnp.concatenate([v, jnp.zeros(pad, v.dtype)]) if pad else v
+        if pad > 0:
+            v = jnp.concatenate([v, jnp.zeros(pad, v.dtype)])
+        elif pad < 0:
+            # more entries than slab slots: the excess is all dead
+            # (inactive block columns/rows), rank-sorted to the tail
+            v = v[:k2 * slab_len]
         return spread(v, d, t).reshape(k2, slab_len)
 
     xa = to_slabs(a_data, a_rank, a_d, na, t_sa)        # (bs*bs, na)

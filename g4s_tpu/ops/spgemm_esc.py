@@ -86,6 +86,10 @@ class ESCPlan:
     # CSC); recorded so materialize_structure cannot be asked to decode
     # the sorted key stream under the wrong major axis
     order_by: str = field(default="row", metadata=dict(static=True))
+    # family-bucketed plans: `nnz`/`flops` hold the CANONICAL caps (so
+    # the compiled programs are shared); the true output count is here
+    nnz_real: Optional[int] = field(default=None,
+                                    metadata=dict(static=True))
     # device plans only: sorted key stream kept for lazy C-structure
     # materialization (tunnel downloads run ~0.1-13 MB/s, so the
     # (F,)-sized structure arrays stay on device until asked for)
@@ -513,15 +517,16 @@ def materialize_structure(plan: ESCPlan):
     m, n = plan.shape
     n_min = n if plan.order_by == "row" else m
     n_major = m if plan.order_by == "row" else n
+    nnz = plan.nnz if plan.nnz_real is None else plan.nnz_real
     heads = jnp.asarray(compact(plan.keys_sorted, plan.d_head,
-                                plan.t_head)[: plan.nnz])
+                                plan.t_head)[: nnz])
     if plan.keys_sorted_minor is None:
         uniq = np.asarray(heads).astype(np.int64)
         major, minor = uniq // n_min, uniq % n_min
     else:
         major = np.asarray(heads).astype(np.int64)
         minor = np.asarray(compact(plan.keys_sorted_minor, plan.d_head,
-                                   plan.t_head)[: plan.nnz]).astype(np.int64)
+                                   plan.t_head)[: nnz]).astype(np.int64)
     c_indices = minor.astype(np.int32)
     c_indptr = np.zeros(n_major + 1, np.int64)
     np.add.at(c_indptr, major + 1, 1)
@@ -571,9 +576,21 @@ def _fit(x, n):
 
 def esc_numeric(a_data, b_data, plan: ESCPlan):
     """Value phase: C.data (in plan.c_indptr/c_indices order) from A/B
-    values. Jit-safe, reusable across value updates."""
+    values. Jit-safe, reusable across value updates. Family-bucketed
+    plans carry nnz-capped rank arrays; the value arrays are padded to
+    match (pad entries rank to the tail and never spread)."""
+    a_data = jnp.asarray(a_data)
+    b_data = jnp.asarray(b_data)
+    na_ = plan.a_rank.shape[0]
+    nb_ = plan.b_rank.shape[0]
+    if a_data.shape[0] < na_:
+        a_data = jnp.concatenate(
+            [a_data, jnp.zeros(na_ - a_data.shape[0], a_data.dtype)])
+    if b_data.shape[0] < nb_:
+        b_data = jnp.concatenate(
+            [b_data, jnp.zeros(nb_ - b_data.shape[0], b_data.dtype)])
     return _esc_numeric_impl(
-        jnp.asarray(a_data), jnp.asarray(b_data),
+        a_data, b_data,
         jnp.asarray(plan.a_rank),
         jnp.asarray(plan.b_rank), jnp.asarray(plan.d_a),
         jnp.asarray(plan.d_b), jnp.asarray(plan.d_pad),
@@ -673,6 +690,320 @@ class ESCRoutePlan:
     # the stable sort)
     a_route: object = None
     b_route: object = None
+
+
+# ---------------------------------------------------------------------------
+# Family-bucketed device symbolic: one compiled executable per FAMILY
+# ---------------------------------------------------------------------------
+#
+# esc_plan_device's jitted program is keyed on the exact class signature
+# (per-class block counts, slab/stream sizes, flop count) — a first-ever
+# matrix pays the full XLA compile (30-170 s measured) even when its
+# geometry differs from an already-compiled one by a single block. The
+# bucketed variant canonicalizes the signature: per-class block counts
+# round up to 12.5%-granular capacities (top-3-bits rounding), stream
+# and output lengths round up the same way, the real flop count travels
+# as a RUNTIME scalar (pad products past it get INT32_MAX sentinel keys
+# that sort to the tail), and the shift-stage counts take their
+# capacity-derived upper bounds. Any matrix whose classes fit the
+# family's menu then reuses BOTH compiled programs (symbolic + numeric)
+# with zero recompilation — the workload this serves is a solver whose
+# sparsity drifts across steps (CitcomS tracer-driven re-assembly,
+# hash_mult.h:495-508's repeated symbolic role).
+
+
+def _cap_round(x: int) -> int:
+    """Round up keeping the top 3 bits: <=12.5% waste, log-many buckets."""
+    x = int(x)
+    if x <= 8:
+        return max(x, 1)
+    g = 1 << (x.bit_length() - 3)
+    return -(-x // g) * g
+
+
+@dataclasses.dataclass(frozen=True)
+class EscFamily:
+    """Canonical padded class signature shared by a matrix family."""
+
+    menu: Tuple[Tuple[int, int, int], ...]   # (mh, w, nb_cap), (mh, w)-sorted
+    classes: Tuple[Tuple[int, int, int, int, int], ...]  # canonical
+    na: int
+    nb_len: int
+    m2: int
+    f_cap: int
+    n_cap: int
+    order_row: bool
+    two_key: bool
+    t_a: int
+    t_b: int
+    t_pad: int
+    t_sum: int
+    t_head: int
+    # canonical nnz paddings so the NUMERIC executable's argument
+    # shapes are family-stable too (esc_numeric pads a_data to match)
+    nnz_a_cap: int = 0
+    nnz_b_cap: int = 0
+
+    def assign(self, P: "_Partition", f_real: int, two_key: bool):
+        """Map each real class to a menu class that can serve it, or
+        None when no assignment exists. A real (mh, w) class fits any
+        menu class with mh' >= mh and w' >= w — the per-block (M, L)
+        mask absorbs the extra padding — so families survive the
+        class-menu fragmentation of drifting sparsity. Greedy: cheapest
+        admissible class (least padding) first."""
+        if two_key != self.two_key or f_real > self.f_cap:
+            return None
+        if P.ac_indptr[-1] > self.nnz_a_cap \
+                or P.b_indptr[-1] > self.nnz_b_cap:
+            return None
+        remaining = [nbc for _, _, nbc in self.menu]
+        out = []
+        for nb, mh, w, _, _ in P.classes:
+            admissible = sorted(
+                (mh2 * w2, mi)
+                for mi, (mh2, w2, _) in enumerate(self.menu)
+                if mh2 >= mh and w2 >= w)
+            pieces = []
+            need = nb
+            for _, mi in admissible:        # cheapest (least padding) first
+                take = min(need, remaining[mi])
+                if take > 0:
+                    remaining[mi] -= take
+                    pieces.append((mi, take))
+                    need -= take
+                if need == 0:
+                    break
+            if need:
+                return None
+            out.append(pieces)
+        return out
+
+
+def make_esc_family(a: CSR, b: CSR, *, order_by: str = "row",
+                    slack: float = 1.25) -> EscFamily:
+    """Build the canonical family signature from one representative
+    matrix pair (class capacities, stream/output caps, stage bounds).
+
+    `slack` headroom on every capacity buys drift tolerance — class
+    promotion (EscFamily.assign) lets a drifted instance borrow bigger
+    classes' spare room — at the cost of up to `slack`-1 extra padded
+    stream work for every family member."""
+    P = _partition(a, b)
+    m, n = P.m, P.n
+    two_key = m * n >= (1 << 31)
+    menu = tuple(sorted((mh, w, _cap_round(int(np.ceil(nb * slack))))
+                        for nb, mh, w, _, _ in P.classes))
+    classes = []
+    aoff = boff = m2 = 0
+    for mh, w, nbc in menu:
+        classes.append((nbc, mh, w, aoff, boff))
+        aoff += nbc * mh
+        boff += nbc * w
+        m2 += nbc * mh * w
+    f_cap = _cap_round(int(np.ceil(float((P.M * P.L).sum()) * slack)))
+    return EscFamily(
+        menu=menu, classes=tuple(classes), na=aoff, nb_len=boff, m2=m2,
+        f_cap=f_cap, n_cap=f_cap, order_row=order_by == "row",
+        two_key=two_key,
+        t_a=stages_for(aoff - 1), t_b=stages_for(boff - 1),
+        t_pad=stages_for(m2 - 1), t_sum=stages_for(f_cap - 1),
+        t_head=stages_for(f_cap - 1),
+        nnz_a_cap=_cap_round(int(np.ceil(a.nnz * slack))),
+        nnz_b_cap=_cap_round(int(np.ceil(b.nnz * slack))))
+
+
+@partial(jax.jit, static_argnames=("classes", "na", "nb_len", "m2",
+                                   "f_cap", "t_a", "t_b", "t_pad",
+                                   "order_row", "two_key"))
+def _esc_symbolic_family(rows_cm, cols_cm, d_a, d_b, M_d, L_d, f_real,
+                         n_min, *, classes, na, nb_len, m2, f_cap, t_a,
+                         t_b, t_pad, order_row, two_key):
+    """_esc_symbolic_impl with canonical shapes: the real flop count and
+    the minor-axis extent are runtime scalars; pad slots past f_real
+    carry INT32_MAX sentinel keys (one tail run, excluded from nnz)."""
+    ra = spread(_fit(rows_cm, na), d_a, t_a)
+    rb = spread(_fit(cols_cm, nb_len), d_b, t_b)
+    parts_maj, parts_min, parts_mask = [], [], []
+    boff_blk = 0
+    for nb, mh, w, aoff, boff in classes:
+        ta = jax.lax.dynamic_slice_in_dim(ra, aoff, nb * mh) \
+            .reshape(nb, mh, 1)
+        tb = jax.lax.dynamic_slice_in_dim(rb, boff, nb * w) \
+            .reshape(nb, 1, w)
+        am = jnp.broadcast_to(ta, (nb, mh, w)).reshape(-1)
+        bm = jnp.broadcast_to(tb, (nb, mh, w)).reshape(-1)
+        parts_maj.append(am if order_row else bm)
+        parts_min.append(bm if order_row else am)
+        M_c = jax.lax.dynamic_slice_in_dim(M_d, boff_blk, nb) \
+            .reshape(nb, 1, 1)
+        L_c = jax.lax.dynamic_slice_in_dim(L_d, boff_blk, nb) \
+            .reshape(nb, 1, 1)
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (nb, mh, w), 1)
+        l_i = jax.lax.broadcasted_iota(jnp.int32, (nb, mh, w), 2)
+        parts_mask.append(((r_i < M_c) & (l_i < L_c)).reshape(-1))
+        boff_blk += nb
+    cat = (lambda p: p[0] if len(p) == 1 else jnp.concatenate(p))
+    kmaj2, kmin2, mask2 = cat(parts_maj), cat(parts_min), cat(parts_mask)
+    iota2 = jax.lax.iota(jnp.int32, m2)
+    f_excl = jnp.cumsum(mask2.astype(jnp.int32)) - mask2.astype(jnp.int32)
+    d_pad = jnp.where(mask2, iota2 - f_excl, 0)
+    iota_f = jax.lax.iota(jnp.int32, f_cap)
+    pad_tail = iota_f >= f_real
+    smax = jnp.int32(np.iinfo(np.int32).max)
+    kmaj = jnp.where(pad_tail, smax, compact(kmaj2, d_pad, t_pad)[:f_cap])
+    kmin = jnp.where(pad_tail, smax, compact(kmin2, d_pad, t_pad)[:f_cap])
+    if two_key:
+        keys, keys_minor = kmaj, kmin
+        ks, ks_min = jax.lax.sort((kmaj, kmin), num_keys=2)
+        head = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (ks[1:] != ks[:-1]) | (ks_min[1:] != ks_min[:-1])])
+        sent = ks == smax
+    else:
+        keys = jnp.where(pad_tail, smax, kmaj * n_min + kmin)
+        keys_minor = None
+        ks = jax.lax.sort(keys)
+        ks_min = None
+        head = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+        sent = ks == smax
+    seg_start = jax.lax.cummax(jnp.where(head, iota_f, 0))
+    off_c = iota_f - seg_start
+    rank = jnp.cumsum(head.astype(jnp.int32)) - head.astype(jnp.int32)
+    d_head = jnp.where(head, iota_f - rank, 0)
+    live_head = head & ~sent
+    scal = jnp.stack([jnp.sum(live_head.astype(jnp.int32)),
+                      jnp.max(jnp.where(sent, 0, off_c)),
+                      jnp.max(jnp.where(sent, 0, d_head))])
+    return keys, keys_minor, d_pad, off_c, d_head, ks, ks_min, scal
+
+
+def esc_plan_device_family(a: CSR, b: CSR,
+                           family: Optional[EscFamily] = None, *,
+                           order_by: str = "row"):
+    """Device symbolic through a canonical family executable.
+
+    Returns (plan, family). Pass the returned family back for the next
+    matrix: if its classes fit the menu, BOTH the symbolic and numeric
+    programs are reused with no XLA compile (the cold-compile tax is
+    paid once per family, not once per matrix). A matrix that does not
+    fit rebuilds the family (and recompiles)."""
+    if order_by not in ("row", "col"):
+        raise ValueError(f"order_by must be 'row' or 'col': {order_by}")
+    P = _partition(a, b)
+    m, n = P.m, P.n
+    two_key = m * n >= (1 << 31)
+    f_real = int((P.M * P.L).sum())
+    assign = None if family is None \
+        else family.assign(P, f_real, two_key)
+    if assign is None:
+        family = make_esc_family(a, b, order_by=order_by)
+        assign = family.assign(P, f_real, two_key)
+        assert assign is not None
+    fam = family
+    if max(a.nnz, b.nnz) >= (1 << 31) - 1:
+        raise NotImplementedError("nnz >= 2^31 needs int64 rank streams")
+
+    # regroup the partition's class-major blocks into their ASSIGNED
+    # menu classes (dead capacity: M = L = 0, masked out on device).
+    # Blocks from several real classes can share one menu class; they
+    # pack consecutively from the class start.
+    spans = []
+    idx = 0
+    for nb, mh, w, _, _ in P.classes:
+        spans.append(slice(idx, idx + nb))
+        idx += nb
+    # each real class may be split across several admissible menu
+    # classes; record (real idx, start, count) pieces per menu class
+    by_menu = [[] for _ in fam.classes]
+    for ri, pieces in enumerate(assign):
+        done = 0
+        for mi, take in pieces:
+            by_menu[mi].append((ri, done, take))
+            done += take
+    kk_parts, M_parts, L_parts = [], [], []
+    a_off_parts, b_off_parts = [], []
+    fill = [0] * len(fam.classes)           # blocks placed per menu class
+    for mi, (nbc, mh, w, aoff, boff) in enumerate(fam.classes):
+        for ri, start, take in by_menu[mi]:
+            sl = slice(spans[ri].start + start,
+                       spans[ri].start + start + take)
+            kk_parts.append(P.kk[sl])
+            M_parts.append(P.M[sl])
+            L_parts.append(P.L[sl])
+            j = fill[mi] + np.arange(take, dtype=np.int64)
+            a_off_parts.append(aoff + j * mh)
+            b_off_parts.append(boff + j * w)
+            fill[mi] += take
+    z = np.zeros(0, np.int64)
+    kk = np.concatenate(kk_parts) if kk_parts else z
+    M_live = np.concatenate(M_parts) if M_parts else z
+    L_live = np.concatenate(L_parts) if L_parts else z
+    a_blk_off = np.concatenate(a_off_parts) if a_off_parts else z
+    b_blk_off = np.concatenate(b_off_parts) if b_off_parts else z
+
+    # device-stream host passes (the exact structure of
+    # esc_plan_device's, with canonical slab offsets)
+    a_src = _expand(P.ac_indptr[kk], M_live)
+    n_arows = a_src.size
+    a_rank_pos = np.full(fam.nnz_a_cap, np.iinfo(np.int32).max, np.int32)
+    a_rank_pos[P.csc_of_csr[a_src]] = np.arange(n_arows, dtype=np.int32)
+    a_dest = _expand(a_blk_off, M_live)
+    d_a = np.full(fam.na, -1, np.int32)
+    d_a[:n_arows] = (a_dest - np.arange(n_arows)).astype(np.int32)
+
+    b_src = _expand(P.b_indptr[kk], L_live)
+    n_brows = b_src.size
+    b_rank_pos = np.full(fam.nnz_b_cap, np.iinfo(np.int32).max, np.int32)
+    b_rank_pos[b_src] = np.arange(n_brows, dtype=np.int32)
+    b_dest = _expand(b_blk_off, L_live)
+    d_b = np.full(fam.nb_len, -1, np.int32)
+    d_b[:n_brows] = (b_dest - np.arange(n_brows)).astype(np.int32)
+
+    # canonical argument shapes (a different n_arows must not recompile)
+    rows_cm = np.zeros(fam.na, np.int32)
+    rows_cm[:n_arows] = P.ac_rows[a_src]
+    cols_cm = np.zeros(fam.nb_len, np.int32)
+    cols_cm[:n_brows] = P.b_indices[b_src]
+    n_min = n if fam.order_row else m
+
+    # the M/L mask arrays must be in canonical per-menu-class block
+    # order: assigned blocks pack first within each class, dead
+    # capacity (zeros) after
+    M_d = np.zeros(sum(nbc for nbc, *_ in fam.classes), np.int64)
+    L_d = np.zeros_like(M_d)
+    pos = 0
+    for mi, (nbc, mh, w, _, _) in enumerate(fam.classes):
+        o = 0
+        for ri, start, take in by_menu[mi]:
+            sl = slice(spans[ri].start + start,
+                       spans[ri].start + start + take)
+            M_d[pos + o:pos + o + take] = P.M[sl]
+            L_d[pos + o:pos + o + take] = P.L[sl]
+            o += take
+        pos += nbc
+
+    (keys, keys_minor, d_pad, off_c, d_head, ks, ks_min,
+     scal) = _esc_symbolic_family(
+        jnp.asarray(rows_cm), jnp.asarray(cols_cm),
+        jnp.asarray(d_a), jnp.asarray(d_b),
+        jnp.asarray(M_d.astype(np.int32)),
+        jnp.asarray(L_d.astype(np.int32)),
+        jnp.int32(f_real), jnp.int32(n_min),
+        classes=fam.classes, na=fam.na, nb_len=fam.nb_len, m2=fam.m2,
+        f_cap=fam.f_cap, t_a=fam.t_a, t_b=fam.t_b, t_pad=fam.t_pad,
+        order_row=fam.order_row, two_key=fam.two_key)
+    nnz_real = int(np.asarray(scal)[0])
+
+    plan = ESCPlan(
+        a_rank=jnp.asarray(a_rank_pos), b_rank=jnp.asarray(b_rank_pos),
+        d_a=jnp.asarray(d_a), d_b=jnp.asarray(d_b), d_pad=d_pad,
+        keys=keys, keys_minor=keys_minor, off_c=off_c, d_head=d_head,
+        c_indptr=None, c_indices=None, classes=fam.classes, na=fam.na,
+        nb_len=fam.nb_len, m2=fam.m2, flops=fam.f_cap, nnz=fam.n_cap,
+        t_a=fam.t_a, t_b=fam.t_b, t_pad=fam.t_pad, t_sum=fam.t_sum,
+        t_head=fam.t_head, shape=(m, n), order_by=order_by,
+        keys_sorted=ks, keys_sorted_minor=ks_min, nnz_real=nnz_real)
+    return plan, fam
 
 
 def esc_route_plan(a: CSR, b: CSR, *, order_by: str = "row",

@@ -400,3 +400,46 @@ class TestBlockESC:
         Ah = self._mk(rng, 20, 20, 3, 0.2, holes=0.3)
         c = block_cover(CSR.from_scipy(Ah), 3)
         assert 0.5 < c < 0.95
+
+
+class TestFamilyBucketed:
+    """Family-bucketed device symbolic (esc_plan_device_family): one
+    compiled executable pair serves every matrix whose classes fit the
+    canonical menu — the drifting-sparsity re-plan workload
+    (hash_mult.h:495-508's repeated symbolic role)."""
+
+    def _product(self, A_s, plan):
+        from g4s_tpu.ops.spgemm_esc import (esc_numeric,
+                                            materialize_structure)
+        d = np.asarray(A_s.data, np.float32)
+        c = np.asarray(esc_numeric(d, d, plan))[: plan.nnz_real]
+        ip, ix = materialize_structure(plan)
+        got = sp.csr_matrix((c.astype(np.float64), ix, ip),
+                            shape=plan.shape)
+        got.eliminate_zeros()
+        ref = (A_s.astype(np.float64) @ A_s.astype(np.float64)).tocsr()
+        ref.sort_indices()
+        ref.eliminate_zeros()
+        np.testing.assert_allclose(
+            got.toarray(), ref.toarray(), rtol=2e-5,
+            atol=2e-5 * max(1.0, abs(ref).max()))
+
+    def test_family_reuse_no_recompile(self, rng):
+        from g4s_tpu.ops.spgemm_esc import (_esc_symbolic_family,
+                                            esc_plan_device_family)
+        from g4s_tpu.sparse.containers import CSR as _CSR
+        n0 = _esc_symbolic_family._cache_size()
+        fam = None
+        fams = []
+        for seed in (11, 12, 13):
+            A_s = sp.random(400, 400, density=0.02,
+                            random_state=seed, format="csr",
+                            dtype=np.float32)
+            plan, fam = esc_plan_device_family(
+                _CSR.from_scipy(A_s), _CSR.from_scipy(A_s), fam)
+            fams.append(fam)
+            self._product(A_s, plan)
+        # instances 2 and 3 must have reused instance 1's family and
+        # its compiled symbolic executable
+        assert fams[1] is fams[0] or fams[1] == fams[0]
+        assert _esc_symbolic_family._cache_size() - n0 <= 1
