@@ -177,10 +177,57 @@ def _entry_map(inv: np.ndarray, comp: np.ndarray, slab_of_block,
     return rank, d, t
 
 
+@partial(jax.jit, static_argnames=("out_len",))
+def _expand_dists(mask_bits, out_len):
+    """Dense monotone spread distances from a packed live-slot bit mask:
+    live slot p receives entry i = rank(p); d[i] = p - i; dead -1. ONE
+    small upload (out_len/8 bytes) replaces an out_len int32 array."""
+    mask = jnp.unpackbits(mask_bits)[:out_len].astype(jnp.int32)
+    ranks = jnp.cumsum(mask) - mask
+    p = jax.lax.iota(jnp.int32, out_len)
+    idx = jnp.where(mask == 1, ranks, out_len)
+    upd = jnp.where(mask == 1, p - ranks, 0)
+    return jnp.full((out_len + 1,), -1, jnp.int32) \
+        .at[idx].set(upd)[:out_len]
+
+
+@partial(jax.jit, static_argnames=("m2", "flops"))
+def _expand_dpad(real_bits, m2, flops):
+    """Pad-compaction distances from the packed real-slot mask (same
+    construction as the symbolic's device pass)."""
+    mask = jnp.unpackbits(real_bits)[:m2].astype(jnp.int32)
+    f_excl = jnp.cumsum(mask) - mask
+    return jnp.where(mask == 1, jax.lax.iota(jnp.int32, m2) - f_excl, 0)
+
+
+@partial(jax.jit, static_argnames=("flops",))
+def _expand_dhead(head_pos, head_dist, flops):
+    """Dense head-compaction distances from the sparse (position,
+    distance) pairs — nnz entries instead of F."""
+    return jnp.zeros((flops + 1,), jnp.int32) \
+        .at[head_pos].set(head_dist)[:flops]
+
+
+def _pack_live_mask(d: np.ndarray, out_len: int) -> np.ndarray:
+    """Packed bit mask of the slab slots a spread-distance array maps
+    its (prefix) live entries to."""
+    live = d[d >= 0]
+    n_live = live.size
+    mask = np.zeros(out_len, np.uint8)
+    mask[np.arange(n_live, dtype=np.int64) + live.astype(np.int64)] = 1
+    return np.packbits(mask)
+
+
 def block_plan(a: CSR, b: CSR, bs: int = 3) -> BlockPlan:
     """Symbolic phase: scalar ESC plan on the block cover + composed
     scalar-entry -> slab maps. Pure host work (native plan core used
-    when available), O(nnz) + O(block flops)."""
+    when available), O(nnz) + O(block flops).
+
+    Cold start is metadata-UPLOAD-bound on a tunneled accelerator, so
+    the O(flop)-sized distance arrays ship as packed bit masks / sparse
+    pairs / int8 (~55 MB instead of ~140 MB on the CitcomS K) and are
+    expanded to their dense device forms by three tiny jitted prep
+    programs, once per plan."""
     pa, inv_a, comp_a = _block_pattern(a, bs)
     if b is a:
         pb, inv_b, comp_b = pa, inv_a, comp_a
@@ -194,22 +241,55 @@ def block_plan(a: CSR, b: CSR, bs: int = 3) -> BlockPlan:
     # Both happen to equal (row%bs)*bs + col%bs in their own matrices.
     a_rank, a_d, t_a = _entry_map(inv_a, comp_a, sa, plan.na, bs)
     b_rank, b_d, t_b = _entry_map(inv_b, comp_b, sb, plan.nb_len, bs)
-    # ship every numeric-phase array to the device ONCE here (async
-    # device_put): the value phase must never re-upload ~135 MB of plan
-    # metadata per call over the accelerator tunnel
     dev = jax.devices()[0]
     put = lambda x: jax.device_put(np.asarray(x), dev)
+    k2 = bs * bs
+    m2, F, nnz_c = plan.m2, plan.flops, plan.nnz
+
+    # d_pad -> packed real-slot mask. Real slots after the first pad
+    # all have d > 0; the d == 0 reals are exactly the contiguous
+    # prefix, recovered from the total count F.
+    d_pad_h = np.asarray(plan.d_pad)
+    real = d_pad_h > 0
+    prefix = F - int(real.sum())
+    real[:prefix] = True
+    d_pad_dev = _expand_dpad(put(np.packbits(real.astype(np.uint8))),
+                             m2=m2, flops=F)
+
+    # d_head -> sparse (head position, distance). Heads with d == 0 are
+    # the contiguous prefix of the sorted stream (head k at position k).
+    d_head_h = np.asarray(plan.d_head)
+    hp = np.nonzero(d_head_h)[0]
+    hprefix = nnz_c - hp.size
+    head_pos = np.concatenate(
+        [np.arange(hprefix, dtype=np.int64), hp]).astype(np.int32)
+    head_dist = np.concatenate(
+        [np.zeros(hprefix, np.int32), d_head_h[hp]])
+    d_head_dev = _expand_dhead(put(head_pos), put(head_dist), flops=F)
+
+    # off_c -> int8 when the run offsets fit (t_sum stages bound 2^t-1)
+    off_h = np.asarray(plan.off_c)
+    off_dev = put(off_h.astype(np.int8)).astype(jnp.int32) \
+        if (1 << plan.t_sum) - 1 <= 127 else put(off_h)
+
+    # a_d / b_d -> packed slab live masks
+    a_d_dev = _expand_dists(put(_pack_live_mask(a_d, k2 * plan.na)),
+                            out_len=k2 * plan.na)
+    b_d_dev = _expand_dists(put(_pack_live_mask(b_d, k2 * plan.nb_len)),
+                            out_len=k2 * plan.nb_len)
+
+    # the inner plan's own a_rank/b_rank/d_a/d_b (block-entry maps) are
+    # not consumed by the block numeric — leave them host-side
     plan = dataclasses.replace(
-        plan, a_rank=put(plan.a_rank), b_rank=put(plan.b_rank),
-        d_a=put(plan.d_a), d_b=put(plan.d_b), d_pad=put(plan.d_pad),
+        plan, d_pad=d_pad_dev,
         keys=put(plan.keys),
         keys_minor=(None if plan.keys_minor is None
                     else put(plan.keys_minor)),
-        off_c=put(plan.off_c), d_head=put(plan.d_head))
+        off_c=off_dev, d_head=d_head_dev)
     return BlockPlan(
         plan=plan, bs=bs, shape=a.shape[:1] + b.shape[1:],
-        a_rank=put(a_rank), a_d=put(a_d), t_a=t_a,
-        b_rank=put(b_rank), b_d=put(b_d), t_b=t_b,
+        a_rank=put(a_rank), a_d=a_d_dev, t_a=t_a,
+        b_rank=put(b_rank), b_d=b_d_dev, t_b=t_b,
         nnz_a=a.nnz, nnz_b=b.nnz)
 
 
