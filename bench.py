@@ -484,8 +484,9 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
                 "nnz_blocks": bp.nnz_blocks,
                 "block_flops": bp.plan.flops,
                 "pad_ratio": round(bp.plan.m2 / max(bp.plan.flops, 1), 2),
-                "cold_note": "cold = host plan + ~140 MB plan-metadata "
-                "upload (tunnel ~215 MB/s) + numeric; upload-bound"}
+                "cold_note": "cold = host plan + ~55 MB slimmed "
+                "plan-metadata upload (packed masks/sparse heads/int8, "
+                "tunnel ~215 MB/s) + device prep + numeric"}
 
     def measure(A_s, key=None, block_bs=None):
         """ESC engine on one matrix: plan (symbolic) + timed numeric +

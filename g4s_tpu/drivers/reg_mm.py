@@ -51,6 +51,16 @@ def run(A, B, *, tol=1e-10, verbose=True) -> dict:
 
     check("plan", spgemm(A, B))
     check("csc", spgemm_via_csc(A, B))
+    # block tier joins the regression sweep whenever the inputs carry a
+    # usable block cover (FE-matrix shape; ops/spgemm_block.py)
+    from g4s_tpu.ops.spgemm_block import (block_c_to_scipy, block_cover,
+                                          spgemm_block)
+    for bs in (3, 2):
+        if min(block_cover(A, bs), block_cover(B, bs)) >= 0.5:
+            bp, cd = spgemm_block(A, B, bs)
+            check(f"block{bs}", c_dense=block_c_to_scipy(bp, cd)
+                  .toarray().astype(np.float64))
+            break
     # device merge returns sorted (row*n+col) keys + merged values
     keys, vals, nnz = spgemm_device_merge(A, B)
     keys, vals = np.asarray(keys), np.asarray(vals)

@@ -7,5 +7,9 @@ from g4s_tpu.ops.spgemm import (  # noqa: F401
     spgemm, spgemm_plan, spgemm_flops, SpGEMMPlan,
 )
 from g4s_tpu.ops.spgemm_esc import (  # noqa: F401
-    ESCPlan, esc_numeric, esc_plan, spgemm_esc, spgemm_esc_col,
+    ESCPlan, EscFamily, esc_numeric, esc_plan, esc_plan_device_family,
+    spgemm_esc, spgemm_esc_col,
+)
+from g4s_tpu.ops.spgemm_block import (  # noqa: F401
+    BlockPlan, block_cover, block_numeric, block_plan, spgemm_block,
 )
