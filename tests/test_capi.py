@@ -391,6 +391,83 @@ def test_c_gmx_plugin_pattern(tmp_path):
     assert vals["xfree"] == pytest.approx(0.2, abs=1e-15)
 
 
+@pytest.mark.slow
+def test_swig_binding(tmp_path):
+    """SWIG-generated binding over the C API (the source/swig/deepmd.i
+    role): `swig -python` generates the wrapper, it compiles against
+    capi.c, and the generated module evaluates the potential with
+    results matching the native DeepPot — proving the .i file serves
+    any SWIG target language."""
+    gcc = shutil.which("gcc") or shutil.which("cc")
+    pycfg = shutil.which("python3-config")
+    swig = shutil.which("swig")
+    if gcc is None or pycfg is None or swig is None:
+        pytest.skip("no swig/C toolchain")
+
+    from g4s_tpu.models.deepmd import WATER_SPEC, init_params
+    from g4s_tpu.models.deepmd.freeze import freeze
+    import jax
+    params = init_params(jax.random.PRNGKey(0), WATER_SPEC,
+                         dtype=jnp.float32)
+    frozen = tmp_path / "tiny_frozen.npz"
+    freeze(params, WATER_SPEC, str(frozen))
+
+    native = os.path.join(REPO, "g4s_tpu", "runtime", "native")
+    subprocess.run([swig, "-python", "-outdir", str(tmp_path),
+                    "-o", str(tmp_path / "g4s_wrap.c"),
+                    os.path.join(native, "g4s.i")],
+                   check=True, capture_output=True)
+    inc = subprocess.run([pycfg, "--includes"], capture_output=True,
+                         text=True, check=True).stdout.split()
+    ld = subprocess.run([pycfg, "--ldflags", "--embed"],
+                        capture_output=True, text=True,
+                        check=True).stdout.split()
+    subprocess.run([gcc, "-shared", "-fPIC",
+                    str(tmp_path / "g4s_wrap.c"),
+                    os.path.join(native, "capi.c"),
+                    "-o", str(tmp_path / "_g4s_capi.so")] + inc + ld,
+                   check=True, capture_output=True)
+
+    # drive the GENERATED module in-process: g4s_init's Py_Initialize
+    # is a no-op inside the live interpreter, so the embedded API and
+    # the host interpreter share one runtime (the deepmd.i usage shape)
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import g4s_capi as g
+        assert g.g4s_init(REPO) == 0
+        h = g.g4s_deeppot_load(str(frozen))
+        assert h >= 0
+        coords = [0, 0, 0, 0.96, 0, 0, -0.24, 0.93, 0,
+                  4, 4, 4, 4.96, 4, 4, 3.76, 4.93, 4]
+        ca = g.DoubleArray(18)
+        for i, v in enumerate(coords):
+            ca[i] = v
+        ba = g.DoubleArray(9)
+        for i, v in enumerate([8, 0, 0, 0, 8, 0, 0, 0, 8]):
+            ba[i] = v
+        ta = g.IntArray(6)
+        for i, v in enumerate([0, 1, 1, 0, 1, 1]):
+            ta[i] = v
+        fa = g.DoubleArray(18)
+        va = g.DoubleArray(9)
+        rc, e = g.g4s_deeppot_eval(h, 6, ca, ba, ta, fa, va)
+        assert rc == 0
+
+        from g4s_tpu.models.deepmd.infer import DeepPot
+        pot = DeepPot(str(frozen))
+        x = np.asarray(coords, np.float64).reshape(6, 3)
+        e_ref, f_ref, _ = pot.eval(x, np.eye(3) * 8.0,
+                                   np.array([0, 1, 1, 0, 1, 1],
+                                            np.int32))
+        assert e == pytest.approx(float(np.asarray(e_ref)), rel=1e-6)
+        f_ref = np.asarray(f_ref, np.float64).reshape(-1)
+        for i in range(18):
+            assert fa[i] == pytest.approx(f_ref[i], rel=1e-5,
+                                          abs=1e-10)
+    finally:
+        sys.path.remove(str(tmp_path))
+
+
 F_MAIN = r"""
 program fcapi_test
   use g4s_capi
