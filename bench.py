@@ -453,6 +453,7 @@ def bench_spgemm(n: int = 1 << 15, avg_deg: int = 16, reps: int = 10):
         cover = block_cover(A, bs)
         if cover < 0.5:
             return None
+        bp = block_plan(A, A, bs)       # prep-program compiles happen here
         t0 = time.perf_counter()
         bp = block_plan(A, A, bs)
         plan_s = time.perf_counter() - t0
@@ -1167,8 +1168,12 @@ def main():
                  "cookbook2", "--dtype", "df64", "--steps",
                  str(args.steps)],
                 capture_output=True, text=True, timeout=3600)
-            results["cookbook2_df64"] = json.loads(
-                sub.stdout.strip().splitlines()[-1])
+            lines = sub.stdout.strip().splitlines()
+            if not lines:
+                raise RuntimeError(
+                    f"df64 subprocess rc={sub.returncode}, empty stdout; "
+                    f"stderr tail: {sub.stderr.strip()[-600:]!r}")
+            results["cookbook2_df64"] = json.loads(lines[-1])
             results["cookbook2_df64"]["bench_wall_s"] = \
                 round(time.time() - t0, 1)
         except Exception as e:
